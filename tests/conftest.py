@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep test JVM small
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from tipoca_stream_spark.session import get_spark
+
+    s = get_spark("tipoca_stream_spark_tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
