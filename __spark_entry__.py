@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship CDC merge at sf0.001;
+``queries()``/``oracle_sql()`` expose the full operator inventory from
+``tipoca_stream_spark.plans`` (SURVEY.md §2 + training-data extensions).
 """
 
 from __future__ import annotations
@@ -14,25 +12,39 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.ts is parquet TIMESTAMP(NANOS); Spark 4 needs this to scan it
+    (sources.tables.load_table then normalizes the long back to timestamp)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf may be fixed on a running session; load_table copes
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full last-write-wins CDC
+    merge of the events stream (SURVEY.md §2.3 M1-M6)."""
+    _ensure_nanos_conf(spark)
+    from tipoca_stream_spark.plans import QUERIES
+
+    return QUERIES["cdc_merge_lww"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tipoca_stream_spark.plans import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(qdef):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_nanos_conf(spark)
+            return qdef.fn(spark, sf_dir)
+
+        run.__doc__ = qdef.fn.__doc__
+        return run
+
+    return {name: wrap(qdef) for name, qdef in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tipoca_stream_spark.plans import QUERIES
+
+    return {name: qdef.oracle for name, qdef in QUERIES.items() if qdef.oracle is not None}

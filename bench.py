@@ -1,0 +1,74 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap count() materialization (noop write would
+also work; count exercises the whole plan including the final aggregation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "cdc_merge_lww",
+    "m2_dedupe_latest",
+    "mask_pipeline",
+    "agg_pricing_summary",
+    "agg_cube_lineitem",
+    "join_revenue_by_nation",
+    "window_topk_orders_per_customer",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_lsh_buckets",
+    "text_quality_scores",
+    "text_fingerprint",
+    "events_windowed_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from tipoca_stream_spark.plans import QUERIES
+    from tipoca_stream_spark.session import get_spark
+
+    spark = get_spark("tipoca_stream_spark_bench")
+
+    # warm the JVM + parquet footers once so timings measure query work
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qdef = QUERIES[name]
+        t0 = time.perf_counter()
+        qdef.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

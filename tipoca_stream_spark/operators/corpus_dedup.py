@@ -1,0 +1,179 @@
+"""Corpus deduplication operators for large-scale training-data pipelines.
+
+These extend the reference's dedup story (which is keyed CDC dedup,
+redshift.go:666-698) to content-based dedup over document corpora. All are
+pure Catalyst expression pipelines — no Python UDFs — so they scale as
+shuffle-bound relational plans:
+
+- exact dedup      — hash-groupBy on a content digest: one shuffle keyed by
+                     digest, map-side combine.
+- MinHash + LSH    — shingle → per-seed min-digest signature → band keys →
+                     bucket self-join. The self-join is on band keys, so at
+                     100 TB the shuffle carries (doc_id, band_key) pairs —
+                     tiny compared to the corpus — and candidate
+                     verification touches only bucket collisions.
+- n-gram Jaccard   — exact set overlap via an inverted-index self-join
+                     (word → docs), restricted to a grouping column to
+                     bound the candidate space.
+- SimHash          — k independent 1-bit hashes; near-dup = small Hamming
+                     distance on the packed signature.
+
+Digest choice: md5 everywhere (built-in, JVM-side, identical in DuckDB for
+oracle checks). MinHash uses lexicographic min over ``md5(shingle || seed)``
+— a valid min-wise independent family for dedup purposes and exactly
+reproducible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one group per distinct content digest; keeps the lowest
+    id as the canonical representative."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Explode word-level n-gram shingles: (id, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)  # empty when size < n
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed k, min over shingles of
+    ``md5(shingle || '#k')``. One hash-aggregate shuffle keyed by doc."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))).alias(f"s{k}")
+        for k in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(signatures: DataFrame, id_col: str, band_size: int = 2) -> DataFrame:
+    """Split the signature into bands of ``band_size`` and emit one
+    ``(id, band_no, band_key)`` row per band."""
+    sig_cols = [c for c in signatures.columns if c != id_col]
+    n_bands = len(sig_cols) // band_size
+    bands = None
+    for b in range(n_bands):
+        chunk = sig_cols[b * band_size : (b + 1) * band_size]
+        part = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band_no"),
+            F.md5(F.concat(*[F.col(c) for c in chunk])).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Docs sharing any band bucket → distinct unordered candidate pairs.
+    Self-join keyed on (band_no, band_key): the shuffle carries only the
+    band table."""
+    a = bands.select(F.col(id_col).alias("id_a"), "band_no", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_no", "band_key")
+    return (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact word-set Jaccard similarity for all pairs within a group
+    (inverted-index self-join; ``group_col`` bounds candidates the way a
+    length/LSH bucket would at scale)."""
+    words = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    )
+    counts = words.groupBy(id_col).agg(F.count("*").alias("n_words"))
+    a = words.select(F.col(id_col).alias("id_a"), "grp", "w")
+    b = words.select(F.col(id_col).alias("id_b"), "grp", "w")
+    common = (
+        a.join(b, ["grp", "w"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_words").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_words").alias("n_b"))
+    return (
+        common.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """k-bit SimHash over the distinct-word feature set: bit k is the sign
+    of the ±1 vote of hash family k over all words. Packed into one long."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(F.md5(F.concat(F.col("w"), F.lit(f"#{k}"))), 1, 4), 16, 10)
+                .cast("int")
+                % 2
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    packed = None
+    for k in range(bits):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))
+
+
+def simhash_pairs(sig: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
+    """Near-dup pairs by Hamming distance on the packed signature. The
+    all-pairs join here is the verification stage — at scale you'd feed it
+    LSH-bucketed candidates (bands of the simhash) instead of a cross join."""
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,15 @@
+"""Query inventory exposed through ``__spark_entry__``.
+
+Each entry pairs a Spark DataFrame builder with an equivalent ANSI-SQL
+oracle that DuckDB runs on the same parquet tables (the driver's
+correctness gate, CORRECTNESS_r{N}.json). Import order matters only in
+that the submodules register themselves on import.
+"""
+
+from tipoca_stream_spark.plans.registry import QUERIES, QueryDef, query
+
+# registration side effects
+from tipoca_stream_spark.plans import relational as _relational  # noqa: F401
+from tipoca_stream_spark.plans import training as _training  # noqa: F401
+
+__all__ = ["QUERIES", "QueryDef", "query"]

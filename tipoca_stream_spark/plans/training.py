@@ -1,0 +1,304 @@
+"""Training-data pipeline query inventory: dedup, similarity search, text
+analysis, multimodal plumbing — over the ``documents`` and ``embeddings``
+tables. Oracles are generated alongside the Spark plans so literals
+(seeds, hyperplanes, thresholds) are shared byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.operators import corpus_dedup as cd
+from tipoca_stream_spark.operators import multimodal as mm
+from tipoca_stream_spark.operators import similarity as sim
+from tipoca_stream_spark.operators import text as tx
+from tipoca_stream_spark.plans.registry import query
+from tipoca_stream_spark.sources.tables import load_table
+
+# --- exact dedup ------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    survey_ref="training: exact dedup",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cd.exact_dedup_groups(docs, "text", "doc_id")
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+N_MINHASH = 8
+BAND_SIZE = 2
+
+_SIG_COLS = ", ".join(f"min(md5(s || '#{k}')) AS s{k}" for k in range(N_MINHASH))
+_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_no, md5(s{2*b} || s{2*b+1}) AS band_key FROM sig"
+    for b in range(N_MINHASH // BAND_SIZE)
+)
+
+MINHASH_ORACLE = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM words, unnest(range(1, len(w) - 1)) AS t(i)),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band_no = b.band_no AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_minhash_lsh", MINHASH_ORACLE, survey_ref="training: minhash LSH")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle → MinHash signature → banded LSH → candidate pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = cd.word_shingles(docs, "text", "doc_id", n=3)
+    sigs = cd.minhash_signatures(shingled, "doc_id", n_hashes=N_MINHASH)
+    bands = cd.lsh_band_keys(sigs, "doc_id", band_size=BAND_SIZE)
+    return cd.lsh_candidate_pairs(bands, "doc_id")
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH words AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS w
+                   FROM documents),
+    cnt AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM words a JOIN words b ON a.w = b.w AND a.source = b.source
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, common::double / (ca.n + cb.n - common) AS jaccard
+    FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+    WHERE common::double / (ca.n + cb.n - common) >= {JACCARD_THRESHOLD}
+    """,
+    survey_ref="training: ngram jaccard",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cd.ngram_jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+MAX_HAMMING = 3
+
+_VOTES = ", ".join(
+    f"sum(CASE WHEN ('0x' || substr(md5(w || '#{k}'), 1, 4))::int % 2 = 1 THEN 1 ELSE -1 END) AS v{k}"
+    for k in range(SIMHASH_BITS)
+)
+_PACK = " + ".join(f"CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(SIMHASH_BITS))
+
+SIMHASH_SIG_SQL = f"""
+WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+votes AS (SELECT doc_id, {_VOTES} FROM words GROUP BY doc_id)
+SELECT doc_id, ({_PACK})::bigint AS simhash FROM votes
+"""
+
+
+@query("dedup_simhash", SIMHASH_SIG_SQL, survey_ref="training: simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cd.simhash(docs, "text", "doc_id", bits=SIMHASH_BITS)
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sig AS ({SIMHASH_SIG_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::int AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+    """,
+    survey_ref="training: simhash near-dup",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = cd.simhash(docs, "text", "doc_id", bits=SIMHASH_BITS)
+    return cd.simhash_pairs(sigs, "doc_id", MAX_HAMMING)
+
+
+# --- similarity search ------------------------------------------------------
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+NEARDUP_COS = 0.4
+
+_COSINE_CTE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qid}),
+expl AS (SELECT e.vec_id, unnest(e.embedding)::double AS a, unnest(q.qe)::double AS b
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> {qid}),
+sims AS (SELECT vec_id, sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))) AS s
+         FROM expl GROUP BY vec_id)
+"""
+
+
+@query(
+    "similarity_cosine_topk",
+    _COSINE_CTE.format(qid=QUERY_VEC_ID)
+    + f"""
+    SELECT vec_id, round(s, 6) AS sim FROM sims
+    ORDER BY round(s, 6) DESC, vec_id LIMIT {TOP_K}
+    """,
+    survey_ref="training: ANN brute-force",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, QUERY_VEC_ID, TOP_K)
+
+
+@query(
+    "similarity_neardup_pairs",
+    f"""
+    WITH expl AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         unnest(a.embedding)::double AS x, unnest(b.embedding)::double AS y
+                  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+    sims AS (SELECT id_a, id_b, round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+             FROM expl GROUP BY id_a, id_b)
+    SELECT id_a, id_b, sim FROM sims WHERE sim >= {NEARDUP_COS}
+    """,
+    survey_ref="training: embedding near-dup",
+)
+def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs(emb, NEARDUP_COS)
+
+
+N_PLANES = 8
+PLANES = sim.random_hyperplanes(N_PLANES, 64, seed=42)
+
+_PLANE_UNNESTS = ",\n       ".join(
+    "unnest([" + ", ".join(repr(x) for x in plane) + "]) AS p{i}".format(i=i)
+    for i, plane in enumerate(PLANES)
+)
+_PLANE_DOTS = ", ".join(f"sum(x * p{i}) AS d{i}" for i in range(N_PLANES))
+_PLANE_PACK = " + ".join(f"CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(N_PLANES))
+
+
+@query(
+    "similarity_lsh_buckets",
+    f"""
+    WITH expl AS (
+      SELECT vec_id, unnest(embedding)::double AS x,
+       {_PLANE_UNNESTS}
+      FROM embeddings),
+    dots AS (SELECT vec_id, {_PLANE_DOTS} FROM expl GROUP BY vec_id)
+    SELECT vec_id, ({_PLANE_PACK})::int AS bucket FROM dots
+    """,
+    survey_ref="training: ANN LSH",
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (the scale path for ANN:
+    shuffle only (vec_id, bucket), re-rank within buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_buckets(emb, PLANES)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@query(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))::bigint AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{tx.BPE_TOKEN_RE}'))::bigint AS n_bpe_tokens
+    FROM documents
+    """,
+    survey_ref="training: token counting",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.token_counts(docs, "text", "doc_id")
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w, length(text) AS total_chars
+                  FROM documents)
+    SELECT doc_id,
+           len(w)::bigint AS n_tokens,
+           len(list_distinct(w))::bigint AS n_distinct,
+           len(list_distinct(w))::double / len(w) AS distinct_ratio,
+           len(list_filter(w, x -> x IN ({_STOP_LIST})))::double / len(w) AS stopword_ratio,
+           (total_chars - (len(w) - 1))::double / len(w) AS mean_token_len
+    FROM base
+    """,
+    survey_ref="training: quality scoring",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.quality_scores(docs, "text", "doc_id")
+
+
+_LANG_SCORE_SQL = ", ".join(
+    "len(list_filter(w, x -> x IN ({})))::bigint AS score_{}".format(
+        ", ".join(f"'{m}'" for m in markers), lang
+    )
+    for lang, markers in tx.LANG_MARKERS.items()
+)
+# argmax with first-listed-wins tie-break, mirroring operators.text.langid
+_LANG_CASE = "CASE "
+_prev = []
+for _lang in tx.LANG_MARKERS:
+    _gt = " AND ".join([f"score_{_lang} > score_{p}" for p in _prev] + [f"score_{_lang} > 0"])
+    _ge = " AND ".join(f"score_{_lang} >= score_{q}" for q in tx.LANG_MARKERS if q != _lang)
+    _LANG_CASE += f"WHEN {_gt} AND {_ge} THEN '{_lang}' "
+_LANG_CASE += "ELSE 'und' END"
+
+
+@query(
+    "text_langid",
+    f"""
+    WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    scored AS (SELECT doc_id, {_LANG_SCORE_SQL} FROM base)
+    SELECT doc_id, score_en, score_de, score_fr, score_es, {_LANG_CASE} AS lang_guess
+    FROM scored
+    """,
+    survey_ref="training: language ID",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.langid(docs, "text", "doc_id")
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+    survey_ref="training: fingerprinting",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.fingerprint(docs, "text", "doc_id")
+
+
+# --- multimodal (no SQL oracle: mapInPandas plumbing; rows-only check) ------
+
+
+@query("multimodal_features", None, survey_ref="training: multimodal columns")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (decode stubbed — see operators.multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.extract_features(mm.documents_as_media(docs))
