@@ -1,0 +1,86 @@
+"""Unit tests for the corpus dedup / similarity / text operators (edges the
+oracle harness can't hit with the synthetic corpus)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tipoca_stream_spark.operators import corpus_dedup as cd
+from tipoca_stream_spark.operators import similarity as sim
+from tipoca_stream_spark.operators import text as tx
+
+
+@pytest.fixture()
+def tiny(spark):
+    return spark.createDataFrame(
+        [(1, "single"), (2, "two words"), (3, "now three words here")],
+        "doc_id long, text string",
+    )
+
+
+def test_shingles_short_docs_dont_crash(spark, tiny):
+    # sequence(0, negative) is a DESCENDING sequence in Spark; the guard
+    # must turn <n-word docs into zero shingles, not an index error
+    rows = cd.word_shingles(tiny, "text", "doc_id").collect()
+    assert {(r["doc_id"], r["shingle"]) for r in rows} == {
+        (3, "now three words"), (3, "three words here"),
+    }
+
+
+def test_simhash_short_docs(spark, tiny):
+    out = cd.simhash(tiny, "text", "doc_id").collect()
+    assert [r["doc_id"] for r in out] == [3]  # featureless docs drop out
+
+
+def test_simhash_bits_cap(spark, tiny):
+    with pytest.raises(ValueError):
+        cd.simhash(tiny, "text", "doc_id", bits=64)
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    rows = {r["keeper_id"]: r["n_copies"] for r in cd.exact_dedup_groups(df, "text", "doc_id").collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_lsh_pairs_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    sh = cd.word_shingles(df, "text", "doc_id")
+    sig = cd.minhash_signatures(sh, "doc_id")
+    bands = cd.lsh_band_keys(sig, "doc_id")
+    pairs = {(r["id_a"], r["id_b"]) for r in cd.lsh_candidate_pairs(bands, "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_identical_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    top = sim.cosine_topk(df, 0, 2).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["sim"] == 1.0
+    assert top[1]["vec_id"] == 2 and abs(top[1]["sim"]) < 1e-9
+
+
+def test_langid_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat of the house"), (2, "der hund und die katze ist"), (3, "xyz qqq")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["lang_guess"] for r in tx.langid(df, "text", "doc_id").collect()}
+    assert rows == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a a"), (3, "a b d")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(df, "text", "doc_id").collect()}
+    assert rows[1] == rows[2]  # same word set, different order/repeats
+    assert rows[1] != rows[3]

@@ -41,14 +41,24 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Explode word-level n-gram shingles: (id, shingle)."""
-    words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.size(words) - n)  # empty when size < n
+    """Explode word-level n-gram shingles: (id, shingle).
+
+    The split is materialized as its own projection first: repeating the
+    ``split()`` expression inside the transform lambda defeats common-
+    subexpression elimination (disabled across higher-order functions) and
+    turns shingling into O(words²) re-tokenization per document."""
+    arr = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    w = F.col("_w")
+    # guard short docs: sequence(0, negative) produces a DESCENDING sequence
+    # in Spark (auto step -1), not an empty one → element_at out-of-bounds
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingle = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+    return arr.select(F.col(id_col), F.explode(shingle).alias("shingle"))
 
 
 def minhash_signatures(
@@ -65,31 +75,49 @@ def minhash_signatures(
 
 def lsh_band_keys(signatures: DataFrame, id_col: str, band_size: int = 2) -> DataFrame:
     """Split the signature into bands of ``band_size`` and emit one
-    ``(id, band_no, band_key)`` row per band."""
+    ``(id, band_no, band_key)`` row per band.
+
+    Single ``posexplode`` over an array of band digests — a union of
+    per-band selects would re-execute the whole upstream signature
+    aggregation once per band."""
     sig_cols = [c for c in signatures.columns if c != id_col]
     n_bands = len(sig_cols) // band_size
-    bands = None
-    for b in range(n_bands):
-        chunk = sig_cols[b * band_size : (b + 1) * band_size]
-        part = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band_no"),
-            F.md5(F.concat(*[F.col(c) for c in chunk])).alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    return bands
+    band_digests = F.array(
+        *[
+            F.md5(F.concat(*[F.col(c) for c in sig_cols[b * band_size : (b + 1) * band_size]]))
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(band_digests).alias("band_no", "band_key")
+    )
 
 
 def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     """Docs sharing any band bucket → distinct unordered candidate pairs.
-    Self-join keyed on (band_no, band_key): the shuffle carries only the
-    band table."""
-    a = bands.select(F.col(id_col).alias("id_a"), "band_no", "band_key")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_no", "band_key")
+
+    Bucket-local expansion instead of a self-join: group to (bucket →
+    sorted id list), then emit C(n,2) pairs per bucket with nested array
+    transforms. One shuffle of (band_no, band_key, id); a self-join would
+    both shuffle twice and re-execute the whole signature pipeline for the
+    second join branch."""
+    buckets = (
+        bands.groupBy("band_no", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band_no", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -134,26 +162,46 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
-    """k-bit SimHash over the distinct-word feature set: bit k is the sign
-    of the ±1 vote of hash family k over all words. Packed into one long."""
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
-    )
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    feature: str = "shingle",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k-bit SimHash: bit k is the sign of the ±1 vote of hash family k over
+    the document's feature set, packed into one long.
+
+    ``feature='shingle'`` (word n-grams, order-sensitive) is the default —
+    over a small shared vocabulary a word-set simhash degenerates (every doc
+    has nearly the same set, so every pair lands within tiny Hamming
+    distance); shingles restore discrimination. ``feature='word'`` gives the
+    classic distinct-word variant."""
+    if feature == "shingle":
+        words = word_shingles(df, text_col, id_col, n=shingle_n).select(
+            F.col(id_col), F.col("shingle").alias("w")
+        ).distinct()
+    elif feature == "word":
+        words = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+        )
+    else:
+        raise ValueError(f"unknown simhash feature {feature!r}")
+    if bits > 32:
+        raise ValueError("simhash supports at most 32 bits (one md5 nibble per bit)")
+    # one md5 per feature; bit k = lsb of hex nibble k (classic simhash uses
+    # the bits of a single feature hash, not one hash family per bit)
+    hashed = words.select(F.col(id_col), F.md5(F.col("w")).alias("h"))
     votes = [
         F.sum(
-            F.when(
-                F.conv(F.substring(F.md5(F.concat(F.col("w"), F.lit(f"#{k}"))), 1, 4), 16, 10)
-                .cast("int")
-                % 2
-                == 1,
-                1,
-            ).otherwise(-1)
+            F.when(F.conv(F.substring(F.col("h"), k + 1, 1), 16, 10).cast("int") % 2 == 1, 1)
+            .otherwise(-1)
         ).alias(f"v{k}")
         for k in range(bits)
     ]
-    agg = words.groupBy(id_col).agg(*votes)
+    agg = hashed.groupBy(id_col).agg(*votes)
     packed = None
     for k in range(bits):
         bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
@@ -164,7 +212,14 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
 def simhash_pairs(sig: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
     """Near-dup pairs by Hamming distance on the packed signature. The
     all-pairs join here is the verification stage — at scale you'd feed it
-    LSH-bucketed candidates (bands of the simhash) instead of a cross join."""
+    LSH-bucketed candidates (bands of the simhash) instead of a cross join.
+
+    The signature table is persisted before the self-join: both join
+    branches reference it, and without a materialization point Spark
+    re-executes the whole upstream shingle→hash→vote pipeline twice. (It is
+    also tiny — one long per document — so this is the right call at any
+    scale.)"""
+    sig = sig.persist()
     a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     return (

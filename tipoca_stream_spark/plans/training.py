@@ -16,6 +16,25 @@ from tipoca_stream_spark.operators import text as tx
 from tipoca_stream_spark.plans.registry import query
 from tipoca_stream_spark.sources.tables import load_table
 
+
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The testdata tables are single parquet files → a single input split,
+    which serializes every explode/aggregate-heavy pipeline onto one core.
+    Round-robin repartition to the session's parallelism when the scan is
+    under-split (a no-op on real multi-file datasets at scale)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fan_out(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+
 # --- exact dedup ------------------------------------------------------------
 
 
@@ -28,7 +47,7 @@ from tipoca_stream_spark.sources.tables import load_table
     survey_ref="training: exact dedup",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return cd.exact_dedup_groups(docs, "text", "doc_id")
 
 
@@ -58,7 +77,7 @@ WHERE a.doc_id < b.doc_id
 @query("dedup_minhash_lsh", MINHASH_ORACLE, survey_ref="training: minhash LSH")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle → MinHash signature → banded LSH → candidate pairs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     shingled = cd.word_shingles(docs, "text", "doc_id", n=3)
     sigs = cd.minhash_signatures(shingled, "doc_id", n_hashes=N_MINHASH)
     bands = cd.lsh_band_keys(sigs, "doc_id", band_size=BAND_SIZE)
@@ -86,31 +105,36 @@ JACCARD_THRESHOLD = 0.9
     survey_ref="training: ngram jaccard",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return cd.ngram_jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
 
 
 # --- SimHash ----------------------------------------------------------------
 
-SIMHASH_BITS = 16
-MAX_HAMMING = 3
+SIMHASH_BITS = 32
+MAX_HAMMING = 4
 
 _VOTES = ", ".join(
-    f"sum(CASE WHEN ('0x' || substr(md5(w || '#{k}'), 1, 4))::int % 2 = 1 THEN 1 ELSE -1 END) AS v{k}"
+    f"sum(CASE WHEN ('0x' || substr(h, {k + 1}, 1))::int % 2 = 1 THEN 1 ELSE -1 END) AS v{k}"
     for k in range(SIMHASH_BITS)
 )
-_PACK = " + ".join(f"CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(SIMHASH_BITS))
+_PACK = " + ".join(f"CASE WHEN v{k} > 0 THEN {1 << k}::bigint ELSE 0 END" for k in range(SIMHASH_BITS))
 
+# shingle features, not word sets: the synthetic corpus has a ~31-word
+# vocabulary, so word-set simhash collapses (see operators.corpus_dedup)
 SIMHASH_SIG_SQL = f"""
-WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
-votes AS (SELECT doc_id, {_VOTES} FROM words GROUP BY doc_id)
+WITH wlist AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+sh AS (SELECT doc_id, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS s
+       FROM wlist, unnest(range(1, len(wl) - 1)) AS t(i)),
+feats AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh),
+votes AS (SELECT doc_id, {_VOTES} FROM feats GROUP BY doc_id)
 SELECT doc_id, ({_PACK})::bigint AS simhash FROM votes
 """
 
 
 @query("dedup_simhash", SIMHASH_SIG_SQL, survey_ref="training: simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return cd.simhash(docs, "text", "doc_id", bits=SIMHASH_BITS)
 
 
@@ -126,7 +150,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training: simhash near-dup",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sigs = cd.simhash(docs, "text", "doc_id", bits=SIMHASH_BITS)
     return cd.simhash_pairs(sigs, "doc_id", MAX_HAMMING)
 
@@ -156,7 +180,7 @@ sims AS (SELECT vec_id, sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))) AS s
     survey_ref="training: ANN brute-force",
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     return sim.cosine_topk(emb, QUERY_VEC_ID, TOP_K)
 
 
@@ -173,7 +197,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training: embedding near-dup",
 )
 def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     return sim.cosine_neardup_pairs(emb, NEARDUP_COS)
 
 
@@ -203,7 +227,7 @@ _PLANE_PACK = " + ".join(f"CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END" for i in
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment (the scale path for ANN:
     shuffle only (vec_id, bucket), re-rank within buckets)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embs(spark, sf_dir)
     return sim.lsh_buckets(emb, PLANES)
 
 
@@ -221,7 +245,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training: token counting",
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return tx.token_counts(docs, "text", "doc_id")
 
 
@@ -244,7 +268,7 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
     survey_ref="training: quality scoring",
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return tx.quality_scores(docs, "text", "doc_id")
 
 
@@ -275,7 +299,7 @@ _LANG_CASE += "ELSE 'und' END"
     survey_ref="training: language ID",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return tx.langid(docs, "text", "doc_id")
 
 
@@ -289,7 +313,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training: fingerprinting",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return tx.fingerprint(docs, "text", "doc_id")
 
 
@@ -300,5 +324,5 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas
     (decode stubbed — see operators.multimodal)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return mm.extract_features(mm.documents_as_media(docs))
