@@ -160,11 +160,17 @@ def compile_mask_columns(
     salt: str,
     algo: str = "sha1",
     schema_columns: list[str] | None = None,
+    passthrough: list[str] | None = None,
 ) -> list[tuple[str, Column]]:
     """Compile the mask plan for one table into ``(name, Column)`` pairs, in
     final output order: extra/derived columns first (name-sorted,
-    debezium/schema.go:495), then the table columns in input order."""
-    cols = [c.lower() for c in df_columns]
+    debezium/schema.go:495), then the table columns in input order.
+
+    ``passthrough`` columns (engine-added helpers like ``kafkaoffset`` /
+    ``debeziumop`` — transformer.go:10-17) are emitted untouched, keeping
+    their original types."""
+    passthrough = [c.lower() for c in (passthrough or [])]
+    cols = [c.lower() for c in df_columns if c.lower() not in passthrough]
     # P15 missing-column backfill (masker.go:51-59)
     backfill = [c.lower() for c in (schema_columns or []) if c.lower() not in cols]
 
@@ -209,6 +215,7 @@ def compile_mask_columns(
         outputs.append((c, out))
 
     ordered = [(n, extras[n]) for n in sorted(extras)] + outputs
+    ordered += [(c, F.col(c)) for c in passthrough]
     return ordered
 
 
@@ -217,6 +224,7 @@ def apply_mask(
     config: MaskConfig,
     table: str,
     schema_columns: list[str] | None = None,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Apply the whole masking suite for ``table``. Lowercases column names
     first (P16), then selects the compiled plan in one projection — a single
@@ -225,6 +233,11 @@ def apply_mask(
     if not config.table_included(table):
         return lowered
     plan = compile_mask_columns(
-        lowered.columns, config.rules_for(table), config.salt, config.algo, schema_columns
+        lowered.columns,
+        config.rules_for(table),
+        config.salt,
+        config.algo,
+        schema_columns,
+        passthrough,
     )
     return lowered.select(*[col.alias(name) for name, col in plan])

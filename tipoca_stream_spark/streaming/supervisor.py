@@ -1,0 +1,110 @@
+"""Control plane: per-table query supervision, lag-based "realtime"
+detection, and mask-reload cutover (SURVEY.md §2.12 O1-O6).
+
+The reference's Kubernetes operator reconciles three sink groups per table
+during a mask migration (main / reload / reloadDupe —
+sinkgroup_controller.go:20-30) and releases a table when it reaches
+"realtime": batcher lag ≤ 100 AND loader lag ≤ 10
+(controllers/sinkgroup_controller.go:26-27, realtime_calculator.go:215-346).
+
+Spark-era shape:
+- ``LagMonitor`` wraps ``StreamingQueryListener`` progress events (O3);
+  lag proxy = numInputRows of the latest batch (a Kafka deployment reads
+  real consumer lag from the source progress metrics).
+- ``Supervisor`` owns {table → CdcPipeline + query}, runs reload backfills
+  in batch mode, and performs the release swap (O2/O6/D7): when the reload
+  pipeline is realtime, atomically flip the main target to the reload
+  table's data and retire the reload pipeline.
+- Release throttling: ≤ ``max_topic_release`` tables per pass
+  (redshiftsink_controller.go:76).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from tipoca_stream_spark.sources.target import ParquetTargetTable
+from tipoca_stream_spark.streaming.pipeline import CdcPipeline
+
+DEFAULT_MAX_BATCHER_LAG = 100  # sinkgroup_controller.go:26
+DEFAULT_MAX_LOADER_LAG = 10  # sinkgroup_controller.go:27
+DEFAULT_MAX_TOPIC_RELEASE = 5  # redshiftsink_controller.go:76
+
+
+@dataclass
+class LagMonitor:
+    """O3: per-query input-lag tracking from progress events."""
+
+    max_lag: int = DEFAULT_MAX_BATCHER_LAG
+    last_lag: dict[str, int] = field(default_factory=dict)
+
+    def observe_progress(self, query_name: str, num_input_rows: int) -> None:
+        self.last_lag[query_name] = num_input_rows
+
+    def is_realtime(self, query_name: str) -> bool:
+        """Release condition: recent input volume under the lag ceiling
+        (the reference compares Kafka last-offset - current-offset)."""
+        return self.last_lag.get(query_name, self.max_lag + 1) <= self.max_lag
+
+
+@dataclass
+class ManagedTable:
+    main: CdcPipeline
+    reload: CdcPipeline | None = None  # O2 reload sink group during mask migration
+    released: bool = True
+
+
+class Supervisor:
+    """O1: the reconcile loop as driver-side query management."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        lag_monitor: LagMonitor | None = None,
+        max_topic_release: int = DEFAULT_MAX_TOPIC_RELEASE,
+    ):
+        self.spark = spark
+        self.tables: dict[str, ManagedTable] = {}
+        self.lag = lag_monitor or LagMonitor()
+        self.max_topic_release = max_topic_release
+
+    def add_table(self, name: str, pipeline: CdcPipeline) -> None:
+        self.tables[name] = ManagedTable(main=pipeline)
+
+    def begin_mask_reload(self, name: str, reload_pipeline: CdcPipeline) -> None:
+        """O2/O5: a mask-config change triggers a parallel backfill pipeline
+        writing to ``<table>_reload`` while main keeps serving."""
+        t = self.tables[name]
+        t.reload = reload_pipeline
+        t.released = False
+
+    def release_pass(self) -> list[str]:
+        """O6/D7: release up to ``max_topic_release`` realtime reload tables
+        per pass — swap main target to the reload data, retire the reload
+        pipeline (release.go:69-146, throttled per #141)."""
+        released = []
+        for name, t in self.tables.items():
+            if len(released) >= self.max_topic_release:
+                break
+            if t.reload is None or t.released:
+                continue
+            if not self.lag.is_realtime(f"{name}_reload"):
+                continue
+            t.main.target.swap_from(t.reload.target)
+            t.reload = None
+            t.released = True
+            released.append(name)
+        return released
+
+    def status(self) -> dict[str, dict]:
+        return {
+            name: {
+                "released": t.released,
+                "reloading": t.reload is not None,
+                "realtime": self.lag.is_realtime(name),
+                "target_version": t.main.target.current_version(),
+            }
+            for name, t in self.tables.items()
+        }
