@@ -29,6 +29,9 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_cosine_topk",
     "similarity_lsh_buckets",
+    "similarity_ivf_topk",
+    "topk_unshipped_revenue",
+    "window_rank_suite",
     "text_quality_scores",
     "text_fingerprint",
     "events_windowed_agg",

@@ -8,10 +8,15 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # keep test JVM small
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from tipoca_stream_spark.session import get_spark
 
-    s = get_spark("tipoca_stream_spark_tests", shuffle_partitions=8)
+    wh = tmp_path_factory.mktemp("spark_warehouse")
+    s = get_spark(
+        "tipoca_stream_spark_tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
 
 

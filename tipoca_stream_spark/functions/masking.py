@@ -122,6 +122,18 @@ class MaskConfig:
         return self.tables.get(table.lower(), TableMaskRules())
 
     @classmethod
+    def from_yaml(cls, path: str, salt: str, algo: str = "sha1") -> "MaskConfig":
+        """Load the reference's YAML mask-config format (mask_config.go:24-60;
+        the salt arrives separately, as a secret, in the reference too)."""
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        d.setdefault("salt", salt)
+        d.setdefault("algo", algo)
+        return cls.from_dict(d)
+
+    @classmethod
     def from_dict(cls, d: dict) -> "MaskConfig":
         tables = {
             name: TableMaskRules(

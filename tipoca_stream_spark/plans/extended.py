@@ -1,0 +1,313 @@
+"""Extended query surface (SURVEY.md §2.5-2.9 breadth): pivot, grouping
+sets, rank-family windows, exact-formula statistics, subqueries, and the
+IVF flavor of ANN search. Every aggregate that would be float-order
+sensitive is computed from decimal-exact sums so the DuckDB oracle matches
+bit-for-bit."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.operators import similarity as sim
+from tipoca_stream_spark.plans.registry import query
+from tipoca_stream_spark.plans.training import _embs
+from tipoca_stream_spark.sources.tables import load_table
+
+
+@query(
+    "pivot_qty_by_status",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_ref="§2.5 pivot",
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    survey_ref="§2.5 grouping sets",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "window_rank_suite",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           dense_rank() OVER w AS drank,
+           rank() OVER w AS rnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS prank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    survey_ref="§2.7 rank family",
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).alias("drank"),
+        F.rank().over(w).alias("rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@query(
+    "agg_stats_exact",
+    """
+    WITH s AS (
+      SELECT o_orderstatus,
+             count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)::DECIMAL(20,0)) AS sx,
+             sum((CAST(round(o_totalprice * 100) AS BIGINT) * CAST(round(o_totalprice * 100) AS BIGINT))::DECIMAL(38,0)) AS sxx,
+             CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+             CAST(max(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, n, min_price, max_price,
+           round(CAST(sx AS DOUBLE) / n / 100, 6) AS mean_price,
+           round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) / 10000, 4) AS var_price
+    FROM s
+    """,
+    survey_ref="§2.5 statistics",
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance from exact integer-cent moments: one distributed pass
+    over overflow-safe decimal sums, unlike stddev()/var_samp() whose float
+    merge order differs per engine (and unlike raw decimal×decimal, which
+    DuckDB refuses to widen past its physical int64 lanes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(cents.cast("decimal(20,0)")).alias("sx"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("sxx"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx").cast("double"), F.col("sxx").cast("double")
+    return s.select(
+        "o_orderstatus",
+        "n",
+        "min_price",
+        "max_price",
+        F.round(sx / n / 100, 6).alias("mean_price"),
+        F.round((sxx - sx * sx / n) / (n - 1) / 10000, 4).alias("var_price"),
+    )
+
+
+@query(
+    "topk_unshipped_revenue",
+    """
+    SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l.l_discount AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    survey_ref="§2.6 multi-join, W4 top-k (TPC-H Q3 shape)",
+)
+def topk_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(14,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "revenue",
+        )
+    )
+
+
+@query(
+    "subquery_scalar_above_avg",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                     / count(*) FROM orders)
+    """,
+    survey_ref="§2.6 scalar subquery",
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _sq_orders
+        WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                         / count(*) FROM _sq_orders)
+        """
+    )
+
+
+# --- IVF-style ANN: literal centroids → assign → search within cell ---------
+
+N_CENTROIDS = 8
+
+
+def _centroids(dim: int = 64, k: int = N_CENTROIDS, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
+
+
+CENTROIDS = _centroids()
+
+_CENTROID_UNNESTS = ",\n       ".join(
+    "unnest([" + ", ".join(repr(x) for x in c) + "]) AS c{i}".format(i=i)
+    for i, c in enumerate(CENTROIDS)
+)
+_CENTROID_D2 = ", ".join(f"sum((x - c{i}) * (x - c{i})) AS d{i}" for i in range(N_CENTROIDS))
+def _argmin_case() -> str:
+    whens = []
+    for i in range(N_CENTROIDS):
+        conds = [f"d{i} < d{j}" for j in range(i)] + [
+            f"d{i} <= d{j}" for j in range(i + 1, N_CENTROIDS)
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {i}")
+    return "CASE " + " ".join(whens) + " ELSE 0 END"
+
+
+_ARGMIN = _argmin_case()
+
+IVF_ASSIGN_SQL = f"""
+WITH expl AS (
+  SELECT vec_id, unnest(embedding)::double AS x,
+   {_CENTROID_UNNESTS}
+  FROM embeddings),
+dists AS (SELECT vec_id, {_CENTROID_D2} FROM expl GROUP BY vec_id)
+SELECT vec_id, ({_ARGMIN}) AS centroid_id FROM dists
+"""
+
+
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest (L2) centroid — the IVF coarse
+    quantizer. One narrow pass; at scale this is the partitioning key that
+    confines search to one cell."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, c in enumerate(CENTROIDS)
+    ]
+    with_d = emb.select("vec_id", *dists)
+    best = F.lit(0)
+    best_d = F.col("d0")
+    for i in range(1, N_CENTROIDS):
+        cond = F.col(f"d{i}") < best_d
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_d = F.when(cond, F.col(f"d{i}")).otherwise(best_d)
+    return with_d.select("vec_id", best.cast("int").alias("centroid_id"))
+
+
+@query("similarity_ivf_assign", IVF_ASSIGN_SQL, survey_ref="training: ANN IVF quantizer")
+def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_assign(_embs(spark, sf_dir))
+
+
+@query(
+    "similarity_ivf_topk",
+    f"""
+    WITH assign AS ({IVF_ASSIGN_SQL}),
+    q AS (SELECT e.embedding AS qe, a.centroid_id AS qc
+          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id WHERE e.vec_id = 0),
+    cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+             JOIN assign a ON e.vec_id = a.vec_id JOIN q ON a.centroid_id = q.qc
+             WHERE e.vec_id <> 0),
+    expl AS (SELECT c.vec_id, unnest(c.embedding)::double AS x, unnest(q.qe)::double AS y
+             FROM cand c CROSS JOIN q),
+    sims AS (SELECT vec_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS s
+             FROM expl GROUP BY vec_id)
+    SELECT vec_id, round(s, 6) AS sim FROM sims ORDER BY round(s, 6) DESC, vec_id LIMIT 10
+    """,
+    survey_ref="training: ANN IVF search",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: restrict candidates to the query's centroid cell, exact
+    re-rank inside. The cell join shuffles only (vec_id, centroid_id)."""
+    emb = _embs(spark, sf_dir)
+    assign = ivf_assign(emb).persist()  # reused by query + candidate sides
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .join(assign, "vec_id")
+        .select(F.col("embedding").alias("_q"), F.col("centroid_id").alias("_qc"))
+    )
+    cands = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(q), F.col("centroid_id") == F.col("_qc"))
+        .filter(F.col("vec_id") != 0)
+    )
+    return (
+        cands.select("vec_id", F.round(sim.cosine(F.col("embedding"), F.col("_q")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query("agg_approx_distinct", None, survey_ref="A3 approx_count_distinct (rows-only: HLL impls differ)")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct surface — no oracle (DuckDB's HLL yields
+    different estimates); driver records the rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
