@@ -17,7 +17,12 @@ from pyspark.sql import types as T
 
 from tipoca_stream_spark.operators.cdc import classify_operation, extract_row_image, skip_tombstones
 from tipoca_stream_spark.operators.dedupe import latest_wins
-from tipoca_stream_spark.operators.merge import batch_event_counts, cdc_merge, merge_into_target
+from tipoca_stream_spark.operators.merge import (
+    batch_event_counts,
+    cdc_merge,
+    merge_into_target,
+    merge_with_offsets,
+)
 
 TARGET_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
@@ -112,6 +117,36 @@ def test_tombstone_skip(spark):
         T.StructType([T.StructField("key", T.StringType()), T.StructField("value", T.BinaryType())]),
     )
     assert [r["key"] for r in skip_tombstones(df).collect()] == ["k1"]
+
+
+def offset_target_df(spark, rows):
+    schema = T.StructType(TARGET_SCHEMA.fields + [T.StructField("kafkaoffset", T.LongType())])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_with_offsets_out_of_order_batches(spark):
+    # a CREATE batch arriving AFTER the UPDATE it logically precedes must
+    # not clobber the newer row (the blind merge would)
+    t = offset_target_df(spark, [Row(id=1, name="newer", kafkaoffset=10)])
+    stale_create = batch_df(spark, [ev(1, "stale", 2, "CREATE"), ev(2, "b", 3, "CREATE")])
+    out = {r["id"]: (r["name"], r["kafkaoffset"]) for r in
+           merge_with_offsets(t, stale_create, ["id"]).collect()}
+    assert out == {1: ("newer", 10), 2: ("b", 3)}
+
+
+def test_merge_with_offsets_delete_and_update(spark):
+    t = offset_target_df(spark, [Row(id=1, name="a", kafkaoffset=1), Row(id=2, name="b", kafkaoffset=2)])
+    b = batch_df(spark, [ev(1, None, 5, "DELETE"), ev(2, "b2", 6, "UPDATE"), ev(3, "c", 7, "CREATE")])
+    out = {r["id"]: (r["name"], r["kafkaoffset"]) for r in
+           merge_with_offsets(t, b, ["id"]).collect()}
+    assert out == {2: ("b2", 6), 3: ("c", 7)}
+
+
+def test_merge_with_offsets_stale_delete_ignored(spark):
+    t = offset_target_df(spark, [Row(id=1, name="live", kafkaoffset=20)])
+    b = batch_df(spark, [ev(1, None, 5, "DELETE")])  # older than the live row
+    out = {r["id"]: r["name"] for r in merge_with_offsets(t, b, ["id"]).collect()}
+    assert out == {1: "live"}
 
 
 def replay_oracle(initial: dict, events: list[tuple]) -> dict:

@@ -53,12 +53,22 @@ def merge_into_target(
     keys: list[str],
     broadcast_batch_keys: bool = True,
     dedupe_strategy: str = "max_by",
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Merge one CDC batch (columns = target columns + ``kafkaoffset`` +
-    ``debeziumop``) into ``target``; returns the new target DataFrame."""
-    deduped = latest_wins(batch, keys, COL_KAFKA_OFFSET, dedupe_strategy)  # M2
+    ``debeziumop``) into ``target``; returns the new target DataFrame.
 
-    batch_keys = deduped.select(*keys).distinct()
+    Callers that execute the result (e.g. the streaming pipeline) should
+    pass ``persist_registry`` and unpersist its entries after the action —
+    see ``CdcPipeline.merge_batch``."""
+    # M2 — persisted: both the anti-join key side and the upsert side read
+    # it, and without a materialization point each branch would re-execute
+    # the dedupe aggregation. A CDC batch is small by construction.
+    deduped = latest_wins(batch, keys, COL_KAFKA_OFFSET, dedupe_strategy).persist()
+    if persist_registry is not None:
+        persist_registry.append(deduped)
+
+    batch_keys = deduped.select(*keys)  # already unique per key post-dedupe
     if broadcast_batch_keys:
         batch_keys = F.broadcast(batch_keys)
     survivors = target.join(batch_keys, keys, "left_anti")  # M3
@@ -69,11 +79,46 @@ def merge_into_target(
     return survivors.unionByName(upserts)  # M5 insert remainder
 
 
+def merge_with_offsets(
+    target: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    broadcast_batch_keys: bool = True,
+    persist_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Offset-aware merge: ``target`` retains ``kafkaoffset`` per row, and a
+    contested key is resolved by comparing the stored offset against the
+    batch's — so the result converges even when epochs are replayed or
+    delivered out of order (the blind merge assumes source order, which
+    Kafka guarantees per partition but file sources only per mtime; see the
+    reference's T2 discussion, SURVEY.md §2.10).
+
+    Plan shape: unchanged rows = broadcast anti-join (the big target is
+    scanned once, never shuffled); contested rows = broadcast semi-join +
+    union with the batch + latest-wins — all bounded by batch size."""
+    deduped = latest_wins(batch, keys, COL_KAFKA_OFFSET, "max_by").persist()
+    if persist_registry is not None:
+        persist_registry.append(deduped)
+    batch_keys = deduped.select(*keys)
+    if broadcast_batch_keys:
+        batch_keys = F.broadcast(batch_keys)
+
+    untouched = target.join(batch_keys, keys, "left_anti")
+    contested_target = target.join(batch_keys, keys, "left_semi").withColumn(
+        COL_DEBEZIUM_OP, F.lit("UPDATE")  # live rows behave as prior upserts
+    )
+    contested = contested_target.unionByName(deduped)
+    winners = latest_wins(contested, keys, COL_KAFKA_OFFSET, "max_by")
+    winners = winners.filter(F.col(COL_DEBEZIUM_OP) != OP_DELETE).drop(COL_DEBEZIUM_OP)
+    return untouched.unionByName(winners)
+
+
 def cdc_merge(
     target: DataFrame,
     batch: DataFrame,
     keys: list[str],
     counts: dict[str, int] | None = None,
+    persist_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Full merge with the M6 append fast-path: when the batch carries no
     UPDATE/DELETE events the merge machinery is skipped entirely and the
@@ -83,4 +128,4 @@ def cdc_merge(
         counts = batch_event_counts(batch)
     if counts["update"] == 0 and counts["delete"] == 0:  # M6
         return target.unionByName(batch.drop(COL_KAFKA_OFFSET, COL_DEBEZIUM_OP))
-    return merge_into_target(target, batch, keys)
+    return merge_into_target(target, batch, keys, persist_registry=persist_registry)

@@ -38,7 +38,11 @@ from tipoca_stream_spark.operators.cdc import (
     extract_row_image,
     skip_tombstones,
 )
-from tipoca_stream_spark.operators.merge import batch_event_counts, cdc_merge
+from tipoca_stream_spark.operators.merge import (
+    batch_event_counts,
+    cdc_merge,
+    merge_with_offsets,
+)
 from tipoca_stream_spark.sources.debezium import decode_envelope
 from tipoca_stream_spark.sources.target import ParquetTargetTable
 
@@ -78,6 +82,11 @@ class CdcPipelineConfig:
     envelope_format: str = "json"
     framed: bool = False
     max_files_per_trigger: int | None = None  # T1 admission analogue
+    # True (default): target rows carry kafkaoffset and contested keys are
+    # resolved by offset — correct under out-of-order / replayed epochs.
+    # False: reference-parity blind merge + append fast-path, which trusts
+    # source ordering the way the loader trusts Kafka (SURVEY.md §2.10 T2).
+    store_offsets: bool = True
 
 
 class CdcPipeline:
@@ -137,27 +146,37 @@ class CdcPipeline:
             self._record_epoch(epoch_id)
             return
 
+        # target schema = batch columns minus helpers (+ kafkaoffset when
+        # offset-aware merging is on)
+        target_cols = [c for c in batch_df.columns if c not in (COL_KAFKA_OFFSET, COL_DEBEZIUM_OP)]
+        if self.config.store_offsets:
+            target_cols.append(COL_KAFKA_OFFSET)
+
         if self.target.exists():
             current = self.target.read()
             # D5 schema evolution: new columns appear as nulls on old rows
-            batch_cols = [c for c in batch_df.columns if c not in (COL_KAFKA_OFFSET, COL_DEBEZIUM_OP)]
-            missing_in_target = [c for c in batch_cols if c not in current.columns]
-            for c in missing_in_target:
-                current = current.withColumn(
-                    c, F.lit(None).cast(batch_df.schema[c].dataType)
-                )
-            missing_in_batch = [c for c in current.columns if c not in batch_cols]
-            for c in missing_in_batch:
+            for c in [c for c in target_cols if c not in current.columns]:
+                current = current.withColumn(c, F.lit(None).cast(batch_df.schema[c].dataType))
+            for c in [c for c in current.columns if c not in target_cols]:
                 batch_df = batch_df.withColumn(c, F.lit(None).cast(current.schema[c].dataType))
         else:
             current = self.spark.createDataFrame(
-                [], T.StructType([f for f in batch_df.schema.fields
-                                  if f.name not in (COL_KAFKA_OFFSET, COL_DEBEZIUM_OP)])
+                [], T.StructType([batch_df.schema[c] for c in target_cols])
             )
 
-        merged = cdc_merge(current, batch_df, self.config.primary_keys, counts)
+        persisted: list[DataFrame] = []
+        if self.config.store_offsets:
+            merged = merge_with_offsets(
+                current, batch_df, self.config.primary_keys, persist_registry=persisted
+            )
+        else:
+            merged = cdc_merge(
+                current, batch_df, self.config.primary_keys, counts, persist_registry=persisted
+            )
         self.target.write(merged)
         self._record_epoch(epoch_id)
+        for df in persisted:  # don't leak cache across micro-batches
+            df.unpersist()
 
     def start(self, raw_stream: DataFrame, trigger_available_now: bool = True):
         """Wire transform + foreachBatch and start the query."""
