@@ -77,6 +77,31 @@ def test_langid_markers(spark):
     assert rows == {1: "en", 2: "de", 3: "und"}
 
 
+def test_asof_join_edges(spark):
+    from tipoca_stream_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p0"), (2, 10, "p2")], "uid long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, "r-at-50"), (1, 99, "r-at-99"), (3, 5, "r-other")],
+        "uid long, ts long, label string",
+    )
+    out = {r["tag"]: r["label_asof"] for r in
+           asof_join(left, right, by=["uid"], left_ts="ts", right_ts="ts").collect()}
+    assert out["p1"] == "r-at-99"  # latest prior
+    assert out["p0"] == "r-at-50"  # equal timestamp is inclusive
+    assert out["p2"] is None  # no right row in group → NULL
+
+
+def test_rolling_hash_golden(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, ""), (3, "ba")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["rolling_hash"] for r in tx.rolling_hash(df, "text", "doc_id").collect()}
+    assert rows[1] == (97 * 31 + 98) % 1_000_000_007  # 'a','b'
+    assert rows[2] == 0  # empty text folds to seed
+    assert rows[3] != rows[1]  # order-sensitive, unlike fingerprint()
+
+
 def test_fingerprint_order_invariant(spark):
     df = spark.createDataFrame(
         [(1, "b a c"), (2, "c b a a"), (3, "a b d")], "doc_id long, text string"

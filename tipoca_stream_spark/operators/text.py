@@ -90,3 +90,22 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     words = _words(F.lower(F.col(text_col)))
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Polynomial (Rabin-Karp) rolling hash over the character stream:
+    ``h = (h*31 + code(c)) mod 1e9+7`` — a deterministic content hash whose
+    fold form also yields substring hashes for chunk-level dedup. Pure
+    ``aggregate`` fold, JVM-side; intermediate values stay < 2^35 so ANSI
+    overflow checking never trips."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * ROLLING_BASE + F.ascii(c), F.lit(ROLLING_MOD)),
+    )
+    return df.select(F.col(id_col), h.alias("rolling_hash"))

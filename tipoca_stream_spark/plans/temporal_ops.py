@@ -1,0 +1,114 @@
+"""Temporal/stream-analysis queries: as-of join, gap sessionization,
+rolling hash — the "operators Spark lacks, composed from built-ins" family
+(SURVEY.md §7 custom-operator guidance). DuckDB oracles use its native
+ASOF JOIN and list_reduce, so the compositions are checked against an
+independent implementation, not a re-statement of themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.operators.asof import asof_join
+from tipoca_stream_spark.operators.text import ROLLING_BASE, ROLLING_MOD, rolling_hash
+from tipoca_stream_spark.plans.registry import query
+from tipoca_stream_spark.plans.training import _docs
+from tipoca_stream_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "asof_purchase_prior_view",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           v.event_id AS view_event_id_asof,
+           round(v.value, 6) AS view_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    survey_ref="custom op: as-of join (backward inclusive)",
+)
+def asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase enriched with the user's most recent prior view —
+    checked against DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), F.col("value").alias("view_value")
+    )
+    out = asof_join(purchases, views, by=["user_id"], right_payload=["view_event_id", "view_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_event_id_asof"),
+        F.round("view_value_asof", 6).alias("view_value_asof"),
+    )
+
+
+@query(
+    "events_sessionize",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) AS duration_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    survey_ref="custom op: gap sessionization",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session): the
+    batch shape of streaming session windows. One shuffle on user_id; the
+    cumulative-sum window runs inside the same sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@query(
+    "text_rolling_hash",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(text, '')]),
+             (acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD}
+           ) AS rolling_hash
+    FROM documents
+    """,
+    survey_ref="training: rolling-hash fingerprint",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_hash(_docs(spark, sf_dir), "text", "doc_id")
