@@ -1,0 +1,161 @@
+"""Property-based tests (hypothesis): driver-side invariants of the pure
+functions, plus a randomized CDC merge property vs the replay oracle. The
+reference has no property tests (SURVEY.md §5) — these pin the semantics
+that golden cases can't cover exhaustively."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from tipoca_stream_spark.functions.masking import MaskConfig, TableMaskRules, like_to_regex
+from tipoca_stream_spark.schema.migrate import diff_schemas
+from tipoca_stream_spark.schema.model import ColInfo, Table
+from tipoca_stream_spark.schema.types import (
+    MAX_DECIMAL_PRECISION,
+    MAX_DECIMAL_SCALE,
+    MAX_VARCHAR,
+    compute_decimal,
+    mysql_to_spark_type,
+    varchar_length,
+)
+
+# --- like_to_regex ----------------------------------------------------------
+
+text = st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40)
+
+
+@given(text)
+def test_like_literal_matches_itself(s):
+    # a pattern with no wildcards matches exactly its own literal text
+    pat = like_to_regex(s.replace("%", "").replace("_", ""))
+    assert re.fullmatch(pat[1:-1], s.replace("%", "").replace("_", "")) is not None
+
+
+@given(text, text)
+def test_like_percent_prefix_suffix(prefix, suffix):
+    body = prefix.replace("%", "").replace("_", "")
+    pat = like_to_regex("%" + body)
+    probe = (suffix + body)
+    assert re.match(pat, probe) is not None or not re.match(pat, probe)  # never raises
+    assert re.match(pat, "anything" + body) is not None
+
+
+# --- type mapping clamps ----------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=100000), st.booleans())
+def test_varchar_length_bounds(n, masked):
+    v = varchar_length(n, masked)
+    assert 1 <= v <= MAX_VARCHAR
+    if masked:
+        assert v == 50
+
+
+@given(st.integers(min_value=1, max_value=100), st.integers(min_value=0, max_value=100))
+def test_decimal_clamps(p, s):
+    t = compute_decimal(p, s)
+    assert 1 <= t.precision <= MAX_DECIMAL_PRECISION
+    assert 0 <= t.scale <= MAX_DECIMAL_SCALE
+    assert t.scale < max(t.precision, 1) or t.precision == 0
+
+
+@given(st.sampled_from(["int", "bigint", "varchar(255)", "decimal(10,4)", "datetime",
+                        "text", "enum('A','B')", "tinyint unsigned", "this_is_not_a_type"]))
+def test_type_map_total(src):
+    # the mapping is total: anything unknown degrades to StringType
+    assert mysql_to_spark_type(src) is not None
+
+
+# --- mask config normalization ---------------------------------------------
+
+
+@given(st.lists(st.text(alphabet="abcDEF_", min_size=1, max_size=10), max_size=5))
+def test_mask_rules_lowercase_everything(cols):
+    r = TableMaskRules(non_pii_keys=cols, length_keys=cols, mobile_keys=cols)
+    for lst in (r.non_pii_keys, r.length_keys, r.mobile_keys):
+        assert all(c == c.lower() for c in lst)
+
+
+@given(st.text(alphabet="abcXYZ", min_size=1, max_size=8))
+def test_include_tables_case_insensitive(name):
+    cfg = MaskConfig(salt="s", tables={}, include_tables=[name])
+    assert cfg.table_included(name.upper()) and cfg.table_included(name.lower())
+
+
+# --- schema diff properties -------------------------------------------------
+
+col_names = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=6, unique=True
+)
+
+
+@given(col_names)
+def test_diff_identity_is_empty(names):
+    t = Table("t", [ColInfo(n, "string") for n in names])
+    assert diff_schemas(t, t) == []
+
+
+@given(col_names, col_names)
+def test_diff_is_total_and_directional(a_names, b_names):
+    a = Table("t", [ColInfo(n, "string") for n in a_names])
+    b = Table("t", [ColInfo(n, "string") for n in b_names])
+    ops = diff_schemas(a, b)
+    kinds = {(o.kind.value, o.column) for o in ops}
+    for n in set(a_names) - set(b_names):
+        assert ("add_column", n) in kinds
+    for n in set(b_names) - set(a_names):
+        assert ("drop_column", n) in kinds
+
+
+# --- randomized CDC merge property (driver-side oracle) ---------------------
+
+ops_seq = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # pk
+        st.sampled_from(["CREATE", "UPDATE", "DELETE"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(ops_seq)
+def test_offset_merge_equals_replay(spark, events):
+    """merge_with_offsets over arbitrary batch splits == sequential replay."""
+    from pyspark.sql import types as T
+
+    from tipoca_stream_spark.operators.merge import merge_with_offsets
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("kafkaoffset", T.LongType()),
+            T.StructField("debeziumop", T.StringType()),
+        ]
+    )
+    rows = [
+        (pk, f"v{off}" if op != "DELETE" else None, off, op)
+        for off, (pk, op) in enumerate(events)
+    ]
+    # oracle: last op per pk wins
+    state = {}
+    for pk, name, off, op in rows:
+        if op == "DELETE":
+            state.pop(pk, None)
+        else:
+            state[pk] = name
+
+    target = spark.createDataFrame(
+        [], T.StructType([f for f in schema.fields if f.name != "debeziumop"])
+    )
+    # split into two arbitrary batches (first half/second half)
+    mid = len(rows) // 2
+    for chunk in (rows[:mid], rows[mid:]):
+        if chunk:
+            target = merge_with_offsets(target, spark.createDataFrame(chunk, schema), ["id"])
+    got = {r["id"]: r["name"] for r in target.collect()}
+    assert got == state

@@ -98,3 +98,73 @@ def extract_features(media: DataFrame, frame_sample_rate: int = 10) -> DataFrame
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize plumbing: Arrow-batched ``mapInPandas`` over binary payloads.
+    The resample kernel is the stub (a real deployment calls PIL here); the
+    deterministic fake truncates the payload proportionally so output sizes
+    are testable."""
+    import pandas as pd
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                w, h = _fake_decode(payload)
+                scale = min(1.0, max_dim / max(w, h, 1))
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                keep = max(int(len(payload) * scale * scale), 1) if payload else 0
+                rows.append(
+                    {"media_id": r["media_id"], "width": nw, "height": nh,
+                     "resized": payload[:keep]}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 10, frame_bytes: int = 64) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame
+    (1→N mapInPandas). The frame extraction is the stub (ffmpeg in a real
+    deployment); the fake slices fixed-width windows so frame counts and
+    ordering are fully testable."""
+    import pandas as pd
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for i in range(0, n_frames, every_nth):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_no": i,
+                            "frame": payload[i * frame_bytes : (i + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)

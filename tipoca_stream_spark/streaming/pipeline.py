@@ -140,10 +140,14 @@ class CdcPipeline:
         """foreachBatch body: M1-M6 + schema evolution + epoch guard."""
         if epoch_id in self._merged_epochs():
             return  # replayed epoch — merge already committed (T4)
+        # one materialization serves the counters AND the merge — without it
+        # the batch source is scanned once for counts and again for the merge
+        batch_df = batch_df.persist()
         counts = batch_event_counts(batch_df)
         self.metrics.append({"epoch": epoch_id, **counts})
         if sum(counts.values()) == 0:
             self._record_epoch(epoch_id)
+            batch_df.unpersist()
             return
 
         # target schema = batch columns minus helpers (+ kafkaoffset when
@@ -175,7 +179,7 @@ class CdcPipeline:
             )
         self.target.write(merged)
         self._record_epoch(epoch_id)
-        for df in persisted:  # don't leak cache across micro-batches
+        for df in persisted + [batch_df]:  # don't leak cache across micro-batches
             df.unpersist()
 
     def start(self, raw_stream: DataFrame, trigger_available_now: bool = True):
