@@ -1,0 +1,140 @@
+"""Stateful streaming operators (applyInPandasWithState): cross-batch
+latest-wins dedup and event-time gap sessionization. Multiple micro-batches
+are forced with maxFilesPerTrigger=1 so state genuinely crosses batch
+boundaries — the property the batch-mode operators can't exhibit."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tipoca_stream_spark.streaming.stateful import dedupe_across_batches, sessionize_stateful
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("kafkaoffset", T.LongType()),
+    ]
+)
+
+
+def _write_batch(path, rows, seq=0):
+    # distinct, increasing mtimes — FileStreamSource orders files by
+    # timestamp, and equal mtimes make batch order nondeterministic
+    path.mkdir(parents=True, exist_ok=True)
+    p = path / f"{seq:04d}_{uuid.uuid4().hex}.json"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(p, (1_700_000_000 + seq * 60, 1_700_000_000 + seq * 60))
+
+
+def _run_stream(spark, src_dir, tmp_path, build, n_files):
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(f"mem_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", str(tmp_path / "ckpt" / uuid.uuid4().hex))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {q.name}")
+
+
+def test_dedupe_across_batches_suppresses_replays(spark, tmp_path):
+    src = tmp_path / "src"
+    # batch 1: two versions of pk=1, one of pk=2
+    _write_batch(src, [
+        {"id": 1, "name": "a0", "kafkaoffset": 0},
+        {"id": 1, "name": "a1", "kafkaoffset": 1},
+        {"id": 2, "name": "b0", "kafkaoffset": 2},
+    ], seq=0)
+    # batch 2: replay of offset 1 (duplicate), stale offset 0, and a real update
+    _write_batch(src, [
+        {"id": 1, "name": "a1", "kafkaoffset": 1},
+        {"id": 2, "name": "b0-stale", "kafkaoffset": 0},
+        {"id": 1, "name": "a3", "kafkaoffset": 3},
+    ], seq=1)
+    out = _run_stream(
+        spark, src, tmp_path, lambda s: dedupe_across_batches(s, ["id"]), 2
+    ).collect()
+    emitted = {(r["id"], r["kafkaoffset"]): r["name"] for r in out}
+    # batch1 emits the per-batch winners; batch2 emits only the new winner for pk=1
+    assert emitted == {(1, 1): "a1", (2, 2): "b0", (1, 3): "a3"}
+
+
+def test_dedupe_emits_nothing_for_fully_stale_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_batch(src, [{"id": 7, "name": "x", "kafkaoffset": 10}], seq=0)
+    _write_batch(src, [{"id": 7, "name": "x", "kafkaoffset": 10},
+                       {"id": 7, "name": "old", "kafkaoffset": 4}], seq=1)
+    out = _run_stream(
+        spark, src, tmp_path, lambda s: dedupe_across_batches(s, ["id"]), 2
+    ).collect()
+    assert [(r["id"], r["kafkaoffset"]) for r in out] == [(7, 10)]
+
+
+SESS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_sessionize_stateful_gap_split(spark, tmp_path):
+    src = tmp_path / "sess_src"
+    hour = 3600 * 1000
+    base = 10 * hour  # ts=0 rows are dropped as late vs the initial watermark
+    # user 1: two sessions separated by a 2h gap; user 2: one session
+    src.mkdir(parents=True, exist_ok=True)
+    batches = [
+        [{"user_id": 1, "ts_ms": base, "value": 1.0},
+         {"user_id": 1, "ts_ms": base + 60_000, "value": 2.0},
+         {"user_id": 2, "ts_ms": base, "value": 5.0}],
+        [{"user_id": 1, "ts_ms": base + 2 * hour + 120_000, "value": 3.0}],
+        # far-future events advance the watermark past every open session
+        [{"user_id": 99, "ts_ms": base + 100 * hour, "value": 0.0}],
+        [{"user_id": 98, "ts_ms": base + 200 * hour, "value": 0.0}],
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(src, rows, seq=i)
+
+    stream = (
+        spark.readStream.schema(SESS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "1 second")
+    )
+    q = (
+        sessionize_stateful(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName(f"sess_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", str(tmp_path / "ckpt" / uuid.uuid4().hex))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(f"select * from {q.name}").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    s1 = sorted(by_user.get(1, []), key=lambda r: r["session_start"])
+    assert len(s1) == 2
+    assert s1[0]["n_events"] == 2 and s1[0]["total_value"] == pytest.approx(3.0)
+    assert s1[1]["n_events"] == 1 and s1[1]["total_value"] == pytest.approx(3.0)
+    assert len(by_user.get(2, [])) == 1 and by_user[2][0]["total_value"] == pytest.approx(5.0)
