@@ -14,5 +14,6 @@ from tipoca_stream_spark.plans import training as _training  # noqa: F401
 from tipoca_stream_spark.plans import extended as _extended  # noqa: F401
 from tipoca_stream_spark.plans import temporal_ops as _temporal_ops  # noqa: F401
 from tipoca_stream_spark.plans import quality as _quality  # noqa: F401
+from tipoca_stream_spark.plans import range_ops as _range_ops  # noqa: F401
 
 __all__ = ["QUERIES", "QueryDef", "query"]
