@@ -1,0 +1,217 @@
+"""Completing the standard relational surface: full/cross joins, UNION ALL,
+unpivot, deterministic mode, and the math/conditional scalar families.
+
+SURVEY.md §2.6 notes the reference only ever emits PK equi-joins; the full
+join family (incl. FULL OUTER and CROSS) is part of the engine's own query
+surface (§2.5 "full standard aggregation surface" note, BASELINE target).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.plans.registry import query
+from tipoca_stream_spark.sources.tables import load_table
+
+
+@query(
+    "join_full_outer_coverage",
+    """
+    SELECT c_custkey, c.c_name, o.n_orders
+    FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+    FULL OUTER JOIN (
+      SELECT o_custkey AS c_custkey, count(*) AS n_orders
+      FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey) o
+    USING (c_custkey)
+    """,
+    survey_ref="§2.6 join family: full outer",
+)
+def join_full_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with nulls surviving on both sides (the two modulo
+    filters guarantee each side has unmatched keys). Shuffle-hash/SMJ with
+    AQE; neither side can broadcast a full-outer, so this is the one join
+    shape that always shuffles both inputs — sized by key cardinality."""
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 2 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return customer.join(orders, ["c_custkey"], "full_outer").select(
+        "c_custkey", "c_name", "n_orders"
+    )
+
+
+@query(
+    "join_cross_region_nation",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    survey_ref="§2.6 join family: cross",
+)
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dims (5×25) — broadcast nested
+    loop; cross joins on big inputs are rejected by design upstream (the
+    planner would need an explicit crossJoin call)."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(F.broadcast(nation))
+
+
+@query(
+    "setop_union_all_counts",
+    """
+    SELECT src, count(*) AS n FROM (
+      SELECT 'customer' AS src FROM customer
+      UNION ALL SELECT 'supplier' AS src FROM supplier
+      UNION ALL SELECT 'part' AS src FROM part)
+    GROUP BY src
+    """,
+    survey_ref="§2.8 set ops: union all",
+)
+def setop_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics — no dedup shuffle, unlike §2.8's DISTINCT
+    variants); the per-source count collapses map-side."""
+    parts = [
+        load_table(spark, sf_dir, t).select(F.lit(t).alias("src"))
+        for t in ("customer", "supplier", "part")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.groupBy("src").agg(F.count("*").alias("n"))
+
+
+@query(
+    "unpivot_order_measures",
+    """
+    SELECT o_orderkey, measure, round(val, 4) AS val
+    FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey
+      FROM orders WHERE o_orderkey <= 1000)
+    UNPIVOT (val FOR measure IN (totalprice, custkey))
+    """,
+    survey_ref="§2.5 reshape: unpivot/melt",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of `pivot_qty_by_status`): pure
+    projection+explode, no shuffle — row count multiplies by the measure
+    count, column count shrinks, scan stays pruned to the measures."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+    )
+    return orders.unpivot(
+        ["o_orderkey"], ["totalprice", "custkey"], "measure", "val"
+    ).select("o_orderkey", "measure", F.round("val", 4).alias("val"))
+
+
+@query(
+    "agg_mode_deterministic",
+    """
+    SELECT l_returnflag, min(l_linestatus) FILTER (WHERE cnt = max_cnt) AS mode_linestatus
+    FROM (
+      SELECT l_returnflag, l_linestatus, cnt, max(cnt) OVER (PARTITION BY l_returnflag) AS max_cnt
+      FROM (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus))
+    GROUP BY l_returnflag
+    """,
+    survey_ref="§2.5 mode (deterministic tie-break)",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a deterministic lexicographic tie-break (native
+    ``mode()`` breaks ties arbitrarily in both engines, which can never
+    hash-match). Two hash aggregates + a tiny window over |groups| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag")
+    return (
+        counts.withColumn("max_cnt", F.max("cnt").over(w))
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_linestatus").alias("mode_linestatus"))
+    )
+
+
+@query(
+    "scalar_math_suite",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6)            AS abs_d,
+           round(power(l_quantity, 2), 6)              AS qty_sq,
+           round(sqrt(l_extendedprice), 6)             AS price_sqrt,
+           round(ln(l_extendedprice), 6)               AS price_ln,
+           round(exp(l_discount), 6)                   AS disc_exp,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           mod(l_orderkey, 7)                          AS key_mod
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+    survey_ref="§2.9 math scalar family",
+)
+def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family (abs/power/sqrt/ln/exp/ceil/floor/mod) — all
+    whole-stage-codegen builtins; rounded to 6 places because ln/exp last-bit
+    behavior may differ across libm builds."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    ep = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_d"),
+        F.round(F.pow(F.col("l_quantity"), 2), 6).alias("qty_sq"),
+        F.round(F.sqrt(ep), 6).alias("price_sqrt"),
+        F.round(F.log(ep), 6).alias("price_ln"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("disc_exp"),
+        F.ceil(ep / 1000).cast("long").alias("price_k_ceil"),
+        F.floor(ep / 1000).cast("long").alias("price_k_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "scalar_conditional_suite",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 THEN 'big'
+                WHEN o_totalprice > 10000  THEN 'mid'
+                ELSE 'small' END                          AS size_class,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), '<urgent>') AS prio_or_marker,
+           greatest(o_custkey, 1000)                      AS cust_floor,
+           least(CAST(o_totalprice AS DOUBLE), 50000.0)   AS price_cap,
+           (o_orderstatus = 'F' AND o_totalprice > 1000)  AS closed_big
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    survey_ref="§2.9 conditional scalar family",
+)
+def scalar_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE/coalesce/nullif/greatest/least/boolean
+    algebra — constant-folded and codegen'd by Catalyst."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("<urgent>")
+        ).alias("prio_or_marker"),
+        F.greatest(F.col("o_custkey"), F.lit(1000)).alias("cust_floor"),
+        F.least(F.col("o_totalprice").cast("double"), F.lit(50000.0)).alias("price_cap"),
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000)).alias(
+            "closed_big"
+        ),
+    )
