@@ -6,10 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators import corpus_dedup as cd
 from tipoca_stream_spark.plans.registry import query
 from tipoca_stream_spark.sources.tables import load_table
 
 LEV_MAX = 3
+BOILERPLATE_DF = 0.1  # shingle present in ≥ this fraction of a source's docs
 
 
 @query(
@@ -101,4 +103,64 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 3)
         .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+    )
+
+
+@query(
+    "text_boilerplate_shingles",
+    f"""
+    WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           FROM words, unnest(range(1, len(w) - 1)) AS t(i)),
+    per_src AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY source),
+    df AS (SELECT source, shingle, count(*) AS n FROM sh GROUP BY source, shingle)
+    SELECT df.source, df.shingle, round(df.n::double / per_src.n_docs, 6) AS doc_frac
+    FROM df JOIN per_src USING (source)
+    WHERE df.n::double / per_src.n_docs >= {BOILERPLATE_DF}
+    """,
+    survey_ref="training: boilerplate detection",
+)
+def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: 3-gram shingles occurring in ≥10% of a
+    source's documents (the detect half of boilerplate removal — the strip
+    half is an anti-join of this set against the shingle stream). Document
+    frequency is a distinct-per-doc count, so repeated shingles inside one
+    doc don't inflate it; per-source doc counts are a tiny broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        cd.word_shingles(docs, "text", "doc_id", n=3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "shingle")
+        .distinct()
+    )
+    per_src = docs.groupBy("source").agg(F.count_distinct("doc_id").alias("n_docs"))
+    dfreq = sh.groupBy("source", "shingle").agg(F.count("*").alias("n"))
+    frac = F.col("n").cast("double") / F.col("n_docs")
+    return (
+        dfreq.join(F.broadcast(per_src), "source")
+        .filter(frac >= BOILERPLATE_DF)
+        .select("source", "shingle", F.round(frac, 6).alias("doc_frac"))
+    )
+
+
+@query(
+    "mask_scrub_digits",
+    """
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]+', '<id>', 'g') AS scrubbed_name,
+           length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS n_digits
+    FROM customer
+    """,
+    survey_ref="P5-family corpus scrub (regex redaction)",
+)
+def mask_scrub_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction as a corpus-cleaning op (the training-data sibling of
+    the P5 masking hash): digit runs replaced with a placeholder, plus a
+    digit-count audit column. Pure codegen'd expressions — the pattern is
+    deliberately in the Java∩RE2 common dialect so both engines agree."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "<id>").alias("scrubbed_name"),
+        F.length(F.regexp_replace("c_name", "[^0-9]", "")).alias("n_digits"),
     )
