@@ -55,18 +55,36 @@ class ParquetTargetTable:
             raise FileNotFoundError(f"table {self.name} has no committed version")
         return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
 
-    def write(self, df: DataFrame) -> int:
+    def write(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Write a new version and flip the pointer. The parquet write is to
         a not-yet-referenced directory; the pointer flip (a single tiny file
-        rename) is the commit point."""
+        rename) is the commit point.
+
+        ``partition_by`` lays the version out as hive-partitioned
+        directories — at 100 TB this is what lets the merge's anti-join and
+        downstream readers prune whole files by PK-range/date instead of
+        filtering rows (SCALE.md: partition pruning on the CDC target)."""
         v = (self.current_version() or 0) + 1
         target_dir = os.path.join(self.path, f"v={v}")
-        df.write.mode("overwrite").parquet(target_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_dir)
         tmp = self._current_file + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._current_file)  # atomic on POSIX
         return v
+
+    def compact(self, target_files: int = 1, partition_by: list[str] | None = None) -> int:
+        """Small-file compaction: rewrite the current version into
+        ``target_files`` files (per partition directory if partitioned) and
+        commit it as a new version. Streaming merges produce one file set
+        per epoch; without periodic compaction a long-lived target's scan
+        cost is dominated by file-open overhead. coalesce (not repartition)
+        — a pure narrow rewrite, no shuffle."""
+        df = self.read().coalesce(target_files)
+        return self.write(df, partition_by=partition_by)
 
     def swap_from(self, other: "ParquetTargetTable") -> None:
         """D7 release: make this table's current version point at the
