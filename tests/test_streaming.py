@@ -260,3 +260,36 @@ def test_wire_format_schema_id(spark):
 
 def test_kafka_gated(spark):
     assert kafka_available(spark) is False  # no connector jars in container
+
+
+def test_partitioned_target_with_compaction(spark, tmp_path):
+    cfg = CdcPipelineConfig(
+        table="customers",
+        primary_keys=["id"],
+        row_schema=ROW_SCHEMA,
+        target_root=str(tmp_path / "targets"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_offsets=True,
+        partition_by=["id"],
+        compact_every=2,
+    )
+    p = CdcPipeline(spark, cfg)
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    write_stream_file(
+        input_dir / "b1.json",
+        [envelope(1, "alice", "c", 1), envelope(2, "bob", "c", 2)],
+    )
+    write_stream_file(
+        input_dir / "b2.json",
+        [envelope(1, "alice2", "u", 10), envelope(3, "carol", "c", 11)],
+    )
+    target = run_stream(spark, p, str(input_dir))
+    rows = {r["id"]: r["name"] for r in target.read().collect()}
+    assert rows == {1: "alice2", 2: "bob", 3: "carol"}
+    # hive partition dirs exist under the current (compacted) version
+    v = target.current_version()
+    parts = glob.glob(os.path.join(target.path, f"v={v}", "*=*"))
+    assert parts, "expected hive partition directories"
+    # 2 epochs + 1 compaction commit = version 3
+    assert v == 3

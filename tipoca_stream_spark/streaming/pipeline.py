@@ -87,6 +87,13 @@ class CdcPipelineConfig:
     # False: reference-parity blind merge + append fast-path, which trusts
     # source ordering the way the loader trusts Kafka (SURVEY.md §2.10 T2).
     store_offsets: bool = True
+    # hive-partition the target's versions by these columns so the merge's
+    # readers prune whole files (SCALE.md: partition-pruned CDC target)
+    partition_by: list[str] | None = None
+    # compact the target every N committed epochs (None = never): streaming
+    # merges write one file set per epoch; long-lived targets need the
+    # small-file rewrite or scan cost drifts upward
+    compact_every: int | None = None
 
 
 class CdcPipeline:
@@ -177,8 +184,11 @@ class CdcPipeline:
             merged = cdc_merge(
                 current, batch_df, self.config.primary_keys, counts, persist_registry=persisted
             )
-        self.target.write(merged)
+        self.target.write(merged, partition_by=self.config.partition_by)
         self._record_epoch(epoch_id)
+        n_merged = len(self._merged_epochs())
+        if self.config.compact_every and n_merged % self.config.compact_every == 0:
+            self.target.compact(partition_by=self.config.partition_by)
         for df in persisted + [batch_df]:  # don't leak cache across micro-batches
             df.unpersist()
 
