@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: the properties SCALE.md claims are
+pinned here so a refactor can't silently de-optimize a hot path — the
+100 TB story depends on these shapes, not just on correct results."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from tipoca_stream_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# every relational/corpus query must stay fully JVM-side — a Python eval
+# node in one of these is a 10-100x regression at scale
+NO_PYTHON = [
+    "cdc_merge_lww",
+    "mask_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "text_quality_scores",
+    "join_revenue_by_nation",
+    "agg_cube_lineitem",
+    "timeseries_profile_similarity",
+]
+
+
+@pytest.mark.parametrize("name", NO_PYTHON)
+def test_no_python_eval_in_hot_path(spark, name):
+    plan = plan_of(spark, name)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, f"{name}: {node} in physical plan"
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(spark, "join_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never sort-merge
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "topn_orders")
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "topk_unshipped_revenue")
+    assert "PushedFilters: [" in plan
+    # at least one scan carries a non-empty pushed filter list
+    pushed = [
+        seg.split("]", 1)[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any(p.strip() for p in pushed), "no filter reached any parquet scan"
+
+
+def test_scan_prunes_columns(spark):
+    plan = plan_of(spark, "m2_dedupe_latest")
+    # events has 5 columns; the dedupe needs exactly 4
+    for seg in plan.split("ReadSchema: struct<")[1:]:
+        cols = seg.split(">", 1)[0].split(",")
+        assert len(cols) <= 4, f"scan reads {len(cols)} columns, expected <=4"
+
+
+def test_range_join_broadcasts_band_table(spark):
+    plan = plan_of(spark, "join_range_value_tiers")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_multimodal_is_arrow_batched(spark):
+    # the one place Python is allowed must be Arrow-batched mapInPandas,
+    # never row-at-a-time BatchEvalPython
+    plan = plan_of(spark, "multimodal_features")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
