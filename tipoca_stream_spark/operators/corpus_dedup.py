@@ -138,6 +138,18 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     )
     counts = words.groupBy(id_col).agg(F.count("*").alias("n_words"))
+    # df-1 prune: a (word, group) seen in only one document can never form
+    # a pair — dropping it shrinks both self-join inputs without changing
+    # any pair's intersection count (the denominator comes from `counts`,
+    # taken before the prune). On real corpora the vocabulary is zipfian,
+    # so this removes the long singleton tail of the inverted index.
+    paired_words = (
+        words.groupBy("grp", "w")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("grp", "w")
+    )
+    words = words.join(paired_words, ["grp", "w"])
     a = words.select(F.col(id_col).alias("id_a"), "grp", "w")
     b = words.select(F.col(id_col).alias("id_b"), "grp", "w")
     common = (
