@@ -64,8 +64,8 @@ def asof_purchase_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered),
     sessions AS (
       SELECT user_id, event_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -89,7 +89,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = flagged.withColumn(
         "session_id",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
