@@ -66,6 +66,26 @@ def test_query_matches_oracle(spark, sf_dir, ducksql, name):
     mismatches = [(a, b) for a, b in zip(s_n, d_n) if a != b]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
 
+    # strict pandas-path compare: the driver may consume both sides via
+    # arrow/pandas, where type divergence (e.g. DuckDB HUGEINT → float)
+    # surfaces even when python-object equality above passes
+    import pandas as pd
+
+    def strict(frame):
+        frame = frame[cols].copy()
+        for c in cols:
+            col = frame[c]
+            if pd.api.types.is_float_dtype(col):
+                frame[c] = col.round(6)
+            elif pd.api.types.is_datetime64_any_dtype(col):
+                frame[c] = col.astype("datetime64[us]")
+        return frame.astype(str).sort_values(cols).reset_index(drop=True)
+
+    s_pd = strict(sdf.toPandas())
+    d_pd = strict(rel.df())
+    neq = (s_pd.values != d_pd.values).any(axis=1)
+    assert not neq.any(), f"{name}: strict dtype-path mismatch, e.g. {s_pd[neq].head(2).to_dict()} vs {d_pd[neq].head(2).to_dict()}"
+
 
 def test_entry_contract(spark):
     df = entrymod.entry(spark)
