@@ -32,3 +32,12 @@ def test_self_loops_and_duplicate_edges(spark):
     edges = [(1, 1), (1, 2), (2, 1), (1, 2), (3, 3)]
     got = _labels(spark, edges)
     assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # a 200-node chain needs ~200 rounds with plain propagation; pointer
+    # jumping must close it within ~log2 rounds (12 is generous headroom)
+    edges = [(i, i + 1) for i in range(200)]
+    got = _labels(spark, edges, max_iter=12)
+    assert set(got.values()) == {0}
+    assert len(got) == 201

@@ -8,13 +8,15 @@ algorithm is iterative min-label propagation on the DataFrame API:
 
     label(v) <- min(label(v), min over neighbors u of label(u))
 
-repeated to a fixpoint. Each iteration is one shuffle (join + groupBy-min);
-convergence needs O(graph diameter) rounds. Near-dup graphs have tiny
-diameters (clusters are cliques-ish around shared content), so in practice
-2-4 rounds close. For adversarial long-chain graphs the alternating
-large-star/small-star variant gives O(log n) rounds — same join shape, so
-the scale ceiling is the same per-round shuffle; we keep the simpler
-propagation and cap iterations.
+combined with **pointer jumping** (path compression):
+
+    label(v) <- min(label(v), label(label(v)), min over neighbors u of label(u))
+
+The label(label(v)) hop halves any label-chain each round, so convergence
+is O(log n) rounds even on adversarial long chains (the same bound the
+alternating large-star/small-star construction achieves), while near-dup
+graphs — cliques-ish around shared content — still close in 2-4 rounds.
+Each round costs two hash joins + one groupBy-min, all keyed shuffles.
 
 Lineage is truncated each round with ``localCheckpoint`` — without it the
 plan doubles per iteration and the driver dies optimizing round 10. On a
@@ -49,13 +51,21 @@ def connected_components(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # pointer jumping: label(label(v)) — labels are node ids, so a
+        # self-join resolves the second hop
+        jump = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("jump_label")
+        )
         new_labels = (
             labels.withColumnRenamed("label", "old_label")
             .join(nbr_min, "node", "left")
+            .join(jump, F.col("old_label") == F.col("label"), "left")
             .select(
                 "node",
                 F.least(
-                    F.col("old_label"), F.coalesce("nbr_label", "old_label")
+                    F.col("old_label"),
+                    F.coalesce("jump_label", "old_label"),
+                    F.coalesce("nbr_label", "old_label"),
                 ).alias("label"),
                 "old_label",
             )
