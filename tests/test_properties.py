@@ -159,3 +159,52 @@ def test_offset_merge_equals_replay(spark, events):
             target = merge_with_offsets(target, spark.createDataFrame(chunk, schema), ["id"])
     got = {r["id"]: r["name"] for r in target.collect()}
     assert got == state
+
+
+# --- connected components vs union-find oracle ------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=11), st.integers(min_value=0, max_value=11)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(edges_strategy)
+def test_components_match_union_find(spark, edges):
+    from tipoca_stream_spark.operators.components import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # oracle: min node id per component, only for nodes appearing in edges
+    oracle = {}
+    for a, b in edges:
+        for n in (a, b):
+            root = find(n)
+            # min id in the component = repeatedly-compressed root is not
+            # guaranteed minimal; compute min over members instead
+            oracle.setdefault(root, []).append(n)
+    want = {}
+    for members in oracle.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
