@@ -182,6 +182,42 @@ def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_ref="§2.5 TPC-H Q6 shape (pushdown showcase)",
+)
+def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: every predicate is sargable and reaches the parquet scan
+    (PushedFilters carries all four), the aggregation is a single partial
+    +final sum — the canonical scan-bound query. Decimal-exact product so
+    both engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * F.col("l_discount").cast("decimal(14,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
     "scalar_conditional_suite",
     """
     SELECT o_orderkey,
