@@ -302,6 +302,36 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kmeans_lloyd_update",
+    f"""
+    WITH assign AS ({IVF_ASSIGN_SQL}),
+    expl AS (
+      SELECT a.centroid_id, t.i AS pos, e.embedding[t.i]::double AS x
+      FROM embeddings e JOIN assign a USING (vec_id),
+           unnest(range(1, len(e.embedding) + 1)) AS t(i))
+    SELECT centroid_id, pos, round(avg(x), 5) AS c
+    FROM expl GROUP BY centroid_id, pos
+    """,
+    survey_ref="training: k-means Lloyd step (IVF centroid training)",
+)
+def kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd update from the fixed IVF centroids, in long form
+    (centroid, dimension, new coordinate) so the oracle can compare it.
+    The iterative trainer (``operators.kmeans.kmeans_train``) runs this
+    same step with driver-held centroids; per-dimension means round to 5
+    places because the two engines sum floats in different orders."""
+    from tipoca_stream_spark.operators.kmeans import assign_to_centroids
+
+    emb = _embs(spark, sf_dir)
+    assigned = assign_to_centroids(emb, CENTROIDS)
+    return (
+        assigned.select("centroid_id", F.posexplode("embedding").alias("pos0", "x"))
+        .groupBy("centroid_id", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 5).alias("c"))
+    )
+
+
 @query("agg_approx_distinct", None, survey_ref="A3 approx_count_distinct (rows-only: HLL impls differ)")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct surface — no oracle (DuckDB's HLL yields
