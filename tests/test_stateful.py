@@ -138,3 +138,45 @@ def test_sessionize_stateful_gap_split(spark, tmp_path):
     assert s1[0]["n_events"] == 2 and s1[0]["total_value"] == pytest.approx(3.0)
     assert s1[1]["n_events"] == 1 and s1[1]["total_value"] == pytest.approx(3.0)
     assert len(by_user.get(2, [])) == 1 and by_user[2][0]["total_value"] == pytest.approx(5.0)
+
+
+def test_dedupe_state_survives_restart(spark, tmp_path):
+    """State-store recovery: stop the query after batch 1, restart from the
+    same checkpoint for batch 2 — the per-key high-water offsets must
+    persist, so a replayed event is suppressed across the restart."""
+    src = tmp_path / "restart_src"
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            dedupe_across_batches(stream, ["id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(src, [{"id": 1, "name": "v1", "kafkaoffset": 5}], seq=0)
+    run_once()  # first query instance: emits (1, 5), then terminates
+
+    # second instance, same checkpoint: replay of offset 5 + a real update
+    _write_batch(src, [{"id": 1, "name": "v1", "kafkaoffset": 5},
+                       {"id": 1, "name": "v2", "kafkaoffset": 9}], seq=1)
+    run_once()
+
+    rows = sorted(
+        (r["id"], r["kafkaoffset"], r["name"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # offset 5 emitted once (before restart), offset 9 after; the replayed
+    # offset-5 event was suppressed by recovered state
+    assert rows == [(1, 5, "v1"), (1, 9, "v2")]
