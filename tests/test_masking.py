@@ -173,6 +173,54 @@ def test_include_tables_filter(spark):
 
 
 def test_like_to_regex():
-    # mask_config.go:440-458
-    assert like_to_regex("%example.com") == "^.*example\\.com$"
+    # mask_config.go:443-445: ONLY % is rewritten; '.' and '_' pass through
+    # as live regex / literal underscore respectively
+    assert like_to_regex("%example.com") == "^.*example.com$"
     assert like_to_regex("want") == "^want$"
+    assert like_to_regex("FOO_%") == "^FOO_.*$"
+
+
+def test_conditional_underscore_is_literal(spark, config):
+    # mask_config.go:443: '_' is NOT a single-char wildcard — 'FOO_%' must not
+    # unmask 'FOOXbar'
+    cfg = MaskConfig(
+        salt=SALT,
+        tables={"t": TableMaskRules(conditional_non_pii_keys={"v": ["FOO_%"]})},
+    )
+    df = spark.createDataFrame([Row(id=1, v="FOO_bar"), Row(id=2, v="FOOXbar")])
+    out = {r["id"]: r["v"] for r in apply_mask(df, cfg, "t").collect()}
+    assert out[sha1("1")] == "FOO_bar"
+    assert out[sha1("2")] == sha1("FOOXbar")
+
+
+def test_regex_bool_null_value_is_false_and_classes_survive(spark):
+    # mask_config.go:354-371: (?i) prefix (no pattern lowercasing, so \D keeps
+    # its meaning); nil value → 'false', never NULL
+    cfg = MaskConfig(
+        salt=SALT,
+        tables={
+            "t": TableMaskRules(
+                regex_pattern_boolean_keys={"v": {"nondigit": r".*\D.*", "hasfoo": "FOO"}}
+            )
+        },
+    )
+    df = spark.createDataFrame(
+        [Row(id=1, v="abc"), Row(id=2, v="123"), Row(id=3, v=None), Row(id=4, v="x foo y")]
+    )
+    rows = {r["id"]: r for r in apply_mask(df, cfg, "t").collect()}
+    assert rows[sha1("1")]["v_nondigit"] is True
+    assert rows[sha1("2")]["v_nondigit"] is False
+    assert rows[sha1("3")]["v_nondigit"] is False  # NULL → false, not NULL
+    assert rows[sha1("4")]["v_hasfoo"] is True  # case-insensitive via (?i)
+
+
+def test_length_key_counts_raw_whitespace(spark):
+    # masker.go:99-111: length is computed on the raw value BEFORE the
+    # whitespace→NULL normalization: ' ' → 1; only true NULL → 0
+    cfg = MaskConfig(salt=SALT, tables={"t": TableMaskRules(length_keys=["v"])})
+    df = spark.createDataFrame([Row(id=1, v=" "), Row(id=2, v=None), Row(id=3, v="abc")])
+    rows = {r["id"]: r for r in apply_mask(df, cfg, "t").collect()}
+    assert rows[sha1("1")]["v_length"] == 1
+    assert rows[sha1("1")]["v"] is None  # main column still normalized to NULL
+    assert rows[sha1("2")]["v_length"] == 0
+    assert rows[sha1("3")]["v_length"] == 3

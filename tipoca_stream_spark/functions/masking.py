@@ -48,20 +48,12 @@ from tipoca_stream_spark.functions.hashing import masked_hash
 
 
 def like_to_regex(pattern: str) -> str:
-    """SQL-LIKE → anchored regex, as mask_config.go:440-458: ``%`` becomes
-    ``.*``; everything else is literal; the result is fully anchored and
+    """SQL-LIKE-ish → anchored regex, exactly as mask_config.go:443-445: ONLY
+    ``%`` is rewritten (to ``.*``); every other character passes through
+    untouched and therefore stays *live regex* (``_`` is a literal underscore,
+    ``.`` still matches any char). The result is fully anchored and
     case-sensitive."""
-    out = []
-    for ch in pattern:
-        if ch == "%":
-            out.append(".*")
-        elif ch == "_":
-            out.append(".")
-        elif ch in r"\.^$*+?()[]{}|":
-            out.append("\\" + ch)
-        else:
-            out.append(ch)
-    return "^" + "".join(out) + "$"
+    return "^" + pattern.replace("%", ".*") + "$"
 
 
 @dataclass
@@ -93,7 +85,8 @@ class TableMaskRules:
         self.mobile_keys = low(self.mobile_keys)
         self.mapping_pii_keys = low(self.mapping_pii_keys)
         self.regex_pattern_boolean_keys = {
-            k.lower(): dict(v) for k, v in self.regex_pattern_boolean_keys.items()
+            k.lower(): {n.lower(): p for n, p in v.items()}
+            for k, v in self.regex_pattern_boolean_keys.items()
         }
         self.sort_keys = low(self.sort_keys)
         self.dist_keys = low(self.dist_keys)
@@ -197,17 +190,25 @@ def compile_mask_columns(
     outputs: list[tuple[str, Column]] = []
 
     for c in cols + backfill:
+        # Extra/derived columns compute from the RAW value, BEFORE the P14
+        # whitespace→NULL normalization (masker.go:95-153 runs the extra-column
+        # block on cVal as received; the nil/whitespace check at 164-166 only
+        # governs the main column output).
+        raw = src(c).cast("string")
         value = _normalized(src(c))
         hashed = masked_hash(value, salt, algo)
 
-        if c in rules.length_keys:  # P9
-            extras[f"{c}_length"] = F.coalesce(F.length(value), F.lit(0)).cast("int")
-        if c in rules.mobile_keys:  # P10
-            extras[f"{c}_init5"] = F.substring(value, 1, MOBILE_KEY_INIT_LEN)
+        if c in rules.length_keys:  # P9: len(raw); only true NULL → 0 (masker.go:99-111)
+            extras[f"{c}_length"] = F.coalesce(F.length(raw), F.lit(0)).cast("int")
+        if c in rules.mobile_keys:  # P10: first 5 chars of raw; NULL stays NULL
+            extras[f"{c}_init5"] = F.substring(raw, 1, MOBILE_KEY_INIT_LEN)
         if c in rules.mapping_pii_keys:  # P11
             extras[f"hashed_{c}"] = hashed
         for name, pattern in rules.regex_pattern_boolean_keys.get(c, {}).items():  # P12
-            extras[f"{c}_{name}"] = F.lower(value).rlike(pattern.lower())
+            # mask_config.go:354-371: case-insensitivity comes from a (?i)
+            # prefix on the raw pattern (lowercasing the pattern would corrupt
+            # \D/\S/\W classes); a NULL value yields false, not NULL.
+            extras[f"{c}_{name}"] = F.coalesce(raw.rlike("(?i)" + pattern), F.lit(False))
 
         if table_wide_unmask or c in rules.non_pii_keys or c in rules.mapping_pii_keys:
             out = value
