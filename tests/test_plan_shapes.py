@@ -85,3 +85,12 @@ def test_multimodal_is_arrow_batched(spark):
     plan = plan_of(spark, "multimodal_features")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_simhash_pairs", "similarity_neardup_pairs"])
+def test_pair_queries_have_no_cartesian(spark, name):
+    # near-dup pair generation must be banded candidate equi-joins, never an
+    # all-pairs product: O(n^2) rows at 1B docs is 10^18 pairs
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ in plan"

@@ -221,10 +221,39 @@ def simhash(
     return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))
 
 
+def simhash_band_keys(
+    sig: DataFrame, id_col: str, max_hamming: int, bits: int = 32
+) -> DataFrame:
+    """Split the packed simhash into ``max_hamming + 1`` disjoint bit ranges
+    and emit one ``(id, simhash, band_no, band_val)`` row per band.
+
+    Pigeonhole: a pair within Hamming distance ``max_hamming`` differs in at
+    most ``max_hamming`` bits, which can touch at most ``max_hamming`` of the
+    ``max_hamming + 1`` bands — so the pair agrees EXACTLY on at least one
+    band. Candidate generation over band equality therefore has perfect
+    recall; no pair of the all-pairs formulation is lost."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), offsets[b]).bitwiseAND(F.lit((1 << widths[b]) - 1))
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("band_no", "band_val")
+    )
+
+
 def simhash_pairs(sig: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
-    """Near-dup pairs by Hamming distance on the packed signature. The
-    all-pairs join here is the verification stage — at scale you'd feed it
-    LSH-bucketed candidates (bands of the simhash) instead of a cross join.
+    """Near-dup pairs by Hamming distance on the packed signature, via banded
+    candidate generation (simhash_band_keys) + exact verify — NOT an all-pairs
+    cross join. Output is identical to the all-pairs formulation (the banding
+    has perfect recall by pigeonhole), but the plan is an equi-join keyed on
+    (band_no, band_val): at 1B docs the shuffle carries 5 small rows per doc
+    instead of 10^18 cross-join pairs.
 
     The signature table is persisted before the self-join: both join
     branches reference it, and without a materialization point Spark
@@ -232,10 +261,15 @@ def simhash_pairs(sig: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
     also tiny — one long per document — so this is the right call at any
     scale.)"""
     sig = sig.persist()
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    bands = simhash_band_keys(sig, id_col, max_hamming)
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_no", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_no", "band_val"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band_no", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -243,4 +277,5 @@ def simhash_pairs(sig: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
