@@ -109,3 +109,47 @@ def test_fingerprint_order_invariant(spark):
     rows = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(df, "text", "doc_id").collect()}
     assert rows[1] == rows[2]  # same word set, different order/repeats
     assert rows[1] != rows[3]
+
+
+def test_lsh_hot_bucket_cap_bounds_degenerate_bucket(spark):
+    # 10k identical docs: every band bucket is one hot bucket; uncapped this
+    # emits C(10k,2) ~ 50M pairs from one task. With the cap it completes
+    # immediately, emits nothing, and the drop stats report what was cut.
+    # (The in-plan observed metric can be swallowed by AQE empty-relation
+    # propagation when the result is empty, hence the companion stats DF.)
+    from pyspark.sql import functions as F
+
+    from tipoca_stream_spark.operators import corpus_dedup as cd
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    shingled = cd.word_shingles(docs, "text", "doc_id", n=3)
+    sigs = cd.minhash_signatures(shingled, "doc_id", n_hashes=4)
+    bands = cd.lsh_band_keys(sigs, "doc_id", band_size=2).persist()
+
+    pairs = cd.lsh_candidate_pairs(bands, "doc_id", max_bucket_size=100)
+    assert pairs.count() == 0
+    m = cd.lsh_bucket_drop_stats(bands, "doc_id", max_bucket_size=100).collect()[0]
+    assert m["dropped_buckets"] == 2  # one hot bucket per band (4 hashes / 2)
+    assert m["dropped_docs"] == 20_000
+    bands.unpersist()
+
+
+def test_lsh_cap_leaves_small_buckets_alone(spark):
+    from pyspark.sql import functions as F
+
+    from tipoca_stream_spark.operators import corpus_dedup as cd
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    shingled = cd.word_shingles(docs, "text", "doc_id", n=3)
+    sigs = cd.minhash_signatures(shingled, "doc_id", n_hashes=4)
+    bands = cd.lsh_band_keys(sigs, "doc_id", band_size=2)
+    capped = cd.lsh_candidate_pairs(bands, "doc_id", max_bucket_size=64).collect()
+    uncapped = cd.lsh_candidate_pairs(bands, "doc_id").collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in capped}

@@ -93,19 +93,43 @@ def lsh_band_keys(signatures: DataFrame, id_col: str, band_size: int = 2) -> Dat
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+    observation=None,
+) -> DataFrame:
     """Docs sharing any band bucket → distinct unordered candidate pairs.
 
     Bucket-local expansion instead of a self-join: group to (bucket →
     sorted id list), then emit C(n,2) pairs per bucket with nested array
     transforms. One shuffle of (band_no, band_key, id); a self-join would
     both shuffle twice and re-execute the whole signature pipeline for the
-    second join branch."""
+    second join branch.
+
+    ``max_bucket_size`` caps hot buckets (the standard MinHashLSH guard): a
+    degenerate bucket — e.g. 1M identical boilerplate docs — would emit
+    C(n,2) pairs from ONE task. Oversized buckets are dropped, and the drop
+    is recorded as an observed metric (``dropped_buckets`` /
+    ``dropped_docs``) on the query, visible to listeners/the UI; pass a
+    ``pyspark.sql.Observation`` as ``observation`` to read it after an
+    action. Caveat: if the capped result is EMPTY, AQE's empty-relation
+    propagation can collapse the subtree including the CollectMetrics node,
+    so the observation never fires — use ``lsh_bucket_drop_stats`` for a
+    guaranteed driver-side readout. Members of a dropped bucket still pair
+    through their other, non-degenerate bands."""
     buckets = (
         bands.groupBy("band_no", "band_key")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        over = F.size("ids") > max_bucket_size
+        buckets = buckets.observe(
+            observation if observation is not None else "lsh_hot_bucket_drops",
+            F.count(F.when(over, 1)).alias("dropped_buckets"),
+            F.coalesce(F.sum(F.when(over, F.size("ids"))), F.lit(0)).alias("dropped_docs"),
+        ).filter(~over)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -119,6 +143,24 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_drop_stats(
+    bands: DataFrame, id_col: str, max_bucket_size: int
+) -> DataFrame:
+    """1-row DataFrame ``(dropped_buckets, dropped_docs)``: what the hot-
+    bucket cap in ``lsh_candidate_pairs`` would drop. A separate bounded
+    aggregate (never more rows than buckets), so it is safe to ``collect()``
+    as a driver-side metric regardless of AQE plan rewrites."""
+    return (
+        bands.groupBy("band_no", "band_key")
+        .agg(F.count(F.col(id_col)).alias("n"))
+        .filter(F.col("n") > max_bucket_size)
+        .agg(
+            F.count("*").alias("dropped_buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("dropped_docs"),
+        )
     )
 
 

@@ -62,26 +62,34 @@ _BANDS = "\nUNION ALL\n".join(
     for b in range(N_MINHASH // BAND_SIZE)
 )
 
+MAX_LSH_BUCKET = 64
+
 MINHASH_ORACLE = f"""
 WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        FROM words, unnest(range(1, len(w) - 1)) AS t(i)),
 sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
-bands AS ({_BANDS})
+bands AS ({_BANDS}),
+sized AS (SELECT band_no, band_key FROM bands
+          GROUP BY band_no, band_key HAVING count(*) <= {MAX_LSH_BUCKET})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band_no = b.band_no AND a.band_key = b.band_key
+FROM bands a
+JOIN sized s ON a.band_no = s.band_no AND a.band_key = s.band_key
+JOIN bands b ON a.band_no = b.band_no AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """
 
 
 @query("dedup_minhash_lsh", MINHASH_ORACLE, survey_ref="training: minhash LSH")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle → MinHash signature → banded LSH → candidate pairs."""
+    """Shingle → MinHash signature → banded LSH → candidate pairs, with the
+    hot-bucket cap engaged (a degenerate boilerplate bucket must not emit
+    C(n,2) pairs from one task; see lsh_candidate_pairs)."""
     docs = _docs(spark, sf_dir)
     shingled = cd.word_shingles(docs, "text", "doc_id", n=3)
     sigs = cd.minhash_signatures(shingled, "doc_id", n_hashes=N_MINHASH)
     bands = cd.lsh_band_keys(sigs, "doc_id", band_size=BAND_SIZE)
-    return cd.lsh_candidate_pairs(bands, "doc_id")
+    return cd.lsh_candidate_pairs(bands, "doc_id", max_bucket_size=MAX_LSH_BUCKET)
 
 
 # --- n-gram Jaccard ---------------------------------------------------------
