@@ -180,3 +180,53 @@ def test_dedupe_state_survives_restart(spark, tmp_path):
     # offset 5 emitted once (before restart), offset 9 after; the replayed
     # offset-5 event was suppressed by recovered state
     assert rows == [(1, 5, "v1"), (1, 9, "v2")]
+
+
+def test_sessionize_late_event_merges_into_buffered_session(spark, tmp_path):
+    """An in-batch gap must NOT eagerly emit: with a 2h watermark delay, the
+    gap-closed session stays buffered, a late event from the next micro-batch
+    lands inside its window, bridges it with the following session, and
+    exactly ONE merged session is emitted once the watermark passes."""
+    src = tmp_path / "late_src"
+    hour = 3600 * 1000
+    base = 10 * hour
+    src.mkdir(parents=True, exist_ok=True)
+    batches = [
+        # session A [10:00, 10:05], then 10:40 (35min gap > 30min -> A closes
+        # in-batch, but its expiry 10:35 is ahead of the lagging watermark)
+        [{"user_id": 1, "ts_ms": base, "value": 1.0},
+         {"user_id": 1, "ts_ms": base + 5 * 60_000, "value": 1.0},
+         {"user_id": 1, "ts_ms": base + 40 * 60_000, "value": 1.0}],
+        # late event at 10:10 — inside A's window; extends A to 10:10, whose
+        # gap now reaches 10:40 -> bridges A and B into one session
+        [{"user_id": 1, "ts_ms": base + 10 * 60_000, "value": 1.0}],
+        # far-future events advance the watermark past everything
+        [{"user_id": 99, "ts_ms": base + 100 * hour, "value": 0.0}],
+        [{"user_id": 98, "ts_ms": base + 200 * hour, "value": 0.0}],
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(src, rows, seq=i)
+
+    stream = (
+        spark.readStream.schema(SESS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        sessionize_stateful(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName(f"late_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", str(tmp_path / "ckpt" / uuid.uuid4().hex))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [r for r in spark.sql(f"select * from {q.name}").collect() if r["user_id"] == 1]
+    assert len(rows) == 1  # one merged session, no overlapping duplicate
+    r = rows[0]
+    assert r["n_events"] == 4
+    assert int(r["session_start"].timestamp() * 1000) == base
+    assert int(r["session_end"].timestamp() * 1000) == base + 40 * 60_000
+    assert r["total_value"] == pytest.approx(4.0)

@@ -435,7 +435,9 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_except_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     ords = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return cust.exceptAll(ords).distinct()
+    # subtract == EXCEPT DISTINCT directly; exceptAll().distinct() would add
+    # a redundant aggregate
+    return cust.subtract(ords)
 
 
 @query(

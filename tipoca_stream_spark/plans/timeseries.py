@@ -70,7 +70,9 @@ def timeseries_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(F.col("v").cast("double") * F.col("av")).alias("dot"))
     )
     sims = (
-        dots.join(F.broadcast(norms), "user_id")
+        # norms is users-cardinality — never hint it broadcast (wrong at 1B
+        # users); the equi-join on user_id is already the scale-safe plan
+        dots.join(norms, "user_id")
         .crossJoin(F.broadcast(anchor_norm))
         .select("user_id", (F.col("dot") / (F.col("nrm") * F.col("anrm"))).alias("sim"))
     )

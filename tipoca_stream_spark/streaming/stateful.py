@@ -102,12 +102,46 @@ SESSION_SCHEMA = T.StructType(
 
 _SESSION_STATE = T.StructType(
     [
-        T.StructField("start_ms", T.LongType()),
-        T.StructField("end_ms", T.LongType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
+        T.StructField("tots", T.ArrayType(T.DoubleType())),
     ]
 )
+
+
+def _fold_event(sessions: list, t: int, v: float, gap_ms: int) -> None:
+    """Merge one event into the per-key session list (sorted by start).
+
+    An event lands in the session whose window ``[start - gap, end + gap]``
+    contains it (out-of-order events can therefore REOPEN a gap-closed but
+    not-yet-emitted session), then adjacent sessions that now sit within one
+    gap of each other are merged — an event can bridge two sessions into one.
+    The list length is bounded by the reordering window / gap, so the linear
+    scan is O(few) per event."""
+    placed = False
+    for s in sessions:
+        if s[0] - gap_ms <= t <= s[1] + gap_ms:
+            s[0] = min(s[0], t)
+            s[1] = max(s[1], t)
+            s[2] += 1
+            s[3] += v
+            placed = True
+            break
+    if not placed:
+        sessions.append([t, t, 1, v])
+        sessions.sort(key=lambda s: s[0])
+    i = 0
+    while i + 1 < len(sessions):
+        a, b = sessions[i], sessions[i + 1]
+        if b[0] - a[1] <= gap_ms:
+            a[0] = min(a[0], b[0])
+            a[1] = max(a[1], b[1])
+            a[2] += b[2]
+            a[3] += b[3]
+            del sessions[i + 1]
+        else:
+            i += 1
 
 
 def sessionize_stateful(
@@ -118,13 +152,22 @@ def sessionize_stateful(
     value_col: str = "value",
 ) -> DataFrame:
     """Event-time gap sessions with exactly-once emission: a session is
-    emitted only when the watermark passes its last event + gap (event-time
-    timeout). The input stream must already carry ``withWatermark(ts_col)``
-    with a delay ≥ the reordering bound.
+    emitted only when the watermark passes its last event + gap — never
+    eagerly on an in-batch gap. Gap-closed sessions whose expiry the
+    watermark has NOT yet passed stay buffered in state, so an allowed-late
+    event arriving in a later micro-batch inside such a session's window
+    merges into it (and can bridge two buffered sessions into one) instead
+    of spawning an overlapping duplicate. The input stream must already
+    carry ``withWatermark(ts_col)`` with a delay ≥ the reordering bound.
 
-    State per key is four scalars (start, end, count, sum) — merging a new
-    micro-batch is a fold, not a buffer of raw events, so state stays O(keys)
-    not O(events) regardless of session length.
+    State per key is four scalars per buffered session (start, end, count,
+    sum) — a fold, not a buffer of raw events; the buffered-session count is
+    bounded by (watermark delay / gap) + 1, so state stays O(keys).
+
+    Emission is safe at ``end + gap <= watermark`` because Spark drops
+    events with event time ≤ watermark from stateful processing: a
+    surviving event has ``t > watermark >= end + gap`` and can never merge
+    into an already-emitted session.
     """
     import pandas as pd
 
@@ -132,51 +175,35 @@ def sessionize_stateful(
     out_cols = [f.name for f in SESSION_SCHEMA.fields]
 
     def fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
-        if state.hasTimedOut:
-            start_ms, end_ms, n, tot = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [
-                    {
-                        "user_id": key[0],
-                        "session_start": pd.Timestamp(start_ms, unit="ms"),
-                        "session_end": pd.Timestamp(end_ms, unit="ms"),
-                        "n_events": n,
-                        "total_value": tot,
-                    }
-                ],
-                columns=out_cols,
-            )
-            return
-        sessions = []
+        wm = state.getCurrentWatermarkMs()
         if state.exists:
-            start_ms, end_ms, n, tot = state.get
+            starts, ends, ns, tots = state.get
+            sessions = sorted([list(x) for x in zip(starts, ends, ns, tots)])
         else:
-            start_ms = end_ms = None
-            n, tot = 0, 0.0
-        frames = [pdf for pdf in pdf_iter if not pdf.empty]
-        if frames:
-            batch = pd.concat(frames).sort_values(ts_col)
-            for _, row in batch.iterrows():
-                t_ms = int(row[ts_col].value // 1_000_000)
-                if end_ms is not None and t_ms - end_ms > gap_ms:
-                    sessions.append((start_ms, end_ms, n, tot))
-                    start_ms, n, tot = t_ms, 0, 0.0
-                if start_ms is None:
-                    start_ms = t_ms
-                end_ms = max(end_ms or t_ms, t_ms)
-                n += 1
-                tot += float(row[value_col]) if row[value_col] is not None else 0.0
-        expiry = (end_ms or 0) + gap_ms
-        if start_ms is not None and expiry <= state.getCurrentWatermarkMs():
-            # the watermark already passed this session's gap — a timeout in
-            # the past is illegal, so close and emit it right now
-            sessions.append((start_ms, end_ms, n, tot))
+            sessions = []
+        if not state.hasTimedOut:
+            frames = [pdf for pdf in pdf_iter if not pdf.empty]
+            if frames:
+                batch = pd.concat(frames).sort_values(ts_col)
+                for _, row in batch.iterrows():
+                    t_ms = int(row[ts_col].value // 1_000_000)
+                    v = float(row[value_col]) if row[value_col] is not None else 0.0
+                    _fold_event(sessions, t_ms, v, gap_ms)
+        emit = [s for s in sessions if s[1] + gap_ms <= wm]
+        keep = [s for s in sessions if s[1] + gap_ms > wm]
+        if keep:
+            state.update(
+                (
+                    [s[0] for s in keep],
+                    [s[1] for s in keep],
+                    [s[2] for s in keep],
+                    [s[3] for s in keep],
+                )
+            )
+            state.setTimeoutTimestamp(min(s[1] + gap_ms for s in keep))
+        elif state.exists:
             state.remove()
-        elif start_ms is not None:
-            state.update((start_ms, end_ms, n, tot))
-            state.setTimeoutTimestamp(expiry)
-        if sessions:
+        if emit:
             yield pd.DataFrame(
                 [
                     {
@@ -186,7 +213,7 @@ def sessionize_stateful(
                         "n_events": c,
                         "total_value": v,
                     }
-                    for s, e, c, v in sessions
+                    for s, e, c, v in emit
                 ],
                 columns=out_cols,
             )
