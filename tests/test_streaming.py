@@ -293,3 +293,57 @@ def test_partitioned_target_with_compaction(spark, tmp_path):
     assert parts, "expected hive partition directories"
     # 2 epochs + 1 compaction commit = version 3
     assert v == 3
+
+
+def test_epoch_guard_commits_atomically_with_version(spark, tmp_path):
+    """The merged-epoch set rides in the target version's _meta.json: a
+    replayed epoch after a completed commit is a no-op even on the blind
+    append fast-path (store_offsets=False), and a crash BEFORE the pointer
+    flip leaves the old version + old epoch set, so the replay re-merges
+    cleanly instead of double-appending."""
+    cfg = CdcPipelineConfig(
+        table="customers",
+        primary_keys=["id"],
+        row_schema=ROW_SCHEMA,
+        target_root=str(tmp_path / "targets"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        store_offsets=False,
+    )
+    p = CdcPipeline(spark, cfg)
+    batch = spark.createDataFrame(
+        [envelope(1, "alice", "c", 1), envelope(2, "bob", "c", 2)], RAW_SCHEMA
+    )
+    p.run_batch(batch, epoch_id=7)
+    assert {r["id"] for r in p.target.read().collect()} == {1, 2}
+    assert p._merged_epochs() == {7}
+
+    # replay after a completed commit: guard skips, no duplicate append
+    p.run_batch(batch, epoch_id=7)
+    assert p.target.read().count() == 2
+    assert p.target.current_version() == 1
+
+    # crash before the pointer flip: version dir exists but _CURRENT still
+    # points at v1 (simulated by rolling the pointer back after a merge)
+    batch8 = spark.createDataFrame([envelope(3, "carol", "c", 3)], RAW_SCHEMA)
+    p.run_batch(batch8, epoch_id=8)
+    assert p.target.current_version() == 2
+    assert p.target.read().count() == 3
+    with open(p.target._current_file, "w") as f:
+        f.write("1")  # simulate: v2 written but never committed
+    assert p._merged_epochs() == {7}  # epoch 8 not visible -> will replay
+    p.run_batch(batch8, epoch_id=8)
+    # replay re-appended onto v1 and committed a fresh version: same result
+    # as the lost commit, no double-append
+    assert sorted(r["id"] for r in p.target.read().collect()) == [1, 2, 3]
+    assert p._merged_epochs() == {7, 8}
+
+
+def test_target_metadata_survives_compaction(spark, tmp_path):
+    from tipoca_stream_spark.sources.target import ParquetTargetTable
+
+    t = ParquetTargetTable(spark, str(tmp_path / "tgt"), "t1")
+    df = spark.range(10).toDF("id")
+    t.write(df, metadata={"merged_epochs": [1, 2, 3]})
+    t.compact()
+    assert t.read_metadata() == {"merged_epochs": [1, 2, 3]}
+    assert t.read().count() == 10

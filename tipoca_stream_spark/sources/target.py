@@ -55,21 +55,54 @@ class ParquetTargetTable:
             raise FileNotFoundError(f"table {self.name} has no committed version")
         return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
 
-    def write(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def read_metadata(self) -> dict:
+        """Commit metadata of the current version (``{}`` when absent)."""
+        v = self.current_version()
+        if v is None:
+            return {}
+        try:
+            with open(os.path.join(self.path, f"v={v}", "_meta.json")) as f:
+                import json
+
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def write(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        metadata: dict | None = None,
+    ) -> int:
         """Write a new version and flip the pointer. The parquet write is to
         a not-yet-referenced directory; the pointer flip (a single tiny file
         rename) is the commit point.
+
+        ``metadata`` commits ATOMICALLY with the data: it is written to
+        ``v=<n>/_meta.json`` before the pointer flip, so a reader either
+        sees the old version with the old metadata or the new version with
+        the new metadata — never a mix. The streaming epoch guard rides on
+        this (T4): the merged-epoch set lives in the same commit as the
+        merge result. ``None`` carries the current version's metadata
+        forward (so compaction/maintenance rewrites don't drop it).
 
         ``partition_by`` lays the version out as hive-partitioned
         directories — at 100 TB this is what lets the merge's anti-join and
         downstream readers prune whole files by PK-range/date instead of
         filtering rows (SCALE.md: partition pruning on the CDC target)."""
+        import json
+
+        if metadata is None:
+            metadata = self.read_metadata()
         v = (self.current_version() or 0) + 1
         target_dir = os.path.join(self.path, f"v={v}")
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_dir)
+        if metadata:
+            with open(os.path.join(target_dir, "_meta.json"), "w") as f:
+                json.dump(metadata, f)
         tmp = self._current_file + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))

@@ -107,22 +107,27 @@ class CdcPipeline:
         self.metrics: list[dict] = []  # A1/A2 counters per epoch
         os.makedirs(config.checkpoint_dir, exist_ok=True)
 
-    # epoch guard (T4): epoch ids already merged into the current lineage
+    # epoch guard (T4): epoch ids already merged into the current lineage.
+    # The set is committed ATOMICALLY with the merge result — it lives in the
+    # target version's _meta.json, written before the _CURRENT pointer flip
+    # (sources/target.py). A crash anywhere leaves pointer+epochs consistent:
+    # before the flip, the old version still pairs with the old epoch set and
+    # the replayed epoch re-merges from the old version (a fresh version
+    # write, not a double-append); after the flip, the epoch is recorded and
+    # the replay is skipped. The legacy checkpoint-side merged_epochs.json is
+    # read as a fallback for pre-existing checkpoints, never written.
     @property
-    def _epochs_file(self) -> str:
+    def _legacy_epochs_file(self) -> str:
         return os.path.join(self.config.checkpoint_dir, "merged_epochs.json")
 
     def _merged_epochs(self) -> set[int]:
+        epochs = set(self.target.read_metadata().get("merged_epochs", []))
         try:
-            with open(self._epochs_file) as f:
-                return set(json.load(f))
+            with open(self._legacy_epochs_file) as f:
+                epochs |= set(json.load(f))
         except (FileNotFoundError, ValueError):
-            return set()
-
-    def _record_epoch(self, epoch_id: int) -> None:
-        epochs = self._merged_epochs() | {epoch_id}
-        with open(self._epochs_file, "w") as f:
-            json.dump(sorted(epochs), f)
+            pass
+        return epochs
 
     def transform(self, raw: DataFrame) -> DataFrame:
         """The batcher stage as pure column transforms (works identically on
@@ -153,7 +158,8 @@ class CdcPipeline:
         counts = batch_event_counts(batch_df)
         self.metrics.append({"epoch": epoch_id, **counts})
         if sum(counts.values()) == 0:
-            self._record_epoch(epoch_id)
+            # nothing to merge — no version write, so nothing to record: a
+            # replay of an empty epoch re-counts zero and returns here again
             batch_df.unpersist()
             return
 
@@ -184,9 +190,13 @@ class CdcPipeline:
             merged = cdc_merge(
                 current, batch_df, self.config.primary_keys, counts, persist_registry=persisted
             )
-        self.target.write(merged, partition_by=self.config.partition_by)
-        self._record_epoch(epoch_id)
-        n_merged = len(self._merged_epochs())
+        merged_epochs = sorted(self._merged_epochs() | {epoch_id})
+        self.target.write(
+            merged,
+            partition_by=self.config.partition_by,
+            metadata={"merged_epochs": merged_epochs},
+        )
+        n_merged = len(merged_epochs)
         if self.config.compact_every and n_merged % self.config.compact_every == 0:
             self.target.compact(partition_by=self.config.partition_by)
         for df in persisted + [batch_df]:  # don't leak cache across micro-batches
