@@ -52,18 +52,91 @@ def wire_schema_id(value: Column) -> Column:
 
 @dataclass
 class SchemaRegistry:
-    """Driver-side schema-id → envelope-schema cache
-    (schemaregistry.go:80-138's cache, minus HTTP)."""
+    """Driver-side schema-id → schema cache (schemaregistry.go:80-138's
+    cache, minus HTTP; a real deployment plugs an HTTP fetch into
+    ``register_avro``). Holds both the Spark envelope StructType (JSON
+    path) and the raw Avro schema JSON (wire-format path)."""
 
     schemas: dict[int, T.StructType] = field(default_factory=dict)
+    avro_schemas: dict[int, str] = field(default_factory=dict)
 
     def register(self, schema_id: int, row_schema: T.StructType) -> None:
         self.schemas[schema_id] = envelope_schema(row_schema)
+
+    def register_avro(self, schema_id: int, avro_schema_json: str) -> None:
+        """Register the writer schema for a Confluent wire id
+        (schemaregistry.go:115-138's GetSchema cache fill)."""
+        self.avro_schemas[schema_id] = avro_schema_json
 
     def get(self, schema_id: int) -> T.StructType:
         if schema_id not in self.schemas:
             raise KeyError(f"schema id {schema_id} not registered")
         return self.schemas[schema_id]
+
+
+def _avro_decode_to_json(
+    df: DataFrame, value_col: str, avro_schemas: dict[int, str]
+) -> DataFrame:
+    """Confluent-framed Avro → (schema_id, payload_json) via Arrow-batched
+    ``mapInPandas`` — the one deliberate Python boundary on the ingest path
+    (no Avro jar in this build; pure-Python body decode, see avro_wire).
+
+    Per-schema-id sub-batching: each Arrow batch is grouped by wire id and
+    decoded per group against that id's writer schema — a mixed batch
+    carrying two schema ids decodes correctly per id, mirroring the
+    reference's flush-on-schema-change so one load batch = one schema
+    (batcher_handler.go:248-259, load_processor.go:604-667). Decoders are
+    built once per partition, not per row; an unregistered id raises, as
+    serializer.go:54-61 errors the claim."""
+    import json as _json
+
+    from tipoca_stream_spark.sources import avro_wire
+
+    out_fields = [f for f in df.schema.fields if f.name != value_col]
+    out_schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("schema_id", T.LongType()),
+            T.StructField("payload_json", T.StringType()),
+        ]
+    )
+    other_cols = [f.name for f in out_fields]
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        parsed = {
+            sid: avro_wire.parse_schema(js) for sid, js in avro_schemas.items()
+        }
+
+        def decode_one(value: bytes) -> tuple[int, str]:
+            sid, body = avro_wire.unframe(bytes(value))
+            if sid not in parsed:
+                raise KeyError(
+                    f"schema id {sid} not in registry (ids: {sorted(parsed)})"
+                )
+            native = avro_wire.decode(parsed[sid], body)
+            return sid, _json.dumps(native, default=str)
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(schema_id=pd.Series(dtype="int64"),
+                                 payload_json=pd.Series(dtype="object"))[
+                    other_cols + ["schema_id", "payload_json"]
+                ]
+                continue
+            # group by wire id so each sub-batch decodes against exactly one
+            # writer schema (the reference's one-batch-one-schema invariant)
+            ids = pdf[value_col].map(lambda v: int.from_bytes(bytes(v)[1:5], "big"))
+            outs = []
+            for sid, grp in pdf.assign(_sid=ids).groupby("_sid", sort=False):
+                decoded = [decode_one(v)[1] for v in grp[value_col]]
+                outs.append(
+                    grp[other_cols].assign(schema_id=int(sid), payload_json=decoded)
+                )
+            yield pd.concat(outs)[other_cols + ["schema_id", "payload_json"]]
+
+    return df.mapInPandas(decode_batches, out_schema)
 
 
 def decode_envelope(
@@ -72,14 +145,34 @@ def decode_envelope(
     value_col: str = "value",
     fmt: str = "json",
     framed: bool = False,
+    registry: SchemaRegistry | None = None,
 ) -> DataFrame:
     """Decode the change-event payload into ``before``/``after``/``op``
     columns alongside the source columns (topic/partition/offset kept).
+
+    ``fmt='json'``: Debezium JSON-converter payloads via ``from_json`` —
+    fully JVM-side. ``fmt='avro'``: Confluent wire format (always framed)
+    decoded against ``registry``'s writer schemas by the pure-Python Avro
+    codec, Arrow-batched; pass ``fmt='avro-jar'`` to require the spark-avro
+    data source instead when the jar is deployed.
 
     ``framed=True`` strips the Confluent 5-byte header first and exposes
     ``schema_id`` (S3); tests drive both paths."""
     value = F.col(value_col)
     out_cols = [c for c in df.columns if c != value_col]
+
+    if fmt == "avro":
+        if registry is None or not registry.avro_schemas:
+            raise ValueError("fmt='avro' needs a SchemaRegistry with register_avro()")
+        decoded = _avro_decode_to_json(df, value_col, dict(registry.avro_schemas))
+        parsed = F.from_json(F.col("payload_json"), envelope_schema(row_schema))
+        return decoded.select(
+            *out_cols,
+            "schema_id",
+            parsed.getField("before").alias("before"),
+            parsed.getField("after").alias("after"),
+        )
+
     if framed:
         df = df.withColumn("schema_id", wire_schema_id(value))
         out_cols.append("schema_id")
@@ -89,15 +182,15 @@ def decode_envelope(
 
     if fmt == "json":
         parsed = F.from_json(payload.cast("string"), envelope_schema(row_schema))
-    elif fmt == "avro":
+    elif fmt == "avro-jar":
         try:
             from pyspark.sql.avro.functions import from_avro  # noqa: F401
         except ImportError as e:  # pragma: no cover
             raise NotImplementedError("spark-avro not importable in this build") from e
         raise NotImplementedError(
-            "avro body decode needs the spark-avro data source jar, which is "
-            "not bundled in this container; use fmt='json' (Debezium JSON "
-            "converter) or deploy with --packages org.apache.spark:spark-avro"
+            "avro-jar decode needs the spark-avro data source jar, which is "
+            "not bundled in this container; fmt='avro' (pure-Python wire "
+            "decode) covers Confluent framing without it"
         )
     else:
         raise ValueError(f"unknown envelope format {fmt!r}")

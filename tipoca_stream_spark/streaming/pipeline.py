@@ -81,6 +81,8 @@ class CdcPipelineConfig:
     mask_config: MaskConfig | None = None
     envelope_format: str = "json"
     framed: bool = False
+    # wire-schema registry (S3): required when envelope_format='avro'
+    schema_registry: object | None = None
     max_files_per_trigger: int | None = None  # T1 admission analogue
     # True (default): target rows carry kafkaoffset and contested keys are
     # resolved by offset — correct under out-of-order / replayed epochs.
@@ -135,7 +137,11 @@ class CdcPipeline:
         cfg = self.config
         events = skip_tombstones(raw)
         decoded = decode_envelope(
-            events, cfg.row_schema, fmt=cfg.envelope_format, framed=cfg.framed
+            events,
+            cfg.row_schema,
+            fmt=cfg.envelope_format,
+            framed=cfg.framed,
+            registry=cfg.schema_registry,
         )
         rows = extract_row_image(decoded)
         if cfg.mask_config is not None:
