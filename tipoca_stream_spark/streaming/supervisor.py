@@ -80,6 +80,23 @@ class Supervisor:
         t.reload = reload_pipeline
         t.released = False
 
+    def reconcile_mask_change(
+        self, current_cfg, desired_cfg, reload_factory
+    ) -> list[str]:
+        """O5: diff two mask configs and begin reload pipelines for every
+        managed table whose rules changed (controllers/mask_diff.go:16-128 →
+        sinkgroup reload). ``reload_factory(name) -> CdcPipeline`` builds
+        the backfill pipeline (it carries the DESIRED mask config)."""
+        from tipoca_stream_spark.functions.mask_diff import modified_tables
+
+        changed = modified_tables(current_cfg, desired_cfg)
+        begun = []
+        for name in self.tables:
+            if name in changed and desired_cfg.table_included(name):
+                self.begin_mask_reload(name, reload_factory(name))
+                begun.append(name)
+        return begun
+
     def release_pass(self) -> list[str]:
         """O6/D7: release up to ``max_topic_release`` realtime reload tables
         per pass — swap main target to the reload data, retire the reload
