@@ -1,12 +1,16 @@
-"""Multimodal plumbing tests: schemas, Arrow batch shapes, 1→N frame
+"""Multimodal plumbing tests: REAL header decode goldens (hand-built
+PNG/JPEG/GIF/BMP byte fixtures), schemas, Arrow batch shapes, 1→N frame
 expansion, and column pruning of the binary payload."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tipoca_stream_spark.operators import multimodal as mm
 from tipoca_stream_spark.operators.skew import explain_has_exchange
+
+PNG_HDR = 33  # signature + IHDR chunk emitted by png_framed / the adapter
 
 
 def media_df(spark):
@@ -17,20 +21,105 @@ def media_df(spark):
     return mm.documents_as_media(docs)
 
 
+# --- header decode goldens (hand-built byte fixtures) -----------------------
+
+
+def jpeg_bytes(width, height):
+    """SOI + APP0 + COM + SOF0, per ITU T.81 marker framing."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    com = b"\xff\xfe" + (4).to_bytes(2, "big") + b"hi"
+    sof0 = (
+        b"\xff\xc0"
+        + (11).to_bytes(2, "big")
+        + b"\x08"  # precision
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x01\x11\x00"  # 1 component
+    )
+    return b"\xff\xd8" + app0 + com + sof0
+
+
+def gif_bytes(width, height):
+    return b"GIF89a" + width.to_bytes(2, "little") + height.to_bytes(2, "little") + b"\x00" * 4
+
+
+def bmp_bytes(width, height):
+    hdr = bytearray(b"BM" + b"\x00" * 24)
+    hdr[18:22] = width.to_bytes(4, "little", signed=True)
+    hdr[22:26] = height.to_bytes(4, "little", signed=True)
+    return bytes(hdr)
+
+
+def test_png_header_golden():
+    assert mm.decode_image_header(mm.png_framed(640, 480, b"body")) == ("png", 640, 480)
+
+
+def test_jpeg_header_golden_walks_past_segments():
+    assert mm.decode_image_header(jpeg_bytes(1920, 1080)) == ("jpeg", 1920, 1080)
+    # progressive SOF2 instead of baseline SOF0
+    prog = jpeg_bytes(32, 16).replace(b"\xff\xc0", b"\xff\xc2")
+    assert mm.decode_image_header(prog) == ("jpeg", 32, 16)
+
+
+def test_gif_and_bmp_header_golden():
+    assert mm.decode_image_header(gif_bytes(320, 200)) == ("gif", 320, 200)
+    assert mm.decode_image_header(bmp_bytes(123, 45)) == ("bmp", 123, 45)
+    # top-down BMP stores negative height
+    assert mm.decode_image_header(bmp_bytes(123, -45)) == ("bmp", 123, 45)
+
+
+def test_unrecognized_bytes_return_none():
+    assert mm.decode_image_header(b"") is None
+    assert mm.decode_image_header(b"plain text payload") is None
+    assert mm.decode_image_header(b"\xff\xd8\x00\x00") is None  # broken JPEG
+
+
+def test_adapter_payload_parses_as_real_png(spark):
+    # documents_as_media builds the PNG frame with JVM expressions; the
+    # Python-side parser must read it back identically
+    row = media_df(spark).filter(F.col("media_id") == 2).collect()[0]
+    payload = bytes(row["payload"])
+    assert mm.decode_image_header(payload) == ("png", (700 % 640) + 1, (700 % 480) + 1)
+    assert payload[PNG_HDR:] == b"x" * 700
+
+
+# --- mapInPandas plumbing ---------------------------------------------------
+
+
 def test_extract_features_shapes(spark):
     feats = {r["media_id"]: r for r in mm.extract_features(media_df(spark)).collect()}
-    assert feats[1]["byte_len"] == 10
-    assert feats[2]["byte_len"] == 700
-    assert feats[2]["width"] == (700 % 640) + 1
+    assert feats[1]["byte_len"] == 10 + PNG_HDR
+    assert feats[2]["byte_len"] == 700 + PNG_HDR
+    assert feats[2]["width"] == (700 % 640) + 1  # real IHDR parse
+    assert feats[2]["height"] == (700 % 480) + 1
     assert len(feats[1]["payload_md5"]) == 32
-    assert feats[2]["n_frames"] == 70
+    assert feats[2]["n_frames"] == (700 + PNG_HDR) // 10
+
+
+def test_extract_features_null_dims_for_unknown_bytes(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"not an image"), "application/octet-stream", {})],
+        mm.MEDIA_SCHEMA,
+    )
+    r = mm.extract_features(media).collect()[0]
+    assert r["width"] is None and r["height"] is None
+    assert r["byte_len"] == len(b"not an image")
 
 
 def test_resize_bounds(spark):
     rows = {r["media_id"]: r for r in mm.resize_images(media_df(spark), max_dim=32).collect()}
     for r in rows.values():
         assert 1 <= r["width"] <= 32 and 1 <= r["height"] <= 32
-        assert len(bytes(r["resized"])) <= 700
+        assert len(bytes(r["resized"])) <= 700 + PNG_HDR
+
+
+def test_resize_passthrough_for_unknown_bytes(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"opaque"), "application/octet-stream", {})],
+        mm.MEDIA_SCHEMA,
+    )
+    r = mm.resize_images(media).collect()[0]
+    assert r["width"] is None and bytes(r["resized"]) == b"opaque"
 
 
 def test_sample_frames_expansion(spark):
@@ -38,10 +127,11 @@ def test_sample_frames_expansion(spark):
     by_media = {}
     for r in frames:
         by_media.setdefault(r["media_id"], []).append(r["frame_no"])
-    assert by_media[1] == [0]  # 10 bytes → 1 frame
-    assert by_media[2] == [0, 2, 4, 6]  # 700//100=7 frames, every 2nd
+    assert by_media[1] == [0]  # 43 bytes → 1 frame
+    assert by_media[2] == [0, 2, 4, 6]  # 733//100 = 7 frames, every 2nd
     f0 = next(bytes(r["frame"]) for r in frames if r["media_id"] == 2 and r["frame_no"] == 0)
-    assert f0 == b"x" * 100
+    assert f0[:8] == mm.PNG_SIG  # frame 0 starts at the payload start
+    assert len(f0) == 100
 
 
 def test_metadata_query_prunes_payload(spark, tmp_path):
@@ -55,8 +145,6 @@ def test_metadata_query_prunes_payload(spark, tmp_path):
     assert not explain_has_exchange(scan)
 
 
-def test_decode_image_is_stubbed():
-    import pytest
-
+def test_pixel_decode_is_gated():
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG...")
+        mm.decode_image(mm.png_framed(2, 2))

@@ -366,7 +366,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_features", None, survey_ref="training: multimodal columns")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via Arrow-batched mapInPandas
-    (decode stubbed — see operators.multimodal)."""
+    """Binary-payload feature extraction via Arrow-batched mapInPandas.
+    Header decode is real (PNG IHDR parse of the adapter's PNG-framed
+    payloads); only pixel-level kernels remain gated on PIL — see
+    operators.multimodal."""
     docs = _docs(spark, sf_dir)
     return mm.extract_features(mm.documents_as_media(docs))
