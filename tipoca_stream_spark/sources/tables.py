@@ -30,6 +30,11 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from tipoca_stream_spark.streaming.exporter import active_collector
+
+    collector = active_collector()
+    if collector is not None:  # O8: usage metrics from the scan entry point
+        collector.record_scan(name)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: ts nanos ~1.7e18 exceeds double's 2^53 mantissa,
