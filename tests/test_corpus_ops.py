@@ -153,3 +153,61 @@ def test_lsh_cap_leaves_small_buckets_alone(spark):
     uncapped = cd.lsh_candidate_pairs(bands, "doc_id").collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
     assert (1, 2) in {(r["id_a"], r["id_b"]) for r in capped}
+
+
+def test_gopher_quality_rules_golden(spark):
+    from tipoca_stream_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat of and is in good shape today"),  # passes all
+            (2, "a b"),  # too few words
+            (3, "### $$$ %%% ^^^ &&& *** @@@ !!! ~~~ +++"),  # symbols, no alpha
+            (4, "the " + "supercalifragilisticexpialidocious " * 9),  # mean len
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.gopher_quality(docs, "text", "doc_id").collect()}
+    assert rows[1]["passes_gopher"] is True
+    assert rows[2]["ok_word_count"] is False and rows[2]["passes_gopher"] is False
+    assert rows[3]["ok_symbol_ratio"] is False and rows[3]["ok_alpha_words"] is False
+    assert rows[4]["ok_mean_word_len"] is False
+
+
+def test_repetition_scores_golden(spark):
+    from tipoca_stream_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # bigrams: ab ba ab ba ab -> top 'a b' 3/5
+            (2, "u v w x y z"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.repetition_scores(docs, "text", "doc_id").collect()}
+    assert rows[1]["top_gram_fraction"] == pytest.approx(3 / 5)
+    assert rows[1]["dup_word_fraction"] == pytest.approx(1 - 2 / 6)
+    assert rows[2]["top_gram_fraction"] == pytest.approx(1 / 5)
+    assert rows[2]["dup_word_fraction"] == 0.0
+
+
+def test_contamination_scores_golden(spark):
+    from pyspark.sql import functions as F
+
+    from tipoca_stream_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),  # benchmark doc
+            (1, "alpha beta gamma something else entirely"),  # 1 shared trigram
+            (2, "totally unrelated words right here now"),  # 0 shared
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.contamination_scores(
+        docs, "text", "doc_id", F.col("doc_id") == 0
+    ).collect()}
+    assert 0 not in out  # benchmark docs are not scored
+    assert out[1]["n_contaminated"] == 1  # 'alpha beta gamma'
+    assert out[1]["contamination_ratio"] == pytest.approx(1 / 4)
+    assert out[2]["n_contaminated"] == 0 and out[2]["contamination_ratio"] == 0.0

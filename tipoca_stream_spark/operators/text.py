@@ -109,3 +109,121 @@ def rolling_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lambda acc, c: F.pmod(acc * ROLLING_BASE + F.ascii(c), F.lit(ROLLING_MOD)),
     )
     return df.select(F.col(id_col), h.alias("rolling_hash"))
+
+
+# --- Gopher-style quality rules (Rae et al. 2021, §A1.1 heuristics) ---------
+
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 10_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-rule document filter: the classic pre-training quality gates
+    (word-count bounds, mean word length, symbol-to-word ratio, fraction of
+    words containing a letter, distinct-stopword floor) as one pure
+    projection — per-row map work inside codegen, no shuffle at any scale.
+    Thresholds are module constants tuned to the synthetic corpus; the rule
+    SHAPE is the published one."""
+    text = F.lower(F.col(text_col))
+    words = _words(text)
+    n = F.size(words).cast("long")
+    mean_len = (F.length(text) - (n - 1)).cast("double") / n
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
+    n_symbols = F.length(F.regexp_replace(text, "[a-z0-9 ]", "")).cast("long")
+    stop_distinct = F.size(
+        F.filter(F.array_distinct(words), lambda w: w.isin(STOPWORDS))
+    ).cast("long")
+    checks = {
+        "ok_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "ok_symbol_ratio": (n_symbols.cast("double") / n) <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha_words": (n_alpha.cast("double") / n) >= GOPHER_MIN_ALPHA_WORD_FRAC,
+        "ok_stopwords": stop_distinct >= GOPHER_MIN_STOPWORDS,
+    }
+    passes = None
+    for c in checks.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        *[col.alias(name) for name, col in checks.items()],
+        passes.alias("passes_gopher"),
+    )
+
+
+def repetition_scores(df: DataFrame, text_col: str, id_col: str, gram_n: int = 2) -> DataFrame:
+    """Within-document repetition: the most-frequent n-gram's share of all
+    n-grams (boilerplate/pathology detector) and the duplicate-word
+    fraction. One shuffle keyed by (doc, gram) then a per-doc aggregate —
+    cardinality is bounded by total grams, scales like word count."""
+    from tipoca_stream_spark.operators.corpus_dedup import word_shingles
+
+    grams = word_shingles(df, text_col, id_col, n=gram_n)
+    per_gram = grams.groupBy(id_col, "shingle").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("total_grams"), F.max("c").alias("top_gram_count")
+    )
+    words = _words(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("top_gram_count").cast("double") / F.col("total_grams"), F.lit(0.0)
+            ).alias("top_gram_fraction"),
+            (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+                "dup_word_fraction"
+            ),
+        )
+    )
+
+
+def contamination_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    benchmark_filter,
+    gram_n: int = 3,
+) -> DataFrame:
+    """Benchmark contamination: per training doc, how many of its distinct
+    n-gram shingles also appear in the benchmark/eval set
+    (``benchmark_filter`` selects benchmark rows). The shingle equi-join is
+    an inverted-index join — shuffles (shingle, id) pairs, never doc
+    bodies, the standard decontamination shape at corpus scale."""
+    from tipoca_stream_spark.operators.corpus_dedup import word_shingles
+
+    bench = df.filter(benchmark_filter)
+    train = df.filter(~benchmark_filter)
+    bench_shingles = word_shingles(bench, text_col, id_col, n=gram_n).select(
+        "shingle"
+    ).distinct()
+    train_shingles = word_shingles(train, text_col, id_col, n=gram_n).distinct()
+    totals = train_shingles.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train_shingles.join(bench_shingles, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.coalesce(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"), F.lit(0.0)
+            ).alias("contamination_ratio"),
+        )
+    )

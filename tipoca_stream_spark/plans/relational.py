@@ -630,3 +630,38 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "agg_value_percentiles",
+    """
+    WITH cents AS (SELECT event_type, round(value * 100)::bigint AS c FROM events)
+    SELECT event_type,
+           round(quantile_cont(c, 0.5), 6) AS p50_cents,
+           round(quantile_cont(c, 0.9), 6) AS p90_cents,
+           round(quantile_cont(c, 0.99), 6) AS p99_cents
+    FROM cents GROUP BY event_type
+    """,
+    survey_ref="§2.5 (exact percentiles)",
+)
+def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group. Integer-cents trick
+    makes the interpolation arithmetic identical across engines (Spark
+    `percentile` and DuckDB `quantile_cont` both use the p*(n-1) linear
+    definition). At scale this is the one agg that requires a full sort per
+    group internally — approx_percentile (see agg_approx_distinct's family)
+    is the 100 TB default; the exact form is the oracle-checkable
+    baseline."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pcts = F.percentile(cents, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(pcts.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.element_at("p", 1), 6).alias("p50_cents"),
+            F.round(F.element_at("p", 2), 6).alias("p90_cents"),
+            F.round(F.element_at("p", 3), 6).alias("p99_cents"),
+        )
+    )

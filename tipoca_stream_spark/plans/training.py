@@ -372,3 +372,100 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.multimodal."""
     docs = _docs(spark, sf_dir)
     return mm.extract_features(mm.documents_as_media(docs))
+
+
+# --- corpus quality gates / repetition / contamination ----------------------
+
+_GOPHER_CHECKS_SQL = f"""
+  (n_words >= {tx.GOPHER_MIN_WORDS} AND n_words <= {tx.GOPHER_MAX_WORDS}) AS ok_word_count,
+  (mwl >= {tx.GOPHER_MIN_MEAN_WORD_LEN} AND mwl <= {tx.GOPHER_MAX_MEAN_WORD_LEN}) AS ok_mean_word_len,
+  (n_symbols::double / n_words) <= {tx.GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+  (n_alpha::double / n_words) >= {tx.GOPHER_MIN_ALPHA_WORD_FRAC} AS ok_alpha_words,
+  stop_distinct >= {tx.GOPHER_MIN_STOPWORDS} AS ok_stopwords
+"""
+
+
+@query(
+    "text_gopher_quality",
+    f"""
+    WITH base AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w
+                  FROM documents),
+    feat AS (SELECT doc_id,
+               len(w)::bigint AS n_words,
+               (length(t) - (len(w) - 1))::double / len(w) AS mwl,
+               length(regexp_replace(t, '[a-z0-9 ]', '', 'g'))::bigint AS n_symbols,
+               len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::bigint AS n_alpha,
+               len(list_filter(list_distinct(w), x -> x IN ({_STOP_LIST})))::bigint AS stop_distinct
+             FROM base)
+    SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+           {_GOPHER_CHECKS_SQL},
+           ((n_words >= {tx.GOPHER_MIN_WORDS} AND n_words <= {tx.GOPHER_MAX_WORDS})
+            AND (mwl >= {tx.GOPHER_MIN_MEAN_WORD_LEN} AND mwl <= {tx.GOPHER_MAX_MEAN_WORD_LEN})
+            AND (n_symbols::double / n_words) <= {tx.GOPHER_MAX_SYMBOL_RATIO}
+            AND (n_alpha::double / n_words) >= {tx.GOPHER_MIN_ALPHA_WORD_FRAC}
+            AND stop_distinct >= {tx.GOPHER_MIN_STOPWORDS}) AS passes_gopher
+    FROM feat
+    """,
+    survey_ref="training: gopher quality gates",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule pre-training document filter (word-count bounds, mean
+    word length, symbol ratio, alpha-word fraction, stopword floor) — one
+    codegen projection, no shuffle at any scale."""
+    docs = _docs(spark, sf_dir)
+    return tx.gopher_quality(docs, "text", "doc_id")
+
+
+@query(
+    "text_repetition",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+           FROM words, unnest(range(1, len(w))) AS t(i)),
+    cnt AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2),
+    agg AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM cnt GROUP BY 1),
+    base AS (SELECT doc_id, len(w)::bigint AS n, len(list_distinct(w))::bigint AS nd
+             FROM words)
+    SELECT b.doc_id,
+           coalesce(top::double / total, 0.0) AS top_gram_fraction,
+           1.0 - nd::double / n AS dup_word_fraction
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+    """,
+    survey_ref="training: repetition detection",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition: most-frequent-bigram share + duplicate-word
+    fraction (boilerplate/pathological-doc detector)."""
+    docs = _docs(spark, sf_dir)
+    return tx.repetition_scores(docs, "text", "doc_id", gram_n=2)
+
+
+CONTAMINATION_MOD = 97  # pseudo-benchmark: every 97th doc is the eval set
+
+
+@query(
+    "corpus_contamination",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM words, unnest(range(1, len(w) - 1)) AS t(i)),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAMINATION_MOD} = 0),
+    train AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % {CONTAMINATION_MOD} <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
+    hit AS (SELECT t.doc_id, count(*) AS n_contaminated
+            FROM train t JOIN bench b ON t.s = b.s GROUP BY 1)
+    SELECT tot.doc_id, tot.n_shingles,
+           coalesce(hit.n_contaminated, 0) AS n_contaminated,
+           coalesce(hit.n_contaminated::double / tot.n_shingles, 0.0) AS contamination_ratio
+    FROM tot LEFT JOIN hit ON hit.doc_id = tot.doc_id
+    """,
+    survey_ref="training: benchmark decontamination",
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: 3-gram shingle overlap between each
+    training doc and the (pseudo-)benchmark set via an inverted-index
+    equi-join — shuffles (shingle, id), never doc bodies."""
+    docs = _docs(spark, sf_dir)
+    return tx.contamination_scores(
+        docs, "text", "doc_id", F.col("doc_id") % CONTAMINATION_MOD == 0, gram_n=3
+    )
