@@ -302,6 +302,77 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 2
+
+_QD_UNION = "\nUNION ALL\n".join(
+    f"SELECT {i} AS cid, d{i} AS d FROM qd" for i in range(N_CENTROIDS)
+)
+
+
+@query(
+    "similarity_ivf_topk_nprobe",
+    f"""
+    WITH assign AS ({IVF_ASSIGN_SQL}),
+    qexpl AS (
+      SELECT vec_id, unnest(embedding)::double AS x,
+       {_CENTROID_UNNESTS}
+      FROM embeddings WHERE vec_id = 0),
+    qd AS (SELECT vec_id, {_CENTROID_D2} FROM qexpl GROUP BY vec_id),
+    probes AS (SELECT cid FROM ({_QD_UNION}) ORDER BY d, cid LIMIT {{nprobe}}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+             JOIN assign a ON e.vec_id = a.vec_id
+             JOIN probes p ON a.centroid_id = p.cid
+             WHERE e.vec_id <> 0),
+    expl AS (SELECT c.vec_id, unnest(c.embedding)::double AS x, unnest(q.qe)::double AS y
+             FROM cand c CROSS JOIN q),
+    sims AS (SELECT vec_id, sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))) AS s
+             FROM expl GROUP BY vec_id)
+    SELECT vec_id, round(s, 6) AS sim FROM sims ORDER BY round(s, 6) DESC, vec_id LIMIT 10
+    """.format(nprobe=NPROBE),
+    survey_ref="training: ANN IVF multi-probe",
+)
+def similarity_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF search: candidates come from the NPROBE centroid
+    cells nearest to the QUERY VECTOR (not just its own cell) — the
+    standard recall/latency knob. The probe list is nprobe rows (broadcast);
+    the candidate join still shuffles only (vec_id, centroid_id)."""
+    emb = _embs(spark, sf_dir)
+    assign = ivf_assign(emb).persist()
+    qvec = emb.filter(F.col("vec_id") == 0)
+    qd = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, c in enumerate(CENTROIDS)
+    ]
+    probes = (
+        qvec.select(*qd)
+        .select(F.posexplode(F.array(*[F.col(f"d{i}") for i in range(N_CENTROIDS)])).alias("cid", "d"))
+        .orderBy("d", "cid")
+        .limit(NPROBE)
+        .select("cid")
+    )
+    q = qvec.select(F.col("embedding").alias("_q"))
+    cands = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(probes), F.col("centroid_id") == F.col("cid"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+    )
+    return (
+        cands.select("vec_id", F.round(sim.cosine(F.col("embedding"), F.col("_q")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 @query(
     "kmeans_lloyd_update",
     f"""
