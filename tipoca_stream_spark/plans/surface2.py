@@ -251,3 +251,83 @@ def scalar_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "closed_big"
         ),
     )
+
+
+@query(
+    "scalar_array_suite",
+    """
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                  WHERE doc_id <= 200)
+    SELECT doc_id,
+           len(w)::int                                        AS n,
+           list_contains(w, 'the')                            AS has_the,
+           list_position(w, 'the')::int                       AS the_pos,
+           w[1]                                               AS first_word,
+           w[len(w)]                                          AS last_word,
+           array_to_string(list_sort(list_distinct(w)), ',')  AS sorted_distinct,
+           array_to_string(list_reverse(w), ',')              AS reversed,
+           array_to_string(w[2:4], ',')                       AS slice_2_3,
+           len(list_filter(w, x -> length(x) > 4))::int       AS n_long_words,
+           list_aggregate(list_transform(w, x -> length(x)), 'sum')::bigint AS total_chars
+    FROM base
+    """,
+    survey_ref="§2.9 array/higher-order function family",
+)
+def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function family (size/contains/position/
+    element_at/sort/distinct/reverse/slice/filter/transform/aggregate) —
+    all JVM-side builtins; the fold is the same deterministic left-fold both
+    engines implement.
+
+    Cross-engine notes baked into the oracle: both engines return 0 for a
+    position miss; DuckDB slices clamp with inclusive ends (w[2:4] ==
+    Spark slice(w,2,3)); arrays render to CSV strings so the value-hash
+    covers element order."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    w = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("int").alias("n"),
+        F.array_contains(w, "the").alias("has_the"),
+        F.array_position(w, "the").cast("int").alias("the_pos"),
+        F.element_at(w, 1).alias("first_word"),
+        F.element_at(w, -1).alias("last_word"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(w))).alias("sorted_distinct"),
+        F.concat_ws(",", F.reverse(w)).alias("reversed"),
+        F.concat_ws(",", F.slice(w, 2, 3)).alias("slice_2_3"),
+        F.size(F.filter(w, lambda x: F.length(x) > 4)).cast("int").alias("n_long_words"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
+
+
+@query(
+    "scalar_map_suite",
+    """
+    SELECT doc_id,
+           element_at(m, 'lang')[1]                          AS lang_val,
+           element_at(m, 'source')[1]                        AS source_val,
+           element_at(m, 'missing')[1]                       AS missing_val,
+           array_to_string(list_sort(map_keys(m)), ',')      AS keys_sorted,
+           cardinality(m)::int                               AS n_entries
+    FROM (SELECT doc_id, MAP {'lang': lang, 'source': source} AS m
+          FROM documents WHERE doc_id <= 200)
+    """,
+    survey_ref="§2.9 map function family",
+)
+def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family (create_map/element_at/map_keys/cardinality);
+    missing-key lookup is NULL in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return docs.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_val"),
+        F.element_at(m, "source").alias("source_val"),
+        F.element_at(m, "missing").alias("missing_val"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+        F.size(m).cast("int").alias("n_entries"),
+    )
