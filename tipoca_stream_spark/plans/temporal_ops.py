@@ -112,3 +112,51 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_hash(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "events_session_window_native",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    survey_ref="custom op: native session windows",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window — the built-in form of the
+    gaps-and-islands sessionizer above (and the batch shape of
+    streaming/stateful.sessionize_stateful). Boundary semantics differ
+    from events_sessionize by design and the oracle encodes them: the
+    session interval is [start, last_event + gap), so an event arriving
+    EXACTLY gap after the last starts a new session (>= in the oracle,
+    > in the gaps-and-islands form), and session_end = last event + gap,
+    not max(ts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
