@@ -203,3 +203,36 @@ def test_stream_avro_decode_mask_merge(spark, tmp_path):
     assert rows[key(2)]["name"] == sha("bob2")  # v1 update won
     assert rows[key(3)]["email"] == "c@x.com"  # non-PII allow-listed
     assert rows[key(1)]["email"] is None  # v1 rows backfill the v2 column
+
+
+# --- property: encode∘decode = id over random envelope values ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+name_st = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12)
+value_st = st.fixed_dictionaries(
+    {
+        "id": st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)),
+        "name": st.one_of(st.none(), name_st),
+    }
+)
+
+
+@given(
+    before=st.one_of(st.none(), value_st),
+    after=st.one_of(st.none(), value_st),
+    op=st.one_of(st.none(), st.sampled_from(["c", "u", "d"])),
+    ts=st.one_of(st.none(), st.integers(min_value=0, max_value=2**62)),
+)
+@settings(max_examples=200, deadline=None)
+def test_envelope_roundtrip_property(before, after, op, ts):
+    sch = avro_wire.parse_schema(V1)
+    obj = {"before": before, "after": after, "op": op, "ts_ms": ts}
+    assert avro_wire.decode(sch, avro_wire.encode(sch, obj)) == obj
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_zigzag_roundtrip_full_long_range(n):
+    assert avro_wire.decode("long", avro_wire.encode("long", n)) == n

@@ -224,3 +224,86 @@ def test_supervisor_reconcile_mask_change(spark, tmp_path):
     assert begun == ["a"]  # changed + managed; "b" unmanaged, "c" unchanged
     assert sup.tables["a"].reload.name == "a_reload"
     assert sup.tables["a"].released is False
+
+
+def test_mask_reload_e2e_diff_backfill_release(spark, tmp_path):
+    """The full O2/O5/O6 loop with real pipelines: a mask-config change is
+    diffed, the changed table gets a reload pipeline carrying the DESIRED
+    config, the backfill runs in batch mode, and the release pass swaps the
+    main target to the remasked data."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from tipoca_stream_spark.streaming.pipeline import CdcPipeline, CdcPipelineConfig
+    from tipoca_stream_spark.streaming.supervisor import LagMonitor, Supervisor
+
+    salt = "testhash"
+    sha = lambda v: hashlib.sha1((v + salt).encode()).hexdigest()
+    row_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    raw_schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+
+    def envelope(id_, name, offset):
+        import json
+
+        return {
+            "topic": "db.server.customers",
+            "partition": 0,
+            "offset": offset,
+            "value": json.dumps(
+                {"before": None, "after": {"id": id_, "name": name}, "op": "c",
+                 "ts_ms": offset}
+            ),
+        }
+
+    def make_pipeline(name, mask_cfg, mask_table=None):
+        return CdcPipeline(
+            spark,
+            CdcPipelineConfig(
+                table=name,
+                primary_keys=["id"],
+                row_schema=row_schema,
+                target_root=str(tmp_path / "targets"),
+                checkpoint_dir=str(tmp_path / "ckpt" / name),
+                mask_config=mask_cfg,
+                mask_table=mask_table,
+            ),
+        )
+
+    current = MaskConfig(salt=salt, tables={"customers": TableMaskRules()})  # mask all
+    desired = MaskConfig(
+        salt=salt, tables={"customers": TableMaskRules(non_pii_keys=["name"])}
+    )
+
+    raw = spark.createDataFrame(
+        [envelope(1, "alice", 0), envelope(2, "bob", 1)], raw_schema
+    )
+    main = make_pipeline("customers", current)
+    main.run_batch(raw, epoch_id=0)
+    masked = {r["id"]: r["name"] for r in main.target.read().collect()}
+    assert masked == {sha("1"): sha("alice"), sha("2"): sha("bob")}
+
+    lag = LagMonitor()
+    sup = Supervisor(spark, lag_monitor=lag)
+    sup.add_table("customers", main)
+    begun = sup.reconcile_mask_change(
+        current, desired, lambda n: make_pipeline(f"{n}_reload", desired, mask_table=n)
+    )
+    assert begun == ["customers"]
+
+    # reload backfill with the desired config, then the release swap
+    sup.tables["customers"].reload.run_batch(raw, epoch_id=0)
+    lag.observe_progress("customers_reload", 0)  # realtime
+    assert sup.release_pass() == ["customers"]
+    remasked = {r["id"]: r["name"] for r in main.target.read().collect()}
+    assert remasked == {sha("1"): "alice", sha("2"): "bob"}  # name now clear
+    assert sup.tables["customers"].released is True

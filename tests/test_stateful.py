@@ -230,3 +230,57 @@ def test_sessionize_late_event_merges_into_buffered_session(spark, tmp_path):
     assert int(r["session_start"].timestamp() * 1000) == base
     assert int(r["session_end"].timestamp() * 1000) == base + 40 * 60_000
     assert r["total_value"] == pytest.approx(4.0)
+
+
+def test_native_windowed_agg_with_watermark_drops_late(spark, tmp_path):
+    """The built-in Structured Streaming shape (window + watermark, append
+    mode): windows emit once the watermark passes their end, and an event
+    older than the watermark delay is dropped instead of mutating an
+    already-emitted window. Spark filters late rows with the PREVIOUS
+    batch's watermark (the two-watermark design of SPARK-24699), so the
+    drop needs one more advancing batch between the window's close and the
+    late arrival."""
+    src = tmp_path / "wagg_src"
+    src.mkdir(parents=True, exist_ok=True)
+    hour = 3600 * 1000
+    base = 10 * hour
+    batches = [
+        [{"user_id": 1, "ts_ms": base + 5 * 60_000, "value": 1.0},
+         {"user_id": 1, "ts_ms": base + 10 * 60_000, "value": 2.0}],
+        # advances the eviction watermark past 11:00 -> closes [10:00,11:00)
+        [{"user_id": 1, "ts_ms": base + 2 * hour, "value": 4.0}],
+        # advances the LATE-FILTER watermark past 11:00 as well
+        [{"user_id": 1, "ts_ms": base + 3 * hour, "value": 8.0}],
+        # late event for the closed window: below the filter watermark -> dropped
+        [{"user_id": 1, "ts_ms": base + 20 * 60_000, "value": 100.0}],
+        [{"user_id": 99, "ts_ms": base + 100 * hour, "value": 0.0}],
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(src, rows, seq=i)
+
+    stream = (
+        spark.readStream.schema(SESS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "10 seconds")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), F.col("user_id"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(F.col("window.start").alias("ws"), "user_id", "n", "total")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(f"wagg_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt" / uuid.uuid4().hex))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [r for r in spark.sql(f"select * from {q.name}").collect() if r["user_id"] == 1]
+    first_hour = [r for r in rows if int(r["ws"].timestamp() * 1000) == base]
+    assert len(first_hour) == 1
+    assert first_hour[0]["n"] == 2  # the late 100.0 event did NOT get in
+    assert first_hour[0]["total"] == pytest.approx(3.0)

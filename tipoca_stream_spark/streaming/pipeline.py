@@ -83,6 +83,11 @@ class CdcPipelineConfig:
     framed: bool = False
     # wire-schema registry (S3): required when envelope_format='avro'
     schema_registry: object | None = None
+    # logical table for mask-rule lookup when it differs from the target
+    # name — a reload pipeline writes to `<table>_reload` but masks as the
+    # logical table (the reference's reload sinkgroup consumes the same
+    # topic with the new mask config)
+    mask_table: str | None = None
     max_files_per_trigger: int | None = None  # T1 admission analogue
     # True (default): target rows carry kafkaoffset and contested keys are
     # resolved by offset — correct under out-of-order / replayed epochs.
@@ -148,7 +153,7 @@ class CdcPipeline:
             rows = apply_mask(
                 rows,
                 cfg.mask_config,
-                cfg.table,
+                cfg.mask_table or cfg.table,
                 schema_columns=[f.name.lower() for f in cfg.row_schema.fields],
                 passthrough=[COL_KAFKA_OFFSET, COL_DEBEZIUM_OP],
             )
