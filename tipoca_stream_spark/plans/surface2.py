@@ -8,7 +8,7 @@ surface (§2.5 "full standard aggregation surface" note, BASELINE target).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tipoca_stream_spark.plans.registry import query
@@ -330,4 +330,183 @@ def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "missing").alias("missing_val"),
         F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
         F.size(m).cast("int").alias("n_entries"),
+    )
+
+
+@query(
+    "window_frame_suite",
+    """
+    WITH e AS (SELECT user_id, event_id, round(value * 100)::bigint AS c FROM events
+               WHERE user_id <= 50)
+    SELECT user_id, event_id,
+           CAST(sum(c) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_sum3,
+           round(avg(c) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3,
+           first_value(c) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS prev_or_self,
+           nth_value(c, 2) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_c,
+           round(cume_dist() OVER (PARTITION BY user_id ORDER BY c, event_id), 6) AS cdist,
+           CAST(sum(c) OVER (PARTITION BY user_id ORDER BY c
+                        RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS range_sum_100
+    FROM e
+    """,
+    survey_ref="§2.7 frame family",
+)
+def window_frame_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME family: ROWS sliding sums/avgs, bounded first_value,
+    full-frame nth_value, cume_dist, and a numeric RANGE frame — frames are
+    where window state size is decided, so pinning them cross-engine
+    matters. Integer cents keep every aggregate exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    c = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("user_id", "event_id", c.alias("c"))
+    w_rows = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    w_near = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-1, 1)
+    w_full = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cd = Window.partitionBy("user_id").orderBy("c", "event_id")
+    w_range = Window.partitionBy("user_id").orderBy("c").rangeBetween(-100, 0)
+    return base.select(
+        "user_id",
+        "event_id",
+        F.sum("c").over(w_rows).alias("moving_sum3"),
+        F.round(F.avg("c").over(w_rows), 6).alias("moving_avg3"),
+        F.first("c").over(w_near).alias("prev_or_self"),
+        F.nth_value("c", 2).over(w_full).alias("second_c"),
+        F.round(F.cume_dist().over(w_cd), 6).alias("cdist"),
+        F.sum("c").over(w_range).alias("range_sum_100"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(round(o_totalprice * 100)::bigint) AS BIGINT) AS total_cents,
+           grouping(o_orderstatus)::int AS g_status,
+           grouping(o_orderpriority)::int AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    survey_ref="§2.5 grouping sets",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint roll-ups + grand total) with
+    grouping() flags — the general form behind rollup/cube; one expand +
+    partial-aggregate shuffle, same as cube."""
+    ev = load_table(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_COLS = ", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+)
+
+
+@query(
+    "agg_pivot_events",
+    f"""
+    SELECT user_id % 10 AS cohort, {_PIVOT_COLS}
+    FROM events GROUP BY user_id % 10
+    """,
+    survey_ref="§2.5 pivot",
+)
+def agg_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — the explicit list is
+    the scale-safe form (no extra pass to discover distinct values) and
+    compiles to one hash aggregate with FILTERed counts, the same plan the
+    oracle's FILTER clauses describe."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+    return renamed
+
+
+@query(
+    "scalar_string_suite2",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*')                AS brand_lpad,
+           rpad(p_brand, 12, '*')                AS brand_rpad,
+           translate(p_type, 'aeiou', 'AEIOU')   AS type_upvowel,
+           repeat(p_brand, 2)                    AS brand_twice,
+           reverse(p_name)                       AS name_rev,
+           strpos(p_type, 'BRASS')::int          AS brass_pos,
+           left(p_name, 5)                       AS name_left5,
+           right(p_name, 5)                      AS name_right5,
+           replace(p_type, ' ', '_')             AS type_snake
+    FROM part WHERE p_partkey <= 500
+    """,
+    survey_ref="§2.9 string family 2",
+)
+def scalar_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: pad/translate/repeat/reverse/locate/left/right/
+    replace — all codegen builtins with identical semantics across engines
+    (locate/strpos are 1-based, 0 on miss)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, "*").alias("brand_rpad"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_upvowel"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.reverse("p_name").alias("name_rev"),
+        F.locate("BRASS", F.col("p_type")).cast("int").alias("brass_pos"),
+        F.substring("p_name", 1, 5).alias("name_left5"),
+        F.col("p_name").substr(F.length("p_name") - 4, F.lit(5)).alias("name_right5"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@query(
+    "scalar_date_suite2",
+    """
+    SELECT event_id,
+           strftime(ts::date + INTERVAL 3 MONTH, '%Y-%m-%d')  AS plus_3mo,
+           strftime(last_day(ts::date), '%Y-%m-%d')           AS month_end,
+           strftime(date_trunc('month', ts::date), '%Y-%m-%d') AS month_start,
+           date_diff('day', DATE '1995-06-01', ts::date)      AS days_since,
+           strftime(ts::date - INTERVAL 45 DAY, '%Y-%m-%d')   AS minus_45d,
+           extract(quarter FROM ts)::int                      AS qtr
+    FROM events WHERE event_id <= 2000
+    """,
+    survey_ref="§2.9 date arithmetic family",
+)
+def scalar_date_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: add_months/last_day/trunc/datediff/date_sub/
+    quarter. Calendar-aware arithmetic (month ends clamp) is where engines
+    historically diverge — pinned here."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(d, F.lit("1995-06-01").cast("date")).cast("long").alias("days_since"),
+        F.date_format(F.date_sub(d, 45), "yyyy-MM-dd").alias("minus_45d"),
+        F.quarter("ts").cast("int").alias("qtr"),
     )
