@@ -510,3 +510,41 @@ def scalar_date_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_sub(d, 45), "yyyy-MM-dd").alias("minus_45d"),
         F.quarter("ts").cast("int").alias("qtr"),
     )
+
+
+@query(
+    "subquery_suite",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'O')
+      AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_regionkey = 1)
+      AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_mktsegment = c.c_mktsegment)
+    """,
+    survey_ref="§2.6 subqueries (EXISTS / IN / correlated scalar)",
+)
+def subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery family: correlated EXISTS (→ semi join), uncorrelated IN
+    (→ semi join on a broadcast dim), and a correlated scalar aggregate
+    (→ Catalyst rewrites to an aggregate + join on the correlation key).
+    Declared in SQL so the optimizer does the decorrelation — the
+    Spark-first form; every rewrite is a keyed join, nothing nested-loop."""
+    for t in ["customer", "orders", "nation"]:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sq")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(c.c_acctbal AS DOUBLE) AS acctbal
+        FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'O')
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation_sq
+                                WHERE n_regionkey = 1)
+          AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_sq c2
+                             WHERE c2.c_mktsegment = c.c_mktsegment)
+        """
+    )
