@@ -19,5 +19,6 @@ from tipoca_stream_spark.plans import surface2 as _surface2  # noqa: F401
 from tipoca_stream_spark.plans import clustering as _clustering  # noqa: F401
 from tipoca_stream_spark.plans import timeseries as _timeseries  # noqa: F401
 from tipoca_stream_spark.plans import sampling as _sampling  # noqa: F401
+from tipoca_stream_spark.plans import tpch as _tpch  # noqa: F401
 
 __all__ = ["QUERIES", "QueryDef", "query"]

@@ -1,0 +1,705 @@
+"""TPC-H-shaped analytics family, adapted to the driver's testdata schema.
+
+The reference pushes all heavy relational work into Redshift as generated SQL
+(`pkg/redshift/redshift.go` COPY/UNLOAD + merge DDL); a user replacing it with
+this engine gets the warehouse-side query surface from Spark itself. This
+module proves that surface on the canonical decision-support shapes — the
+TPC-H queries — restated against the available columns (orders has no
+o_comment/o_shippriority, lineitem no l_shipmode/l_commitdate, no partsupp
+table; each docstring notes the adaptation).
+
+Money arithmetic: every sum goes through DECIMAL(14,2)/(18,2) so Spark and
+the DuckDB oracle agree bit-for-bit, and is cast to DOUBLE only on output
+(registry rule). Plans are audited for the 100 TB target: dims broadcast,
+facts never shuffled except on their aggregation key, correlated subqueries
+expressed so Catalyst decorrelates them into joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.plans.registry import query
+from tipoca_stream_spark.sources.tables import load_table
+
+
+def _dec(col, prec=14):
+    return F.col(col).cast(f"decimal({prec},2)")
+
+
+def _revenue_expr():
+    # l_extendedprice * (1 - l_discount), exact in both engines
+    return _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(14,2)")
+
+
+_REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(14,2))"
+
+
+@query(
+    "tpch_q4_priority_late_ship",
+    f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="§2.6 semi join, §2.5 agg (TPC-H Q4 shape)",
+)
+def tpch_q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking); the reference schema has no
+    l_commitdate/l_receiptdate so "late" = shipped ≥60 days after order.
+    EXISTS declared in SQL → Catalyst decorrelates to a left-semi join on
+    l_orderkey; both sides pre-filtered before the shuffle, so the join
+    keys are a year's orders only. Scales: one keyed shuffle each side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders.createOrReplaceTempView("_q4_orders")
+    li.createOrReplaceTempView("_q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM _q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM _q4_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             {_REVENUE_SQL} AS volume
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    survey_ref="§2.6 multi-join star, §2.5 agg (TPC-H Q7)",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): trade volume between two nations by year.
+    supplier/nation broadcast (smallest SF-scaled tables); the only big-big
+    shuffle is lineitem⋈orders on orderkey — orders pre-pruned to the two
+    customer nations via the broadcast semi-path, so at 100 TB the shuffled
+    fact fraction is 2/25 of customers' orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    cust2 = cust.join(F.broadcast(n2), cust.c_nationkey == n2.c_nk).filter(
+        F.col("cust_nation").isin("NATION_1", "NATION_2")
+    )
+    supp2 = supp.join(F.broadcast(n1), supp.s_nationkey == n1.s_nk).filter(
+        F.col("supp_nation").isin("NATION_1", "NATION_2")
+    )
+    joined = (
+        li.join(F.broadcast(supp2), li.l_suppkey == supp2.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust2, orders.o_custkey == cust2.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_REVENUE_SQL} AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    GROUP BY o_year
+    """,
+    survey_ref="§2.6 snowflake join, §2.9 conditional (TPC-H Q8)",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share) within ASIA for STANDARD parts.
+    Dims broadcast; numerator/denominator summed as DECIMAL then divided
+    once per group (double ÷ of identical exact values — deterministic in
+    both engines). Fact shuffled once (orderkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    n1 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    cust_asia = cust.join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk")).select("c_custkey")
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    supp2 = supp.join(F.broadcast(n2), supp.s_nationkey == n2.s_nk).select(
+        "s_suppkey", "supp_nation"
+    )
+
+    vol = _revenue_expr()
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp2), li.l_suppkey == supp2.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_asia, orders.o_custkey == F.col("c_custkey"))
+    )
+    zero = F.lit(0).cast("decimal(14,2)")
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
+                / F.sum("volume").cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_REVENUE_SQL}
+               - CAST(p.p_retailprice AS DECIMAL(14,2)) * CAST(l.l_quantity AS DECIMAL(14,2)) * CAST(0.10 AS DECIMAL(4,2))
+               AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%')
+    GROUP BY nation, o_year
+    """,
+    survey_ref="§2.6 star join, §2.9 arithmetic (TPC-H Q9)",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit). No partsupp/ps_supplycost in the
+    testdata, so cost is modeled as 10% of retailprice×quantity — the plan
+    shape (4-way star + LIKE-filtered part dim + two-key group) is the
+    point. part filter applied before broadcast → the fact rows for
+    non-matching parts never leave the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+
+    amount = _revenue_expr() - (
+        _dec("p_retailprice") * _dec("l_quantity") * F.lit(0.10).cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == supp.s_suppkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+    FROM (
+      SELECT c.c_custkey, c.c_name,
+             CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+             c.c_acctbal, n.n_name
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name)
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    survey_ref="§2.6 join, §2.7 top-n (TPC-H Q10)",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by lost revenue
+    in a quarter. Orders pruned to the quarter BEFORE the fact join;
+    TakeOrderedAndProject keeps only 20 rows per partition → driver.
+    Tie-break on c_custkey makes the LIMIT deterministic in both engines
+    (revenues are identical exact-decimal results)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    f"""
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM (
+      SELECT l_partkey, sum({_REVENUE_SQL}) AS part_value
+      FROM lineitem GROUP BY l_partkey)
+    WHERE CAST(part_value AS DOUBLE) > 0.0012 * (
+      SELECT CAST(sum({_REVENUE_SQL}) AS DOUBLE) FROM lineitem)
+    """,
+    survey_ref="§2.10 scalar subquery, §2.5 having (TPC-H Q11)",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose revenue exceeds a fraction
+    of the global total. No partsupp table → value measured from lineitem.
+    The scalar total is one extra map-side-combined pass broadcast into the
+    HAVING filter; both aggregates are exact DECIMAL so the threshold
+    compare is bit-identical with the oracle. Two scans of the fact, each a
+    single keyed/global aggregate — no join of big sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_revenue_expr()).alias("part_value_d"))
+    total = li.agg(F.sum(_revenue_expr()).cast("double").alias("t"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value_d").cast("double") > F.lit(0.0012) * F.col("t"))
+        .select("l_partkey", F.col("part_value_d").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    survey_ref="§2.6 left outer + agg-of-agg (TPC-H Q13)",
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution); the reference schema
+    has no o_comment, so the exclusion filter is on o_orderpriority. First
+    aggregate rides the join's custkey shuffle; the second groups a
+    customer-cardinality input down to ≤ a few dozen rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL}
+                                      ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+                / CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    survey_ref="§2.9 conditional agg (TPC-H Q14)",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) for one ship-month. Part dim broadcast;
+    month filter reaches the parquet scan (PushedFilters) so the fact read
+    is one month of data regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(14,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _revenue_expr()).otherwise(zero)).cast("double")
+                / F.sum(_revenue_expr()).cast("double")
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum({_REVENUE_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    survey_ref="§2.10 scalar subquery over CTE (TPC-H Q15)",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier in a quarter). The revenue CTE is computed
+    once and reused for its own max (exact DECIMAL equality — ties would
+    return all maximal suppliers identically in both engines). One fact
+    aggregate on suppkey; everything after is supplier-cardinality."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue_expr()).alias("total_revenue_d")
+    )
+    mx = revenue.agg(F.max("total_revenue_d").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue_d") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_revenue_d").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_size <= 10
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    survey_ref="§2.5 count-distinct group (TPC-H Q16)",
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (part/supplier relationship); partsupp is modeled by the
+    observed (part, supplier) pairs in lineitem. count(DISTINCT) expands to
+    the two-phase partial-dedup plan — the fact shuffles once on the
+    (brand,type,size,suppkey) compound, already deduped map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size") <= 10)
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_lot_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.5 * a.avg_qty
+    """,
+    survey_ref="§2.10 correlated avg → join (TPC-H Q17)",
+)
+def tpch_q17_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) for one brand. The
+    correlated per-part avg(l_quantity) is materialized as its own
+    aggregate and joined back — the decorrelation Catalyst would do, made
+    explicit. avg computed as exact-decimal sum ÷ count in double (same
+    two operands in both engines → identical IEEE result). The per-part
+    aggregate shuffles (partkey, two longs) only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(avg_q, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg((F.sum(_dec("l_extendedprice")) / F.lit(7.0)).cast("double").alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(q.sum_qty AS DOUBLE) AS sum_qty
+    FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(14,2))) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(14,2))) > 280) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    survey_ref="§2.5 having + join-back (TPC-H Q18)",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose line quantities sum
+    past a threshold, joined back to order + customer. The HAVING prunes to
+    a tiny key set before any join, so the joins are effectively
+    broadcast-sized at any scale; order date emitted as a formatted string
+    (registry rule for timestamps)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_d"))
+        .filter(F.col("sum_qty_d") > 280)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty_d").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(sum({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey_ref="§2.4 disjunctive predicate pushdown (TPC-H Q19)",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, OR-of-ANDs). The part-side disjuncts
+    (brand+size) are pushed into the broadcast build; the quantity bands
+    evaluate post-join in one codegen stage. The union-of-bands never
+    materializes — it's a single pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35))
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")), li.l_partkey == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q20_promo_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT sp.l_suppkey
+      FROM (SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(14,2))) AS supp_qty
+            FROM lineitem GROUP BY l_suppkey, l_partkey) sp
+      JOIN (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(14,2))) AS part_qty
+            FROM lineitem GROUP BY l_partkey) pt ON pt.l_partkey = sp.l_partkey
+      JOIN part p ON p.p_partkey = sp.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND CAST(sp.supp_qty AS DOUBLE) > 0.2 * CAST(pt.part_qty AS DOUBLE))
+    """,
+    survey_ref="§2.10 nested agg → semi join (TPC-H Q20 shape)",
+)
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: suppliers who shipped
+    >20% of a PROMO part's total quantity (no partsupp/availqty — share of
+    shipped volume plays the "excess stock" role). Two keyed aggregates on
+    the same shuffle key (partkey), a partkey equi-join between two
+    already-reduced sides, then a semi join into supplier — every join
+    input is post-aggregation cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
+    pt = li.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("part_qty")
+    )
+    qualified = (
+        sp.join(pt, sp.l_partkey == pt.pt_partkey)
+        .join(F.broadcast(part.select("p_partkey")), sp.l_partkey == F.col("p_partkey"), "left_semi")
+        .filter(F.col("supp_qty").cast("double") > F.lit(0.2) * F.col("part_qty").cast("double"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return supp.join(qualified, ["s_suppkey"], "left_semi").select("s_suppkey", "s_name")
+
+
+@query(
+    "tpch_q22_global_sales",
+    """
+    SELECT cntrycode, count(*) AS numcust, CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT substring(c_name, 18, 1) AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+                         FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    GROUP BY cntrycode
+    """,
+    survey_ref="§2.10 scalar subquery + anti join (TPC-H Q22)",
+)
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): above-average-balance customers
+    with no orders, bucketed by the last digit of c_name (the schema has no
+    c_phone, so the "country code" is the name's final digit). The scalar
+    avg uses exact-decimal sum ÷ count; NOT EXISTS is a broadcast-able
+    anti join on the distinct order custkeys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    order_keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(order_keys, ["c_custkey"], "left_anti")
+        .select(F.substring("c_name", 18, 1).alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    SELECT u.l_partkey, s.s_suppkey, s.s_name, CAST(u.unit_price AS DOUBLE) AS unit_price
+    FROM (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               / CAST(sum(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS unit_price
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+      GROUP BY l.l_partkey, l.l_suppkey) u
+    JOIN (
+      SELECT l_partkey, min(unit_price) AS min_price FROM (
+        SELECT l.l_partkey, l.l_suppkey,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS unit_price
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+        GROUP BY l.l_partkey, l.l_suppkey)
+      GROUP BY l_partkey) m ON m.l_partkey = u.l_partkey AND u.unit_price = m.min_price
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    """,
+    survey_ref="§2.10 correlated min → join (TPC-H Q2 shape)",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: no partsupp, so "cost" is
+    each supplier's observed average unit price for the part from lineitem.
+    The correlated min is an aggregate reused via self-join on (partkey,
+    min) — Spark computes the per-(part,supp) aggregate once (same DAG
+    node) where the oracle SQL spells it twice. Unit price is an IEEE
+    double division of two exact decimals → bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    per = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(_dec("l_extendedprice")).cast("double")
+                / F.sum(_dec("l_quantity")).cast("double")
+            ).alias("unit_price")
+        )
+    )
+    mins = per.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        per.join(
+            mins,
+            (per.l_partkey == mins.m_partkey) & (per.unit_price == mins.min_price),
+        )
+        .join(F.broadcast(supp), per.l_suppkey == supp.s_suppkey)
+        .select("l_partkey", "s_suppkey", "s_name", F.col("unit_price").cast("double").alias("unit_price"))
+    )
