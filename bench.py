@@ -79,6 +79,18 @@ def main() -> None:
     t0 = time.perf_counter()
     QUERIES["dedup_components"].fn(spark, sf_dir).count()
     extras["dedup_components"] = round(time.perf_counter() - t0, 3)
+    # - tpch_total: the 16-query TPC-H family in one number (round 2+);
+    #   one representative star join reported individually.
+    t0 = time.perf_counter()
+    for name in sorted(q for q in QUERIES if q.startswith("tpch_")):
+        if name == "tpch_q9_product_profit":
+            continue
+        QUERIES[name].fn(spark, sf_dir).count()
+    t_family = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    QUERIES["tpch_q9_product_profit"].fn(spark, sf_dir).count()
+    extras["tpch_q9_product_profit"] = round(time.perf_counter() - t0, 3)
+    extras["tpch_total"] = round(t_family + extras["tpch_q9_product_profit"], 3)
 
     print(
         json.dumps(

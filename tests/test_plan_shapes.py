@@ -94,3 +94,44 @@ def test_pair_queries_have_no_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ in plan"
+
+
+TPCH = [n for n in QUERIES if n.startswith("tpch_")]
+
+
+@pytest.mark.parametrize("name", sorted(TPCH))
+def test_tpch_no_cartesian_or_python(spark, name):
+    # the whole family must stay JVM-side with no unconditioned big joins;
+    # the only BNLJ allowed is a 1-row scalar-subquery broadcast (q11/q22)
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_tpch_q9_star_all_broadcast(spark):
+    # 4-way star: every dim (part/supplier/nation) broadcasts; the fact
+    # shuffles only for its one big-big join and final group
+    plan = plan_of(spark, "tpch_q9_product_profit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_tpch_q10_take_ordered_top20(spark):
+    plan = plan_of(spark, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan  # LIMIT 20 never global-sorts
+
+
+def test_tpch_q14_month_filter_pushed(spark):
+    plan = plan_of(spark, "tpch_q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    pushed = [seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("l_shipdate" in p for p in pushed), "ship-month filter not pushed to scan"
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark):
+    # Catalyst must decorrelate EXISTS into a join, not a per-row subquery
+    plan = plan_of(spark, "tpch_q4_priority_late_ship")
+    assert "Join LeftSemi" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
