@@ -200,3 +200,58 @@ def lsh_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def cosine_batch_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k per query for a small batch of query vectors.
+
+    The query set broadcasts (bounded by the caller — dozens to thousands
+    of rows, never corpus-scale), so the corpus is scanned ONCE for all
+    queries with no shuffle of the embedding table; ranking is a
+    per-query-key window over |queries|·|corpus| scored rows that AQE
+    partitions by qid. For corpus-×-corpus ranking use the LSH/IVF paths
+    instead — this operator is the many-query analogue of cosine_topk.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_q")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: scale = 127/max|x|,
+    q_i = round(x_i·scale). A narrow no-shuffle projection (pure Catalyst
+    array expressions — embarrassingly parallel at any scale); the scale
+    is emitted alongside so a consumer can dequantize. Zero vectors get
+    scale 0 and an all-zero code."""
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    return embeddings.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("int")
+        ).alias("qvec"),
+    )

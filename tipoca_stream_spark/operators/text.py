@@ -227,3 +227,128 @@ def contamination_scores(
             ).alias("contamination_ratio"),
         )
     )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (idf = ln((N+1)/(df+1))).
+
+    Plan at scale: one explode → (doc, term) aggregate riding a single
+    shuffle; document frequency is a second aggregate of the already-reduced
+    tf table keyed on term (vocab cardinality — never broadcast by hint, the
+    term join is an equi-join AQE can pick a strategy for); the corpus size
+    N is a 1-row broadcast. Scores are rounded to 6dp BEFORE ranking so the
+    (score, term) order is reproducible across engines.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    n = df.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("dfreq") + 1)), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def bigram_pmi(
+    df: DataFrame, text_col: str, id_col: str, min_count: int = 10, k: int = 20
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information.
+
+    pmi(x,y) = ln(c_xy · T² / (B · c_x · c_y)) with T = total tokens and
+    B = total bigrams — all counts exact longs (products stay < 2⁵³), one
+    IEEE division + ln at the end, so both engines agree bit-for-bit.
+    Bigrams come from slicing the token array against itself (no
+    posexplode self-join); three aggregates total, each map-side combined.
+    """
+    toks = df.select(F.split(F.col(text_col), " ").alias("w"))
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)"),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.0").alias("t1"), F.col("bg.1").alias("t2"))
+    )
+    bg_counts = bigrams.groupBy("t1", "t2").agg(F.count("*").alias("c_xy"))
+    unigrams = toks.select(F.explode("w").alias("term")).groupBy("term").agg(
+        F.count("*").alias("c")
+    )
+    totals = toks.agg(
+        F.sum(F.size("w")).cast("long").alias("t_tokens"),
+        F.sum(F.size("w") - 1).cast("long").alias("b_bigrams"),
+    )
+    u1 = unigrams.select(F.col("term").alias("t1"), F.col("c").alias("c_x"))
+    u2 = unigrams.select(F.col("term").alias("t2"), F.col("c").alias("c_y"))
+    return (
+        bg_counts.filter(F.col("c_xy") >= min_count)
+        .join(u1, "t1")
+        .join(u2, "t2")
+        .join(F.broadcast(totals))
+        .select(
+            "t1",
+            "t2",
+            F.col("c_xy"),
+            F.round(
+                F.log(
+                    (F.col("c_xy") * F.col("t_tokens") * F.col("t_tokens")).cast("double")
+                    / (F.col("b_bigrams") * F.col("c_x") * F.col("c_y")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
+        .limit(k)
+    )
+
+
+def vocab_coverage(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus vocabulary head: top-k terms by frequency with cumulative
+    coverage share.
+
+    The global rank/cumsum window is unpartitioned, but it runs AFTER the
+    corpus collapses to (term, count) — vocab cardinality, not corpus
+    cardinality — and the cumulative sum is exact longs. At 100 TB a
+    multi-million-row vocab through one window task is the honest cost of
+    an exact global ranking; for the approximate variant you'd pre-filter
+    with a count threshold first. Coverage divides by total tokens last.
+    """
+    from pyspark.sql import Window
+
+    tokens = df.select(F.explode(F.split(F.col(text_col), " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = tokens.groupBy("term").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("t"))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_c", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(total))
+        .select(
+            "rank",
+            "term",
+            "c",
+            F.round(F.col("cum_c") / F.col("t"), 6).alias("coverage"),
+        )
+    )

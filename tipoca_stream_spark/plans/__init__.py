@@ -20,5 +20,6 @@ from tipoca_stream_spark.plans import clustering as _clustering  # noqa: F401
 from tipoca_stream_spark.plans import timeseries as _timeseries  # noqa: F401
 from tipoca_stream_spark.plans import sampling as _sampling  # noqa: F401
 from tipoca_stream_spark.plans import tpch as _tpch  # noqa: F401
+from tipoca_stream_spark.plans import textvec as _textvec  # noqa: F401
 
 __all__ = ["QUERIES", "QueryDef", "query"]

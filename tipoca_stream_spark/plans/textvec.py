@@ -1,0 +1,146 @@
+"""Text vectorization & retrieval family: TF-IDF keyword extraction,
+collocation mining (PMI), vocabulary coverage, batched exact ANN, and int8
+embedding quantization.
+
+These are the corpus-preparation steps between raw documents and a training
+mix: pick keywords per doc, find multi-word expressions worth merging into
+the tokenizer, size the vocabulary head, retrieve per-query neighbor sets,
+shrink embeddings for the retrieval index. All stay JVM-side (no UDFs);
+every score is rounded to 6dp BEFORE any ranking so the DuckDB oracle
+reproduces the exact row set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tipoca_stream_spark.operators import similarity as sim
+from tipoca_stream_spark.operators import text as tx
+from tipoca_stream_spark.plans.registry import query
+from tipoca_stream_spark.sources.tables import load_table
+
+
+@query(
+    "text_tfidf_topterms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT count(*)::double AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n_docs + 1) / (dfq.dfreq + 1)), 6) AS tfidf
+      FROM tf JOIN dfq USING (term), n)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+    survey_ref="training: TF-IDF keyword extraction",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+@query(
+    "text_bigram_pmi",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT w[i] AS t1, w[i + 1] AS t2
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM t)),
+    bgc AS (SELECT t1, t2, count(*) AS c_xy FROM bg GROUP BY t1, t2),
+    uni AS (SELECT unnest(w) AS term FROM t),
+    uc AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+    tot AS (SELECT sum(len(w))::bigint AS t_tokens, sum(len(w) - 1)::bigint AS b_bigrams FROM t)
+    SELECT t1, t2, c_xy,
+           round(ln((c_xy * t_tokens * t_tokens)::double
+                    / (b_bigrams * u1.c * u2.c)::double), 6) AS pmi
+    FROM bgc
+    JOIN uc u1 ON u1.term = bgc.t1
+    JOIN uc u2 ON u2.term = bgc.t2, tot
+    WHERE c_xy >= 10
+    ORDER BY pmi DESC, t1, t2 LIMIT 20
+    """,
+    survey_ref="training: collocation mining (PMI)",
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bigram_pmi(docs, "text", "doc_id", min_count=10, k=20)
+
+
+@query(
+    "text_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS c FROM toks WHERE term <> '' GROUP BY term),
+    tot AS (SELECT sum(c)::double AS t FROM counts),
+    ranked AS (
+      SELECT term, c,
+             row_number() OVER (ORDER BY c DESC, term) AS rank,
+             sum(c) OVER (ORDER BY c DESC, term
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      FROM counts)
+    SELECT rank, term, c, round(cum_c / t, 6) AS coverage
+    FROM ranked, tot WHERE rank <= 50
+    """,
+    survey_ref="training: vocabulary sizing",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.vocab_coverage(docs, "text", k=50)
+
+
+BATCH_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+BATCH_K = 5
+_IDS = ", ".join(str(i) for i in BATCH_QUERY_IDS)
+
+
+@query(
+    "similarity_batch_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN ({_IDS})),
+    pexpl AS (
+      SELECT q.qid, e.vec_id,
+             unnest(e.embedding)::double AS x, unnest(q.qe)::double AS y
+      FROM embeddings e, q WHERE e.vec_id <> q.qid),
+    sims AS (
+      SELECT qid, vec_id,
+             round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+      FROM pexpl GROUP BY qid, vec_id)
+    SELECT qid, vec_id, sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      FROM sims)
+    WHERE rn <= {BATCH_K}
+    """,
+    survey_ref="training: batched exact ANN",
+)
+def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_batch_topk(emb, BATCH_QUERY_IDS, BATCH_K)
+
+
+@query(
+    "embed_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN list_max(list_transform(embedding, x -> abs(x::double))) > 0
+                  THEN 127.0 / list_max(list_transform(embedding, x -> abs(x::double)))
+                  ELSE 0.0 END AS sc
+      FROM embeddings)
+    SELECT vec_id, round(sc, 6) AS scale,
+           list_transform(embedding, x -> round(x::double * sc)::int) AS qvec
+    FROM s
+    """,
+    survey_ref="training: embedding compression",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantize_int8(emb)
