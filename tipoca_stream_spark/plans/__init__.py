@@ -21,5 +21,6 @@ from tipoca_stream_spark.plans import timeseries as _timeseries  # noqa: F401
 from tipoca_stream_spark.plans import sampling as _sampling  # noqa: F401
 from tipoca_stream_spark.plans import tpch as _tpch  # noqa: F401
 from tipoca_stream_spark.plans import textvec as _textvec  # noqa: F401
+from tipoca_stream_spark.plans import mix as _mix  # noqa: F401
 
 __all__ = ["QUERIES", "QueryDef", "query"]

@@ -12,7 +12,9 @@ from tipoca_stream_spark.operators import corpus_dedup as cd
 from tipoca_stream_spark.plans.registry import query
 from tipoca_stream_spark.plans.training import JACCARD_THRESHOLD, _docs
 
-COMPONENTS_ORACLE = f"""
+# CTE prefix shared with downstream oracles (e.g. canonical-doc selection
+# in plans/mix.py): everything up to and including `reach`.
+COMPONENTS_CTES = f"""
 WITH RECURSIVE
 words AS (SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS w
           FROM documents),
@@ -34,8 +36,12 @@ reach AS (
   UNION
   SELECT e.d AS node, r.lbl AS lbl FROM reach r JOIN edges e ON e.s = r.node
 )
-SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
 """
+
+COMPONENTS_ORACLE = (
+    COMPONENTS_CTES
+    + "SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node"
+)
 
 
 @query(
