@@ -222,3 +222,23 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("padding_frac"),
         )
     )
+
+
+@query(
+    "events_salted_counts",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+    survey_ref="scale: skew-resistant two-stage aggregation",
+)
+def events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted count over the skewed event_type column — result
+    identical to the direct groupBy (the oracle), plan spreads each hot
+    key over 16 salt partitions before the final key-only aggregate.
+    For an algebraic count Spark's map-side partials already handle skew;
+    the operator is registered so the driver gate covers the pattern used
+    for the non-algebraic cases (collect-like aggs, exact distincts)."""
+    from tipoca_stream_spark.operators.skew import salted_count
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_count(events, "event_type", n_salts=16)
