@@ -548,3 +548,54 @@ def subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              WHERE c2.c_mktsegment = c.c_mktsegment)
         """
     )
+
+
+@query(
+    "agg_string_concat",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS members,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+    survey_ref="§2.5 ordered string aggregation (LISTAGG)",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg with a deterministic ORDER BY inside the
+    aggregate: Spark spells it sort_array(collect_list(...)) → concat_ws.
+    collect_list is the one non-algebraic aggregate in the inventory —
+    partials still combine map-side as lists, and the per-group payload is
+    bounded by group size (dimension-scale here; at fact scale you'd cap
+    or sketch it)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("members"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "scalar_trycast_suite",
+    """
+    SELECT event_id,
+           try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           try_cast(event_type AS BIGINT)                        AS bad_int,
+           try_cast(CAST(value AS VARCHAR) AS DOUBLE)            AS roundtrip_val,
+           coalesce(try_cast(event_type AS BIGINT), -1)          AS defaulted
+    FROM events WHERE event_id <= 3000
+    """,
+    survey_ref="§2.9 error-safe casts (try_cast family)",
+)
+def scalar_trycast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe parsing: malformed input → NULL instead of a task
+    failure — the property that keeps a 100 TB ingest job alive when one
+    row in a billion is garbage. All codegen'd try_cast expressions; the
+    JSON path extraction reuses the ingest-side get_json_object."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") <= 3000).select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_int"),
+        F.col("event_type").try_cast("bigint").alias("bad_int"),
+        F.col("value").cast("string").try_cast("double").alias("roundtrip_val"),
+        F.coalesce(F.col("event_type").try_cast("bigint"), F.lit(-1)).alias("defaulted"),
+    )
