@@ -1,0 +1,159 @@
+"""Event-analytics family: funnel conversion, retention cohorts, and
+activity streaks (gaps-and-islands).
+
+The reference's output is a warehouse table of CDC'd events; these are the
+canonical queries an analyst then runs on it. Each is expressed as the
+plan you'd want at 100 TB: every aggregate/window keys on ``user_id``, so
+the whole family costs ONE fact shuffle whose partitioning is reused
+across stages (Catalyst reuses the exchange for same-key operations), and
+all stage outputs are user-cardinality or smaller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.plans.registry import query
+from tipoca_stream_spark.sources.tables import load_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "events_funnel_counts",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT count(s1.user_id) AS n_view,
+           count(s2.user_id) AS n_view_click,
+           count(s3.user_id) AS n_view_click_purchase
+    FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+    survey_ref="analytics: ordered funnel conversion",
+)
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: a user converts a stage only
+    with an event strictly after their previous stage's first event.
+    Three user-keyed aggregates, each over an already-filtered slice and
+    joined on user_id — one shuffle key throughout, so at scale this is a
+    single fact repartition plus user-cardinality joins."""
+    events = load_table(spark, sf_dir, "events")
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_view"),
+            F.count("t2").alias("n_view_click"),
+            F.count("t3").alias("n_view_click_purchase"),
+        )
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           (datediff('day', f.cohort_week, a.active_week) / 7)::int AS week_offset,
+           count(*) AS n_users
+    FROM firsts f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    survey_ref="analytics: retention cohorts",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-seen week,
+    counted in each later week they were active. Two user-keyed
+    aggregates + a user-keyed join (the distinct rides the same shuffle);
+    output is |cohorts|×|weeks| — tiny at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "events_activity_streaks",
+    """
+    WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts)::date AS d FROM events),
+    flagged AS (
+      SELECT user_id, d,
+             CASE WHEN datediff('day', lag(d) OVER (PARTITION BY user_id ORDER BY d), d) = 1
+                  THEN 0 ELSE 1 END AS new_streak
+      FROM days),
+    islands AS (
+      SELECT user_id, d,
+             sum(new_streak) OVER (PARTITION BY user_id ORDER BY d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
+      FROM flagged),
+    lens AS (SELECT user_id, streak_id, count(*) AS len FROM islands GROUP BY user_id, streak_id),
+    longest AS (SELECT user_id, max(len) AS longest_streak FROM lens GROUP BY user_id)
+    SELECT longest_streak, count(*) AS n_users
+    FROM longest GROUP BY longest_streak
+    """,
+    survey_ref="analytics: gaps-and-islands streaks",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, as a
+    distribution — the gaps-and-islands pattern: lag → new-streak flag →
+    running sum (island id) → island length → per-user max. Every window
+    partitions by user_id over the deduped (user, day) table, so the
+    heavy lifting is one shuffle of at most users×days rows."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    flagged = days.withColumn(
+        "new_streak",
+        F.when(F.datediff(F.col("d"), F.lag("d").over(w)) == 1, 0).otherwise(1),
+    )
+    islands = flagged.withColumn(
+        "streak_id",
+        F.sum("new_streak").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    lens = islands.groupBy("user_id", "streak_id").agg(F.count("*").alias("len"))
+    longest = lens.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
+    return longest.groupBy("longest_streak").agg(F.count("*").alias("n_users"))
