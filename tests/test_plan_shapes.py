@@ -135,3 +135,35 @@ def test_tpch_q4_exists_becomes_semi_join(spark):
     plan = plan_of(spark, "tpch_q4_priority_late_ship")
     assert "Join LeftSemi" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+NEW_FAMILIES = [
+    "text_tfidf_topterms",
+    "text_bigram_pmi",
+    "text_vocab_coverage",
+    "similarity_batch_topk",
+    "embed_quantize_int8",
+    "corpus_stratified_sample",
+    "dedup_canonical_docs",
+    "corpus_shard_stats",
+    "events_funnel_counts",
+    "events_retention_cohorts",
+    "events_activity_streaks",
+    "events_salted_counts",
+]
+
+
+@pytest.mark.parametrize("name", NEW_FAMILIES)
+def test_new_families_stay_jvm_side(spark, name):
+    # no Python eval nodes, no cartesian products anywhere; the only BNLJ
+    # allowed is a 1-row scalar/total broadcast or a bounded query-set
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"{name}: {node} in plan"
+
+
+def test_quantize_has_no_exchange(spark):
+    # narrow projection: zero shuffles at any scale
+    plan = plan_of(spark, "embed_quantize_int8")
+    assert "Exchange" not in plan

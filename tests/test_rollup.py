@@ -124,3 +124,46 @@ def test_streaming_file_source_end_to_end(spark, tmp_path):
     q = r.start(stream, checkpoint=str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert as_set(r.read()) == as_set(oracle(spark, BATCH1, BATCH2))
+
+
+def test_merge_is_batch_order_invariant(spark, tmp_path):
+    """The rollup's contract: any partition of the event stream into
+    micro-batches, in any arrival order (late data included), yields the
+    same table — merge is commutative/associative by construction."""
+    import itertools
+
+    results = []
+    for j, perm in enumerate(itertools.permutations([BATCH1, BATCH2, BATCH3])):
+        target = ParquetTargetTable(spark, str(tmp_path), f"rollup{j}")
+        r = ContinuousRollup(spark, target)
+        for i, rows in enumerate(perm):
+            r.run_batch(batch_df(spark, rows), epoch_id=i)
+        results.append(as_set(r.read()))
+    assert all(s == results[0] for s in results[1:])
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    """int8 symmetric quantization: dequantized values are within half a
+    quantization step of the original (|x - q/scale| <= 0.5/scale)."""
+    from tipoca_stream_spark.operators.similarity import quantize_int8
+    from tipoca_stream_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = quantize_int8(emb)
+    joined = emb.join(q, "vec_id").select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "qvec",
+                    lambda x, d: F.abs(x.cast("double") - d / F.col("scale")),
+                ),
+                F.lit(0.0),
+                lambda acc, e: F.greatest(acc, e),
+            )
+            * F.col("scale")
+        ).alias("max_scaled_err")
+    )
+    err = joined.collect()[0]["max_scaled_err"]
+    assert err <= 0.5 + 1e-9, err
