@@ -157,3 +157,42 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens = islands.groupBy("user_id", "streak_id").agg(F.count("*").alias("len"))
     longest = lens.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
     return longest.groupBy("longest_streak").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "cdc_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events)
+    SELECT user_id, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(next_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+    FROM ordered WHERE op <> 'd'
+    """,
+    survey_ref="CDC: SCD2 history materialization",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of the events changelog (user_id as the PK,
+    event_type 'error' standing in for the Debezium delete op, event_id as
+    the offset tiebreak). One window pass — same shuffle envelope as the
+    latest-wins merge; intervals emitted as formatted strings (registry
+    rule for timestamps)."""
+    from tipoca_stream_spark.operators.scd2 import scd2_history
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
+    )
+    hist = scd2_history(
+        events, key_col="user_id", ts_col="ts", op_col="op",
+        value_cols=["value"], seq_col="event_id",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return hist.select(
+        "user_id",
+        "value",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+    )
