@@ -196,3 +196,39 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", fmt).alias("valid_from"),
         F.date_format("valid_to", fmt).alias("valid_to"),
     )
+
+
+@query(
+    "dq_orders_gate",
+    """
+    SELECT 'o_orderkey_not_null' AS rule, sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::bigint AS n_violations FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_in_range', sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice >= 10000000.0) THEN 1 ELSE 0 END)::bigint FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_in_range', sum(CASE WHEN o_orderdate IS NOT NULL AND (o_orderdate < TIMESTAMP '1990-01-01' OR o_orderdate >= TIMESTAMP '2030-01-01') THEN 1 ELSE 0 END)::bigint FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_in_set', sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)::bigint FROM orders
+    UNION ALL
+    SELECT 'pk_unique', coalesce(sum(c - 1), 0)::bigint FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+    """,
+    survey_ref="DQ: constraint gate before publish",
+)
+def dq_orders_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint gate over orders: NOT NULL / range / set-membership
+    rules fused into ONE scan (each rule is a conditional sum in the same
+    aggregate projection) plus a PK-uniqueness aggregate. The (rule, n)
+    output is what the supervisor consumes to block a release."""
+    from tipoca_stream_spark.operators import quality_gate as dq
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        dq.not_null("o_orderkey"),
+        dq.in_range("o_totalprice", 0.0, 10_000_000.0),
+        dq.in_range(
+            "o_orderdate",
+            F.lit("1990-01-01").cast("timestamp"),
+            F.lit("2030-01-01").cast("timestamp"),
+        ),
+        dq.in_set("o_orderstatus", ["F", "O", "P"]),
+    ]
+    return dq.violation_counts(orders, rules, unique_keys=["o_orderkey"])
