@@ -1,0 +1,113 @@
+"""MaterializedJoin: after every batch the maintained view must equal the
+from-scratch join of the two latest-wins tables — including updates that
+MOVE a row across join keys (both old and new key are in the delta set,
+as a CDC before/after image provides)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tipoca_stream_spark.sources.target import ParquetTargetTable
+from tipoca_stream_spark.streaming.join_view import MaterializedJoin
+
+CUST_SCHEMA = "cust_id long, name string"
+ORD_SCHEMA = "order_id long, cust_id long, total double"
+
+
+def write_state(spark, target, rows, schema):
+    target.write(spark.createDataFrame(rows, schema))
+
+
+def make_view(spark, tmp_path):
+    left = ParquetTargetTable(spark, str(tmp_path), "customers")
+    right = ParquetTargetTable(spark, str(tmp_path), "orders")
+    view = ParquetTargetTable(spark, str(tmp_path), "cust_orders")
+    return MaterializedJoin(spark, view, left, right, "cust_id")
+
+
+def as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def refresh_and_check(mj, spark, keys, epoch):
+    mj.refresh(spark.createDataFrame([(k,) for k in keys], "cust_id long"), epoch)
+    got = as_set(mj.view.read().select("cust_id", "name", "order_id", "total"))
+    exp = as_set(mj.full_join().select("cust_id", "name", "order_id", "total"))
+    assert got == exp, f"epoch {epoch}: view diverged"
+
+
+def test_upserts_deletes_and_key_moves(spark, tmp_path):
+    mj = make_view(spark, tmp_path)
+    # bootstrap
+    write_state(spark, mj.left, [(1, "ann"), (2, "bob")], CUST_SCHEMA)
+    write_state(spark, mj.right, [(10, 1, 5.0), (11, 2, 7.0)], ORD_SCHEMA)
+    refresh_and_check(mj, spark, [1, 2], epoch=0)
+
+    # batch 1: new customer 3, order 11 MOVES from cust 2 → 3, order 12 added
+    write_state(spark, mj.left, [(1, "ann"), (2, "bob"), (3, "cay")], CUST_SCHEMA)
+    write_state(spark, mj.right, [(10, 1, 5.0), (11, 3, 7.0), (12, 1, 9.0)], ORD_SCHEMA)
+    refresh_and_check(mj, spark, [1, 2, 3], epoch=1)  # old AND new key of the move
+
+    # batch 2: delete customer 1 (orders 10/12 orphaned → drop from inner join)
+    write_state(spark, mj.left, [(2, "bob"), (3, "cay")], CUST_SCHEMA)
+    refresh_and_check(mj, spark, [1], epoch=2)
+
+
+def test_randomized_sequences_match_full_join(spark, tmp_path):
+    rng = random.Random(7)
+    cust = {i: f"c{i}" for i in range(5)}
+    orders = {}
+    mj = make_view(spark, tmp_path)
+    write_state(spark, mj.left, list(cust.items()), CUST_SCHEMA)
+    write_state(spark, mj.right, [(0, 0, 1.0)], ORD_SCHEMA)
+    orders[0] = (0, 1.0)
+    refresh_and_check(mj, spark, [0], epoch=0)
+    next_oid = 1
+    for epoch in range(1, 6):
+        touched = set()
+        for _ in range(rng.randint(1, 4)):
+            action = rng.choice(["add", "move", "del", "cust_del", "cust_add"])
+            if action == "add":
+                k = rng.randrange(5)
+                orders[next_oid] = (k, rng.random())
+                touched.add(k)
+                next_oid += 1
+            elif action == "move" and orders:
+                oid = rng.choice(list(orders))
+                old_k, v = orders[oid]
+                new_k = rng.randrange(5)
+                orders[oid] = (new_k, v)
+                touched |= {old_k, new_k}
+            elif action == "del" and orders:
+                oid = rng.choice(list(orders))
+                touched.add(orders.pop(oid)[0])
+            elif action == "cust_del" and cust:
+                k = rng.choice(list(cust))
+                del cust[k]
+                touched.add(k)
+            else:
+                k = rng.randrange(5)
+                cust[k] = f"c{k}v{epoch}"
+                touched.add(k)
+        write_state(spark, mj.left, list(cust.items()) or [(99, "zz")], CUST_SCHEMA)
+        write_state(
+            spark, mj.right,
+            [(o, k, v) for o, (k, v) in orders.items()] or [(98, 99, 0.0)], ORD_SCHEMA,
+        )
+        touched |= {99, 98}
+        refresh_and_check(mj, spark, sorted(touched), epoch=epoch)
+
+
+def test_epoch_replay_is_noop(spark, tmp_path):
+    mj = make_view(spark, tmp_path)
+    write_state(spark, mj.left, [(1, "ann")], CUST_SCHEMA)
+    write_state(spark, mj.right, [(10, 1, 5.0)], ORD_SCHEMA)
+    refresh_and_check(mj, spark, [1], epoch=0)
+    v = mj.view.current_version()
+    # left changes BUT the epoch is a replay → must not refresh
+    write_state(spark, mj.left, [(1, "ann2")], CUST_SCHEMA)
+    mj.refresh(spark.createDataFrame([(1,)], "cust_id long"), epoch_id=0)
+    assert mj.view.current_version() == v
+    refresh_and_check(mj, spark, [1], epoch=1)  # real refresh catches up
