@@ -111,3 +111,83 @@ def test_epoch_replay_is_noop(spark, tmp_path):
     mj.refresh(spark.createDataFrame([(1,)], "cust_id long"), epoch_id=0)
     assert mj.view.current_version() == v
     refresh_and_check(mj, spark, [1], epoch=1)  # real refresh catches up
+
+
+def test_composes_with_cdc_pipeline_batches(spark, tmp_path):
+    """End-to-end composition: two CdcPipeline merges land CDC batches,
+    then the join view refreshes from each batch's key set — the view
+    tracks customers ⋈ orders through creates, updates, and deletes."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tipoca_stream_spark.streaming.pipeline import CdcPipeline, CdcPipelineConfig
+
+    cust_schema = T.StructType(
+        [T.StructField("cust_id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    ord_schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("cust_id", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def envelope(topic, before, after, offset):
+        return (
+            topic,
+            0,
+            offset,
+            json.dumps(
+                {"before": before, "after": after,
+                 "op": "d" if after is None else ("c" if before is None else "u"),
+                 "ts_ms": offset}
+            ),
+        )
+
+    raw_schema = "topic string, partition int, offset long, value string"
+
+    def run(pipeline, events):
+        df = spark.createDataFrame(events, raw_schema)
+        epoch = run.epochs.setdefault(pipeline.config.table, 0)
+        pipeline.run_batch(df, epoch_id=epoch)
+        run.epochs[pipeline.config.table] = epoch + 1
+
+    run.epochs = {}
+
+    root = str(tmp_path / "targets")
+    cp = CdcPipeline(
+        spark,
+        CdcPipelineConfig(
+            table="customers", primary_keys=["cust_id"], row_schema=cust_schema,
+            target_root=root, checkpoint_dir=str(tmp_path / "ck1"), store_offsets=False,
+        ),
+    )
+    op = CdcPipeline(
+        spark,
+        CdcPipelineConfig(
+            table="orders", primary_keys=["order_id"], row_schema=ord_schema,
+            target_root=root, checkpoint_dir=str(tmp_path / "ck2"), store_offsets=False,
+        ),
+    )
+    view = ParquetTargetTable(spark, root, "cust_orders")
+    mj = MaterializedJoin(spark, view, cp.target, op.target, "cust_id")
+
+    # batch 1: two customers, two orders
+    run(cp, [envelope("t.c", None, {"cust_id": 1, "name": "ann"}, 1),
+             envelope("t.c", None, {"cust_id": 2, "name": "bob"}, 2)])
+    run(op, [envelope("t.o", None, {"order_id": 10, "cust_id": 1, "total": 5.0}, 1),
+             envelope("t.o", None, {"order_id": 11, "cust_id": 2, "total": 7.0}, 2)])
+    mj.refresh(spark.createDataFrame([(1,), (2,)], "cust_id long"), 0)
+    assert as_set(mj.view.read().select("cust_id", "order_id")) == {(1, 10), (2, 11)}
+
+    # batch 2: order 11 moves to customer 1; customer 2 deleted
+    run(op, [envelope("t.o", {"order_id": 11, "cust_id": 2, "total": 7.0},
+                      {"order_id": 11, "cust_id": 1, "total": 7.0}, 3)])
+    run(cp, [envelope("t.c", {"cust_id": 2, "name": "bob"}, None, 3)])
+    mj.refresh(spark.createDataFrame([(1,), (2,)], "cust_id long"), 1)
+    got = as_set(mj.view.read().select("cust_id", "order_id"))
+    exp = as_set(mj.full_join().select("cust_id", "order_id"))
+    assert got == exp == {(1, 10), (1, 11)}
