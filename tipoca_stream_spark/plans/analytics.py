@@ -232,3 +232,52 @@ def dq_orders_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dq.in_set("o_orderstatus", ["F", "O", "P"]),
     ]
     return dq.violation_counts(orders, rules, unique_keys=["o_orderkey"])
+
+
+@query(
+    "feature_quantile_bins",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(value, 0.25) AS c1,
+             quantile_cont(value, 0.50) AS c2,
+             quantile_cont(value, 0.75) AS c3
+      FROM events)
+    SELECT bin, count(*) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM (
+      SELECT CASE WHEN value < c1 THEN 0
+                  WHEN value < c2 THEN 1
+                  WHEN value < c3 THEN 2
+                  ELSE 3 END AS bin,
+             value
+      FROM events, cuts)
+    GROUP BY bin
+    """,
+    survey_ref="training: equal-frequency feature binning",
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quartile) binning of a numeric feature WITHOUT a
+    global sort: exact percentile cut points come from one aggregate
+    (percentile_cont), broadcast as a 1-row join, and binning is a codegen
+    CASE — the scale-safe form of ntile() for feature engineering (a
+    global ntile window would funnel the fact through one task)."""
+    events = load_table(spark, sf_dir, "events")
+    cuts = events.agg(
+        F.percentile("value", F.lit(0.25)).alias("c1"),
+        F.percentile("value", F.lit(0.50)).alias("c2"),
+        F.percentile("value", F.lit(0.75)).alias("c3"),
+    )
+    binned = events.join(F.broadcast(cuts)).select(
+        F.when(F.col("value") < F.col("c1"), 0)
+        .when(F.col("value") < F.col("c2"), 1)
+        .when(F.col("value") < F.col("c3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
