@@ -281,3 +281,40 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+@query(
+    "events_moving_avg_1h",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                  OVER w AS DOUBLE)
+             / count(*) OVER w AS avg_1h
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    survey_ref="§2.7 time-based RANGE frame (sliding window feature)",
+)
+def events_moving_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour trailing average — the time-based RANGE frame.
+    Spark's rangeBetween is numeric, so the frame orders by epoch seconds
+    with a 3600-second lookback (identical row set to DuckDB's INTERVAL
+    frame: ts has microsecond precision and the boundary is inclusive in
+    both). The sum rides DECIMAL so the frame aggregation is
+    order-insensitive and cross-engine exact; one user-keyed shuffle."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("avg_1h"),
+    )
