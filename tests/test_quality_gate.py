@@ -61,3 +61,10 @@ def test_single_scan_for_row_rules(spark):
              dq.in_set("status", ["F", "O", "P"])]
     plan = dq.violation_counts(df, rules)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_fk_violations_detects_orphans(spark):
+    fact = spark.createDataFrame([(1,), (2,), (9,), (None,)], "k long")
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    row = dq.fk_violations(fact, "k", dim, "k").collect()[0]
+    assert (row["rule"], row["n_violations"]) == ("k_fk", 1)  # 9 orphaned; NULL ignored

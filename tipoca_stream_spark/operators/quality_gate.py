@@ -81,3 +81,21 @@ def assert_clean(df: DataFrame, rules, unique_keys=None) -> None:
     if bad:
         detail = ", ".join(f"{r['rule']}={r['n_violations']}" for r in bad)
         raise ValueError(f"quality gate failed: {detail}")
+
+
+def fk_violations(
+    df: DataFrame, col: str, dim: DataFrame, dim_col: str
+) -> DataFrame:
+    """(rule, n_violations) for referential integrity: non-NULL fact keys
+    with no match in the dimension. A left-anti join on the key — at scale
+    the dimension's distinct-key projection is what joins (broadcast when
+    small, keyed shuffle otherwise); NULL keys are `not_null`'s job."""
+    keys = dim.select(F.col(dim_col).alias(col)).distinct()
+    return (
+        df.filter(F.col(col).isNotNull())
+        .join(keys, col, "left_anti")
+        .agg(
+            F.lit(f"{col}_fk").alias("rule"),
+            F.count("*").cast("long").alias("n_violations"),
+        )
+    )

@@ -318,3 +318,89 @@ def events_moving_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").over(w)
         ).alias("avg_1h"),
     )
+
+
+@query(
+    "dq_orders_fk_gate",
+    """
+    SELECT 'o_custkey_fk' AS rule, count(*)::bigint AS n_violations
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'l_orderkey_fk', count(*)::bigint
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    survey_ref="DQ: referential integrity",
+)
+def dq_orders_fk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate: orders→customer and lineitem→orders.
+    Each check is one anti join against the dimension's distinct keys;
+    the fact is scanned once per relationship (unavoidable — different
+    join keys), output is two counter rows."""
+    from tipoca_stream_spark.operators.quality_gate import fk_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = fk_violations(
+        orders.select("o_custkey"),
+        "o_custkey",
+        customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+    )
+    b = fk_violations(
+        lineitem.select("l_orderkey"),
+        "l_orderkey",
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "events_click_to_purchase",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events WHERE event_type IN ('click', 'purchase'))
+    SELECT user_id,
+           count(*) AS n_conversions,
+           CAST(min(datediff('microsecond', ts, next_ts)) AS BIGINT) AS min_latency_us,
+           CAST(max(datediff('microsecond', ts, next_ts)) AS BIGINT) AS max_latency_us
+    FROM seq
+    WHERE event_type = 'click' AND next_type = 'purchase'
+    GROUP BY user_id
+    """,
+    survey_ref="analytics: event-sequence pattern (A immediately followed by B)",
+)
+def events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): click events
+    whose NEXT click-or-purchase event for the user is a purchase, with
+    latency bounds. One lead() window over the pre-filtered event pair —
+    a single user-keyed shuffle; latencies are exact integer micros."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("ts").over(w).alias("next_ts"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    lat_us = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    return (
+        seq.filter((F.col("event_type") == "click") & (F.col("next_type") == "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.min(lat_us).alias("min_latency_us"),
+            F.max(lat_us).alias("max_latency_us"),
+        )
+    )
