@@ -150,6 +150,14 @@ NEW_FAMILIES = [
     "events_retention_cohorts",
     "events_activity_streaks",
     "events_salted_counts",
+    "cdc_scd2_history",
+    "dq_orders_gate",
+    "dq_orders_fk_gate",
+    "events_click_to_purchase",
+    "events_moving_avg_1h",
+    "feature_quantile_bins",
+    "agg_string_concat",
+    "scalar_trycast_suite",
 ]
 
 
