@@ -148,3 +148,41 @@ def test_metadata_query_prunes_payload(spark, tmp_path):
 def test_pixel_decode_is_gated():
     with pytest.raises(NotImplementedError):
         mm.decode_image(mm.png_framed(2, 2))
+
+
+def test_wav_header_decode_golden():
+    from tipoca_stream_spark.operators.multimodal import decode_audio_header, wav_framed
+
+    fmt, ch, rate, bits, dur = decode_audio_header(wav_framed(2, 44100, 16, 44100))
+    assert (fmt, ch, rate, bits, dur) == ("wav", 2, 44100, 16, 1000)
+    assert decode_audio_header(b"RIFFxxxxNOPE") is None
+    assert decode_audio_header(b"") is None
+
+
+def test_mp4_header_decode_golden():
+    from tipoca_stream_spark.operators.multimodal import decode_video_header, mp4_framed
+
+    assert decode_video_header(mp4_framed(2500, 600)) == ("mp4", 2500)
+    assert decode_video_header(mp4_framed(0, 1000)) == ("mp4", 0)
+    assert decode_video_header(b"\x00\x00\x00\x08free") is None  # no ftyp
+
+
+def test_features_sniff_audio_video(spark):
+    from tipoca_stream_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        mp4_framed,
+        png_framed,
+        wav_framed,
+    )
+
+    rows = [
+        (1, "image", bytearray(png_framed(64, 32)), "image/png", None),
+        (2, "audio", bytearray(wav_framed(1, 16000, 16, 8000)), "audio/wav", None),
+        (3, "video", bytearray(mp4_framed(1234, 90000)), "video/mp4", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (64, 32)
+    assert (out[2]["channels"], out[2]["sample_rate"], out[2]["duration_ms"]) == (1, 16000, 500)
+    assert out[3]["duration_ms"] == 1234 and out[3]["width"] is None

@@ -41,6 +41,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
     ]
 )
 
@@ -126,6 +129,106 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     )
 
 
+def decode_audio_header(payload: bytes) -> tuple[str, int, int, int, int | None] | None:
+    """REAL WAV (RIFF) header decode, pure Python: walks the chunk list for
+    ``fmt `` (channels, sample rate, bits/sample — WAVE spec) and ``data``
+    (payload size → duration). Returns (fmt, channels, sample_rate, bits,
+    duration_ms) or None for non-WAV bytes."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, channels, rate, bits, data_size = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or channels is None or bits is None:
+        return None
+    duration_ms = None
+    if data_size is not None and rate and channels and bits:
+        duration_ms = data_size * 8000 // (rate * channels * bits)
+    return ("wav", channels, rate, bits, duration_ms)
+
+
+def wav_framed(
+    channels: int = 1, sample_rate: int = 16000, bits: int = 16, n_samples: int = 0
+) -> bytes:
+    """Header-valid WAV fixture builder (RIFF + fmt + data)."""
+    data = b"\x00" * (n_samples * channels * bits // 8)
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_video_header(payload: bytes) -> tuple[str, int | None] | None:
+    """REAL MP4 (ISO BMFF) header decode, pure Python: verifies the leading
+    ``ftyp`` box, then walks top-level boxes to ``moov``→``mvhd`` and reads
+    timescale/duration (version 0: 32-bit at +12/+16; version 1: 64-bit at
+    +20/+28). Returns (fmt, duration_ms) or None for non-MP4 bytes."""
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            typ = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1 and pos + 16 <= end:
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                hdr = 16
+            if size < hdr:
+                return
+            yield typ, pos + hdr, min(pos + size, end)
+            pos += size
+
+    top = list(boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    for typ, b0, b1 in top:
+        if typ != b"moov":
+            continue
+        for ityp, i0, i1 in boxes(payload, b0, b1):
+            if ityp != b"mvhd":
+                continue
+            version = payload[i0]
+            if version == 1 and i1 - i0 >= 36:
+                timescale = int.from_bytes(payload[i0 + 20 : i0 + 24], "big")
+                duration = int.from_bytes(payload[i0 + 24 : i0 + 32], "big")
+            elif i1 - i0 >= 24:
+                timescale = int.from_bytes(payload[i0 + 12 : i0 + 16], "big")
+                duration = int.from_bytes(payload[i0 + 16 : i0 + 20], "big")
+            else:
+                return ("mp4", None)
+            return ("mp4", duration * 1000 // timescale if timescale else None)
+    return ("mp4", None)
+
+
+def mp4_framed(duration_ms: int = 2000, timescale: int = 1000) -> bytes:
+    """Header-valid MP4 fixture builder (ftyp + moov/mvhd v0)."""
+    ftyp_body = b"isom" + (0).to_bytes(4, "big") + b"isom"
+    ftyp = (8 + len(ftyp_body)).to_bytes(4, "big") + b"ftyp" + ftyp_body
+    mvhd_body = bytes([0, 0, 0, 0]) + b"\x00" * 8  # version/flags + times
+    mvhd_body += timescale.to_bytes(4, "big")
+    mvhd_body += (duration_ms * timescale // 1000).to_bytes(4, "big")
+    mvhd_body += b"\x00" * 80  # rate/volume/matrix/next_track padding
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp + moov
+
+
 def _int4be(col):
     """4-byte big-endian binary of an int column, JVM-side (hex → lpad →
     unhex keeps the adapter a pure Catalyst projection)."""
@@ -161,9 +264,11 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
 
 def extract_features(media: DataFrame, frame_sample_rate: int = 10) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    ``mapInPandas``. Dimensions come from the REAL header parse
-    (``decode_image_header``); unrecognized payloads get NULL dims instead
-    of invented ones. ``n_frames`` remains the documented video stub."""
+    ``mapInPandas``. Every modality's header parse is REAL and sniffed from
+    magic bytes: image dims (PNG/JPEG/GIF/BMP), audio channels/rate/duration
+    (WAV RIFF), video duration (MP4 mvhd). Unrecognized payloads get NULL
+    fields instead of invented ones; ``n_frames`` remains the documented
+    pixel-level stub."""
     import hashlib
 
     import pandas as pd
@@ -175,6 +280,11 @@ def extract_features(media: DataFrame, frame_sample_rate: int = 10) -> DataFrame
                 payload = bytes(r["payload"]) if r["payload"] is not None else b""
                 hdr = decode_image_header(payload)
                 w, h = (hdr[1], hdr[2]) if hdr else (None, None)
+                audio = decode_audio_header(payload)
+                video = decode_video_header(payload)
+                channels = audio[1] if audio else None
+                rate = audio[2] if audio else None
+                duration = audio[4] if audio else (video[1] if video else None)
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -184,6 +294,9 @@ def extract_features(media: DataFrame, frame_sample_rate: int = 10) -> DataFrame
                         "width": w,
                         "height": h,
                         "n_frames": (len(payload) // frame_sample_rate) or 1,
+                        "channels": channels,
+                        "sample_rate": rate,
+                        "duration_ms": duration,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
