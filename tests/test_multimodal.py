@@ -186,3 +186,50 @@ def test_features_sniff_audio_video(spark):
     assert (out[1]["width"], out[1]["height"]) == (64, 32)
     assert (out[2]["channels"], out[2]["sample_rate"], out[2]["duration_ms"]) == (1, 16000, 500)
     assert out[3]["duration_ms"] == 1234 and out[3]["width"] is None
+
+
+def test_bmp_resize_is_real_nearest_neighbor():
+    import numpy as np
+
+    from tipoca_stream_spark.operators.multimodal import (
+        bmp_framed,
+        decode_image_header,
+        resize_bmp,
+    )
+
+    src = bmp_framed(8, 4)
+    out = resize_bmp(src, 4)
+    assert decode_image_header(out) == ("bmp", 4, 2)
+
+    def pixels_td(b):
+        off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        st = (w * 3 + 3) // 4 * 4
+        a = np.frombuffer(b, dtype=np.uint8, count=st * h, offset=off)
+        return a.reshape(h, st)[:, : w * 3].reshape(h, w, 3)[::-1]
+
+    s, o = pixels_td(src), pixels_td(out)
+    # conventional top-down NN: out[y, x] == src[y*h//nh, x*w//nw]
+    for y in range(2):
+        for x in range(4):
+            assert (o[y, x] == s[y * 4 // 2, x * 8 // 4]).all()
+    # non-BMP and compressed payloads fall back to the stub path
+    assert resize_bmp(b"\x89PNGxxxx", 4) is None
+
+
+def test_resize_operator_uses_real_bmp_kernel(spark):
+    from tipoca_stream_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        bmp_framed,
+        decode_image_header,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp_framed(64, 32)), "image/bmp", None)], MEDIA_SCHEMA
+    )
+    row = resize_images(media, max_dim=16).collect()[0]
+    assert (row["width"], row["height"]) == (16, 8)
+    # output is a VALID BMP of the new size, not a truncated payload
+    assert decode_image_header(bytes(row["resized"])) == ("bmp", 16, 8)

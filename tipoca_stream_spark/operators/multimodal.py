@@ -120,6 +120,95 @@ def png_framed(width: int, height: int, body: bytes = b"") -> bytes:
     return PNG_SIG + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr + b"\x00" * 4 + body
 
 
+def bmp_framed(width: int, height: int, pixels=None) -> bytes:
+    """Fully-valid 24-bit BI_RGB BMP builder (bottom-up rows, 4-byte row
+    padding). ``pixels`` is a height×width list of (b, g, r) tuples; the
+    default is a deterministic gradient. Unlike the other fixture builders
+    this one is a COMPLETE image — ``resize_bmp`` decodes its pixels."""
+    stride = (width * 3 + 3) // 4 * 4
+    if pixels is None:
+        pixels = [
+            [((x * 7) % 256, (y * 13) % 256, (x + y) % 256) for x in range(width)]
+            for y in range(height)
+        ]
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            row += bytes(pixels[y][x])
+        row += b"\x00" * (stride - len(row))
+        body += row
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    offset = 14 + 40
+    header = b"BM" + (offset + len(body)).to_bytes(4, "little") + b"\x00" * 4 + offset.to_bytes(4, "little")
+    return bytes(header + info + body)
+
+
+def resize_bmp(payload: bytes, max_dim: int) -> bytes | None:
+    """REAL pixel-level nearest-neighbor resize for uncompressed 24-bit
+    BMP — numpy only, no imaging library. Returns a valid BMP of the
+    scaled size, or None when the payload is not a 24-bit BI_RGB BMP
+    (compressed/other-depth images need PIL — the documented stub path)."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    offset = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flipped = h < 0  # negative height = top-down rows
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if offset + stride * h > len(payload):
+        return None
+    scale = min(1.0, max_dim / max(w, h))
+    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not flipped:
+        px = px[::-1]  # bottom-up storage → top-down for conventional NN
+    ys = (np.arange(nh) * h // nh).clip(0, h - 1)
+    xs = (np.arange(nw) * w // nw).clip(0, w - 1)
+    out = px[np.ix_(ys, xs)]  # nearest-neighbor gather (top-down coords)
+    if not flipped:
+        out = out[::-1]  # back to bottom-up for storage
+    nstride = (nw * 3 + 3) // 4 * 4
+    padded = np.zeros((nh, nstride), dtype=np.uint8)
+    padded[:, : nw * 3] = out.reshape(nh, nw * 3)
+    body = padded.tobytes()
+    info = (
+        (40).to_bytes(4, "little")
+        + nw.to_bytes(4, "little", signed=True)
+        + (-nh if flipped else nh).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    new_offset = 14 + 40
+    header = (
+        b"BM"
+        + (new_offset + len(body)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + new_offset.to_bytes(4, "little")
+    )
+    return header + info + body
+
+
 def decode_image(payload: bytes) -> tuple[int, int]:
     """Full pixel decode — requires an imaging library not present in this
     container. Header-only decode (``decode_image_header``) is real."""
@@ -316,11 +405,11 @@ RESIZED_SCHEMA = T.StructType(
 
 def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
     """Resize plumbing: Arrow-batched ``mapInPandas`` over binary payloads.
-    Target dimensions compute from the REAL header parse; only the resample
-    kernel itself is the stub (a real deployment calls PIL there — the
-    deterministic stand-in truncates the payload proportionally so output
-    sizes are testable). Unrecognized payloads pass through with NULL
-    dims."""
+    Target dimensions compute from the REAL header parse. The resample
+    kernel is REAL for uncompressed 24-bit BMP (``resize_bmp``: numpy
+    nearest-neighbor, no imaging library); compressed formats (PNG/JPEG/
+    GIF) still use the documented stand-in (truncation) since their pixel
+    decode needs PIL. Unrecognized payloads pass through with NULL dims."""
     import pandas as pd
 
     def resize(batches):
@@ -338,10 +427,15 @@ def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
                 _, w, h = hdr
                 scale = min(1.0, max_dim / max(w, h, 1))
                 nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                keep = max(int(len(payload) * scale * scale), 1) if payload else 0
+                real = resize_bmp(payload, max_dim) if hdr[0] == "bmp" else None
+                if real is not None:
+                    resized = real
+                else:
+                    keep = max(int(len(payload) * scale * scale), 1) if payload else 0
+                    resized = payload[:keep]
                 rows.append(
                     {"media_id": r["media_id"], "width": nw, "height": nh,
-                     "resized": payload[:keep]}
+                     "resized": resized}
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
