@@ -233,3 +233,47 @@ def test_resize_operator_uses_real_bmp_kernel(spark):
     assert (row["width"], row["height"]) == (16, 8)
     # output is a VALID BMP of the new size, not a truncated payload
     assert decode_image_header(bytes(row["resized"])) == ("bmp", 16, 8)
+
+
+def _sine_wav(rate=8000, n=8000, freq=440, amp=0.5, channels=1):
+    import numpy as np
+
+    from tipoca_stream_spark.operators.multimodal import wav_framed
+
+    t = np.arange(n) / rate
+    sig = (np.sin(2 * np.pi * freq * t) * 32767 * amp).astype("<i2")
+    if channels == 2:
+        sig = np.repeat(sig, 2)
+    base = wav_framed(channels, rate, 16, 0)
+    return base[: len(base) - 8] + b"data" + (2 * len(sig)).to_bytes(4, "little") + sig.tobytes()
+
+
+def test_wav_pcm_features_sine_golden():
+    from tipoca_stream_spark.operators.multimodal import wav_pcm_features
+
+    f = wav_pcm_features(_sine_wav())
+    assert abs(f["rms"] - 0.5 / 2**0.5) < 1e-3
+    assert abs(f["peak"] - 0.5) < 1e-3
+    assert abs(f["zero_crossings"] - 880) <= 2  # 2 crossings per 440Hz cycle
+    assert f["duration_ms"] == 1000
+    # stereo mixdown preserves the mono signal
+    f2 = wav_pcm_features(_sine_wav(channels=2))
+    assert abs(f2["rms"] - f["rms"]) < 1e-6 and f2["channels"] == 2
+    from tipoca_stream_spark.operators.multimodal import png_framed
+
+    assert wav_pcm_features(png_framed(4, 4)) is None
+
+
+def test_audio_features_operator(spark):
+    from tipoca_stream_spark.operators.multimodal import MEDIA_SCHEMA, audio_features, png_framed
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(_sine_wav()), "audio/wav", None),
+            (2, "image", bytearray(png_framed(4, 4)), "image/png", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert abs(out[1]["rms"] - 0.3536) < 1e-3 and out[1]["sample_rate"] == 8000
+    assert out[2]["rms"] is None  # non-audio rows: NULL features, not errors
