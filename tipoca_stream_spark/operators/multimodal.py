@@ -365,8 +365,8 @@ def extract_features(media: DataFrame, frame_sample_rate: int = 10) -> DataFrame
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            for kind, media_id, raw in zip(pdf["kind"], pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw) if raw is not None else b""
                 hdr = decode_image_header(payload)
                 w, h = (hdr[1], hdr[2]) if hdr else (None, None)
                 audio = decode_audio_header(payload)
@@ -376,8 +376,8 @@ def extract_features(media: DataFrame, frame_sample_rate: int = 10) -> DataFrame
                 duration = audio[4] if audio else (video[1] if video else None)
                 rows.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": media_id,
+                        "kind": kind,
                         "byte_len": len(payload),
                         "payload_md5": hashlib.md5(payload).hexdigest(),
                         "width": w,
@@ -415,12 +415,12 @@ def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
     def resize(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            for media_id, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw) if raw is not None else b""
                 hdr = decode_image_header(payload)
                 if hdr is None:
                     rows.append(
-                        {"media_id": r["media_id"], "width": None, "height": None,
+                        {"media_id": media_id, "width": None, "height": None,
                          "resized": payload}
                     )
                     continue
@@ -434,7 +434,7 @@ def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
                     keep = max(int(len(payload) * scale * scale), 1) if payload else 0
                     resized = payload[:keep]
                 rows.append(
-                    {"media_id": r["media_id"], "width": nw, "height": nh,
+                    {"media_id": media_id, "width": nw, "height": nh,
                      "resized": resized}
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
@@ -461,13 +461,13 @@ def sample_frames(media: DataFrame, every_nth: int = 10, frame_bytes: int = 64) 
     def sample(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            for media_id, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw) if raw is not None else b""
                 n_frames = max(len(payload) // frame_bytes, 1)
                 for i in range(0, n_frames, every_nth):
                     rows.append(
                         {
-                            "media_id": r["media_id"],
+                            "media_id": media_id,
                             "frame_no": i,
                             "frame": payload[i * frame_bytes : (i + 1) * frame_bytes],
                         }
@@ -539,10 +539,10 @@ def audio_features(media: DataFrame) -> DataFrame:
         cols = [f.name for f in AUDIO_FEATURE_SCHEMA.fields]
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            for media_id, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw) if raw is not None else b""
                 feats = wav_pcm_features(payload) or {}
-                rows.append({"media_id": r["media_id"], **{
+                rows.append({"media_id": media_id, **{
                     k: feats.get(k) for k in cols if k != "media_id"}})
             yield pd.DataFrame(rows, columns=cols)
 
