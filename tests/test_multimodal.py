@@ -277,3 +277,37 @@ def test_audio_features_operator(spark):
     out = {r["media_id"]: r for r in audio_features(media).collect()}
     assert abs(out[1]["rms"] - 0.3536) < 1e-3 and out[1]["sample_rate"] == 8000
     assert out[2]["rms"] is None  # non-audio rows: NULL features, not errors
+
+
+def test_mp4_sample_table_roundtrip():
+    from tipoca_stream_spark.operators.multimodal import (
+        mp4_framed,
+        mp4_framed_with_samples,
+        mp4_sample_table,
+    )
+
+    samples = [b"frame-zero!", b"f1", b"frame-two-bytes", b"f3", b"f4"]
+    payload = mp4_framed_with_samples(samples)
+    table = mp4_sample_table(payload)
+    assert [payload[o : o + n] for o, n in table] == samples
+    assert mp4_sample_table(mp4_framed(1000)) is None  # no stbl → None
+    assert mp4_sample_table(b"garbage") is None
+
+
+def test_sample_frames_uses_real_mp4_table(spark):
+    from tipoca_stream_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        mp4_framed_with_samples,
+        sample_frames,
+    )
+
+    samples = [f"sample-{i}".encode() for i in range(10)]
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(mp4_framed_with_samples(samples)), "video/mp4", None)],
+        MEDIA_SCHEMA,
+    )
+    out = sorted(
+        (r["frame_no"], bytes(r["frame"])) for r in sample_frames(media, every_nth=3).collect()
+    )
+    # every 3rd REAL compressed sample, exact bytes
+    assert out == [(0, b"sample-0"), (3, b"sample-3"), (6, b"sample-6"), (9, b"sample-9")]

@@ -453,9 +453,11 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(media: DataFrame, every_nth: int = 10, frame_bytes: int = 64) -> DataFrame:
     """Frame sampling for video payloads: one output row per sampled frame
-    (1→N mapInPandas). The frame extraction is the stub (ffmpeg in a real
-    deployment); the fake slices fixed-width windows so frame counts and
-    ordering are fully testable."""
+    (1→N mapInPandas). For MP4, the sample table (stsz/stsc/stco) is
+    REALLY walked and every Nth compressed sample's exact byte range is
+    emitted — no codec, so the bytes stay encoded. Non-MP4 payloads use
+    the documented fixed-width stand-in so counts/ordering stay
+    testable."""
     import pandas as pd
 
     def sample(batches):
@@ -463,6 +465,15 @@ def sample_frames(media: DataFrame, every_nth: int = 10, frame_bytes: int = 64) 
             rows = []
             for media_id, raw in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(raw) if raw is not None else b""
+                table = mp4_sample_table(payload)
+                if table:
+                    for i in range(0, len(table), every_nth):
+                        off, size = table[i]
+                        rows.append(
+                            {"media_id": media_id, "frame_no": i,
+                             "frame": payload[off : off + size]}
+                        )
+                    continue
                 n_frames = max(len(payload) // frame_bytes, 1)
                 for i in range(0, n_frames, every_nth):
                     rows.append(
@@ -526,6 +537,145 @@ def wav_pcm_features(payload: bytes) -> dict | None:
         "peak": float(np.max(np.abs(mono))),
         "zero_crossings": crossings,
     }
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1 and pos + 16 <= end:
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        if size < hdr:
+            return
+        yield typ, pos + hdr, min(pos + size, end)
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, path: list[bytes]):
+    if not path:
+        return (start, end)
+    for typ, b0, b1 in _walk_boxes(buf, start, end):
+        if typ == path[0]:
+            return _find_box(buf, b0, b1, path[1:])
+    return None
+
+
+def mp4_sample_table(payload: bytes) -> list[tuple[int, int]] | None:
+    """REAL ISO-BMFF sample-table walk: moov→trak→mdia→minf→stbl, then
+    stsz (sizes) + stsc (samples-per-chunk runs) + stco/co64 (chunk
+    offsets) resolved to absolute (offset, size) per sample — the actual
+    compressed frame byte ranges, no codec involved. None when the
+    payload is not MP4 or the table is incomplete."""
+    top = list(_walk_boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    stbl = _find_box(payload, 0, len(payload), [b"moov", b"trak", b"mdia", b"minf", b"stbl"])
+    if stbl is None:
+        return None
+    b0, b1 = stbl
+    sizes = chunk_offsets = stsc_runs = None
+    for typ, i0, i1 in _walk_boxes(payload, b0, b1):
+        if typ == b"stsz" and i1 - i0 >= 12:
+            fixed = int.from_bytes(payload[i0 + 4 : i0 + 8], "big")
+            count = int.from_bytes(payload[i0 + 8 : i0 + 12], "big")
+            if fixed:
+                sizes = [fixed] * count
+            else:
+                sizes = [
+                    int.from_bytes(payload[i0 + 12 + 4 * i : i0 + 16 + 4 * i], "big")
+                    for i in range(count)
+                    if i0 + 16 + 4 * i <= i1
+                ]
+        elif typ == b"stco" and i1 - i0 >= 8:
+            n = int.from_bytes(payload[i0 + 4 : i0 + 8], "big")
+            chunk_offsets = [
+                int.from_bytes(payload[i0 + 8 + 4 * i : i0 + 12 + 4 * i], "big")
+                for i in range(n)
+                if i0 + 12 + 4 * i <= i1
+            ]
+        elif typ == b"co64" and i1 - i0 >= 8:
+            n = int.from_bytes(payload[i0 + 4 : i0 + 8], "big")
+            chunk_offsets = [
+                int.from_bytes(payload[i0 + 8 + 8 * i : i0 + 16 + 8 * i], "big")
+                for i in range(n)
+                if i0 + 16 + 8 * i <= i1
+            ]
+        elif typ == b"stsc" and i1 - i0 >= 8:
+            n = int.from_bytes(payload[i0 + 4 : i0 + 8], "big")
+            stsc_runs = [
+                (
+                    int.from_bytes(payload[i0 + 8 + 12 * i : i0 + 12 + 12 * i], "big"),
+                    int.from_bytes(payload[i0 + 12 + 12 * i : i0 + 16 + 12 * i], "big"),
+                )
+                for i in range(n)
+                if i0 + 20 + 12 * i <= i1
+            ]
+    if not sizes or not chunk_offsets or not stsc_runs:
+        return None
+    # expand stsc runs → samples-per-chunk for every chunk
+    per_chunk = []
+    for idx, (first_chunk, spc) in enumerate(stsc_runs):
+        last = (
+            stsc_runs[idx + 1][0] - 1 if idx + 1 < len(stsc_runs) else len(chunk_offsets)
+        )
+        per_chunk += [spc] * (last - first_chunk + 1)
+    out, si = [], 0
+    for ci, coff in enumerate(chunk_offsets):
+        pos = coff
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= len(sizes):
+                break
+            out.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    return out or None
+
+
+def mp4_framed_with_samples(samples: list[bytes], timescale: int = 1000) -> bytes:
+    """Complete-enough MP4 fixture: ftyp + moov(mvhd + trak/mdia/minf/stbl
+    with stsz/stsc/stco for one chunk) + mdat holding the real sample
+    bytes. ``mp4_sample_table`` resolves exactly these byte ranges."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    def build(mdat_payload_offset: int) -> bytes:
+        stsz = box(
+            b"stsz",
+            b"\x00" * 4
+            + (0).to_bytes(4, "big")
+            + len(samples).to_bytes(4, "big")
+            + b"".join(len(x).to_bytes(4, "big") for x in samples),
+        )
+        stsc = box(
+            b"stsc",
+            b"\x00" * 4
+            + (1).to_bytes(4, "big")
+            + (1).to_bytes(4, "big")
+            + len(samples).to_bytes(4, "big")
+            + (1).to_bytes(4, "big"),
+        )
+        stco = box(
+            b"stco",
+            b"\x00" * 4 + (1).to_bytes(4, "big") + mdat_payload_offset.to_bytes(4, "big"),
+        )
+        stbl = box(b"stbl", stsz + stsc + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", minf)
+        trak = box(b"trak", mdia)
+        mvhd_body = bytes(4) + b"\x00" * 8 + timescale.to_bytes(4, "big")
+        mvhd_body += (timescale).to_bytes(4, "big") + b"\x00" * 80
+        moov = box(b"moov", box(b"mvhd", mvhd_body) + trak)
+        ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+        mdat = box(b"mdat", b"".join(samples))
+        return ftyp + moov + mdat
+
+    probe = build(0)
+    mdat_payload_offset = len(probe) - (8 + sum(len(x) for x in samples)) + 8
+    return build(mdat_payload_offset)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
