@@ -175,3 +175,21 @@ def test_quantize_has_no_exchange(spark):
     # narrow projection: zero shuffles at any scale
     plan = plan_of(spark, "embed_quantize_int8")
     assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_stratified_sample",
+        "window_topk_orders_per_customer",
+        "text_tfidf_topterms",
+        "similarity_batch_topk",
+    ],
+)
+def test_window_topk_gets_group_limit(spark, name):
+    # rank-filter top-k must trigger WindowGroupLimit: a per-partition
+    # partial top-k heap BEFORE the shuffle, so only ~k rows per group
+    # move — this is what makes per-stratum sampling safe when one
+    # stratum is a whole language at 100 TB
+    plan = plan_of(spark, name)
+    assert "WindowGroupLimit" in plan, f"{name}: window group-limit not applied"
