@@ -191,3 +191,44 @@ def test_composes_with_cdc_pipeline_batches(spark, tmp_path):
     got = as_set(mj.view.read().select("cust_id", "order_id"))
     exp = as_set(mj.full_join().select("cust_id", "order_id"))
     assert got == exp == {(1, 10), (1, 11)}
+
+
+def test_bucketed_view_delta_commit(spark, tmp_path):
+    """n_buckets mode: refresh rebuilds only the touched hash buckets and
+    hard-links the rest — and still equals the from-scratch join."""
+    import os
+
+    left = ParquetTargetTable(spark, str(tmp_path), "cust_b")
+    right = ParquetTargetTable(spark, str(tmp_path), "ord_b")
+    view = ParquetTargetTable(spark, str(tmp_path), "view_b")
+    mj = MaterializedJoin(spark, view, left, right, "cust_id", n_buckets=8)
+    cust = [(k, f"c{k}") for k in range(20)]
+    orders = [(100 + k, k, float(k)) for k in range(20)]
+    write_state(spark, left, cust, CUST_SCHEMA)
+    write_state(spark, right, orders, ORD_SCHEMA)
+    mj.refresh(spark.createDataFrame([(k,) for k in range(20)], "cust_id long"), 0)
+    v1 = view.current_version()
+
+    # touch ONE key: its bucket rewrites, others must link (same inodes)
+    write_state(spark, right, orders + [(999, 7, 7.5)], ORD_SCHEMA)
+    mj.refresh(spark.createDataFrame([(7,)], "cust_id long"), 1)
+    v2 = view.current_version()
+
+    def inodes(v):
+        out = {}
+        vdir = os.path.join(view.path, f"v={v}")
+        for d in os.listdir(vdir):
+            if d.startswith("_bucket="):
+                for f in os.listdir(os.path.join(vdir, d)):
+                    if f.endswith(".parquet"):
+                        out[(d, f)] = os.stat(os.path.join(vdir, d, f)).st_ino
+        return out
+
+    i1, i2 = inodes(v1), inodes(v2)
+    linked = {k for k in i2 if k in i1 and i1[k] == i2[k]}
+    rewritten_dirs = {d for (d, _) in set(i2) - linked}
+    assert linked, "no partitions were carried over as links"
+    assert len(rewritten_dirs) == 1, f"expected 1 rebuilt bucket, got {rewritten_dirs}"
+    got = as_set(mj.read().select("cust_id", "name", "order_id", "total"))
+    exp = as_set(mj.full_join().select("cust_id", "name", "order_id", "total"))
+    assert got == exp

@@ -167,3 +167,45 @@ def test_quantize_roundtrip_error_bounded(spark):
     )
     err = joined.collect()[0]["max_scaled_err"]
     assert err <= 0.5 + 1e-9, err
+
+
+def test_partition_delta_links_untouched_days(spark, tmp_path):
+    """partition_by_day commits are REAL deltas: a batch touching only
+    day 2 must hard-link day 1's files from the previous version (same
+    inode), not rewrite them — write cost O(touched partitions)."""
+    import os
+
+    d1 = [ev(0, 5, "view", 1.0)]  # 2026-01-01 (ev fixes the date)
+    from datetime import datetime
+
+    d2 = [(datetime(2026, 1, 2, 9, 0, 0), "view", 2.0)]
+    d2_late = [(datetime(2026, 1, 2, 9, 0, 30), "click", 3.0)]
+    target = ParquetTargetTable(spark, str(tmp_path), "rollup")
+    r = ContinuousRollup(spark, target, partition_by_day=True)
+    r.run_batch(batch_df(spark, d1), 0)
+    r.run_batch(batch_df(spark, d2), 1)
+    v2 = target.current_version()
+    r.run_batch(batch_df(spark, d2_late), 2)  # touches ONLY day 2
+    v3 = target.current_version()
+    day1_v2 = os.path.join(target.path, f"v={v2}", "bucket_date=2026-01-01")
+    day1_v3 = os.path.join(target.path, f"v={v3}", "bucket_date=2026-01-01")
+    files_v2 = {f: os.stat(os.path.join(day1_v2, f)).st_ino for f in os.listdir(day1_v2) if f.endswith(".parquet")}
+    files_v3 = {f: os.stat(os.path.join(day1_v3, f)).st_ino for f in os.listdir(day1_v3) if f.endswith(".parquet")}
+    assert files_v2 and files_v2 == files_v3  # same inodes: linked, not rewritten
+    # and the data still equals the one-shot aggregate
+    assert as_set(r.read()) == as_set(oracle(spark, d1, d2, d2_late))
+
+
+def test_partition_delta_survives_vacuum(spark, tmp_path):
+    """Removing old versions only unlinks names — the linked files live on
+    through the newer version's directory entries."""
+    from datetime import datetime
+
+    d1 = [ev(0, 5, "view", 1.0)]
+    d2 = [(datetime(2026, 1, 2, 9, 0, 0), "view", 2.0)]
+    target = ParquetTargetTable(spark, str(tmp_path), "rollup")
+    r = ContinuousRollup(spark, target, partition_by_day=True)
+    r.run_batch(batch_df(spark, d1), 0)
+    r.run_batch(batch_df(spark, d2), 1)
+    target.vacuum(keep=1)
+    assert as_set(r.read()) == as_set(oracle(spark, d1, d2))

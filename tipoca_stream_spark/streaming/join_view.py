@@ -16,8 +16,13 @@ either delta can change in J. So the refresh is:
 
 The view table is never shuffled (anti/semi joins are broadcast against
 the tiny touched-key set); the recompute joins two delta-pruned slices.
-At 100 TB with a 1 GiB batch, the rewrite cost is O(batch), not O(view) —
-compare a naive refresh, which re-joins two full tables per batch.
+The COMPUTE is O(batch) in both modes; the WRITE is O(batch) only with
+``n_buckets`` set — the view is then hive-partitioned on
+pmod(hash(key), n) and each refresh is a partition-delta commit
+(``ParquetTargetTable.write_partition_delta``): touched buckets rebuild,
+untouched buckets carry over as hard links. At 100 TB with a 1 GiB
+batch that's a handful of bucket rewrites versus a full-table rewrite
+per batch.
 
 Exactly-once: the refreshed-epoch set commits atomically with the view's
 version flip (same mechanism as CdcPipeline's T4 guard), so a replayed
@@ -51,20 +56,33 @@ class MaterializedJoin:
         left: ParquetTargetTable,
         right: ParquetTargetTable,
         join_key: str,
+        n_buckets: int | None = None,
     ):
         self.spark = spark
         self.view = view
         self.left = left
         self.right = right
         self.join_key = join_key
+        # with n_buckets set, the view is hive-partitioned on
+        # pmod(hash(join_key), n) and refresh commits are partition deltas:
+        # untouched buckets carry over as hard links, so the WRITE (not
+        # just the compute) is O(touched buckets) per batch
+        self.n_buckets = n_buckets
 
     def _epochs(self) -> set[int]:
         return set(self.view.read_metadata().get("join_epochs", []))
+
+    def _bucket(self, col: str):
+        return F.pmod(F.hash(F.col(col)), F.lit(self.n_buckets))
 
     def full_join(self) -> DataFrame:
         """The from-scratch join — used for bootstrap and as the test
         oracle."""
         return self.left.read().join(self.right.read(), self.join_key)
+
+    def read(self) -> DataFrame:
+        df = self.view.read()
+        return df.drop("_bucket") if self.n_buckets else df
 
     def refresh(self, delta_keys: DataFrame, epoch_id: int = 0) -> None:
         """Incremental maintenance: ``delta_keys`` is a 1-column DataFrame
@@ -77,7 +95,24 @@ class MaterializedJoin:
             F.col(delta_keys.columns[0]).alias(self.join_key)
         ).distinct()
         if not self.view.exists():
-            self.view.write(self.full_join(), metadata=meta)
+            out = self.full_join()
+            if self.n_buckets:
+                out = out.withColumn("_bucket", self._bucket(self.join_key))
+                self.view.write(out, partition_by=["_bucket"], metadata=meta)
+            else:
+                self.view.write(out, metadata=meta)
+            return
+        if self.n_buckets:
+            # rebuild only the touched hash buckets from the base tables
+            # (each side filtered by the same bucket expression — a scan
+            # predicate, no join); everything else hard-links over
+            buckets = [
+                r["b"] for r in touched.select(self._bucket(self.join_key).alias("b")).distinct().collect()
+            ]
+            lf = self.left.read().filter(self._bucket(self.join_key).isin(buckets))
+            rf = self.right.read().filter(self._bucket(self.join_key).isin(buckets))
+            rebuilt = lf.join(rf, self.join_key).withColumn("_bucket", self._bucket(self.join_key))
+            self.view.write_partition_delta(rebuilt, "_bucket", buckets, metadata=meta)
             return
         recomputed = (
             self.left.read()

@@ -81,31 +81,44 @@ class ContinuousRollup:
         epochs = self._merged_epochs()
         if epoch_id in epochs:
             return  # replayed epoch: already committed with a prior version
+        meta = {"rollup_epochs": sorted(epochs | {int(epoch_id)})}
         p = self.partials(batch_df)
-        if self.target.exists():
-            tgt = self.target.read()
+        if not self.target.exists():
+            out = p
             if self.partition_by_day:
-                tgt = tgt.drop("bucket_date")  # re-derived at write time
-            touched = p.select("bucket_start").distinct()
-            untouched = tgt.join(F.broadcast(touched), "bucket_start", "left_anti")
-            overlap = tgt.join(F.broadcast(touched), "bucket_start", "left_semi")
+                out = out.withColumn("bucket_date", F.to_date("bucket_start"))
+                self.target.write(out, partition_by=["bucket_date"], metadata=meta)
+            else:
+                self.target.write(out, metadata=meta)
+            return
+        if self.partition_by_day:
+            # partition-delta commit: READ only the touched dates (partition
+            # pruning) and WRITE only them (hard-linked carry-over for the
+            # rest) — both sides of the merge are O(batch), not O(table)
+            dates = [r["d"] for r in p.select(F.to_date("bucket_start").alias("d")).distinct().collect()]
+            overlap = (
+                self.target.read()
+                .filter(F.col("bucket_date").isin(dates))
+                .drop("bucket_date")
+            )
             merged = (
                 overlap.unionByName(p)
                 .groupBy("bucket_start", *self.keys)
                 .agg(F.sum("n").alias("n"), F.sum("sum_v").cast("decimal(18,6)").alias("sum_v"))
+                .withColumn("bucket_date", F.to_date("bucket_start"))
             )
-            out = untouched.unionByName(merged)
-        else:
-            out = p
-        partition_by = None
-        if self.partition_by_day:
-            out = out.withColumn("bucket_date", F.to_date("bucket_start"))
-            partition_by = ["bucket_date"]
-        self.target.write(
-            out,
-            partition_by=partition_by,
-            metadata={"rollup_epochs": sorted(epochs | {int(epoch_id)})},
+            self.target.write_partition_delta(merged, "bucket_date", dates, metadata=meta)
+            return
+        tgt = self.target.read()
+        touched = p.select("bucket_start").distinct()
+        untouched = tgt.join(F.broadcast(touched), "bucket_start", "left_anti")
+        overlap = tgt.join(F.broadcast(touched), "bucket_start", "left_semi")
+        merged = (
+            overlap.unionByName(p)
+            .groupBy("bucket_start", *self.keys)
+            .agg(F.sum("n").alias("n"), F.sum("sum_v").cast("decimal(18,6)").alias("sum_v"))
         )
+        self.target.write(untouched.unionByName(merged), metadata=meta)
 
     def run_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
         """Drive one micro-batch outside a streaming query (tests, backfill)."""
