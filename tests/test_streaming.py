@@ -347,3 +347,95 @@ def test_target_metadata_survives_compaction(spark, tmp_path):
     t.compact()
     assert t.read_metadata() == {"merged_epochs": [1, 2, 3]}
     assert t.read().count() == 10
+
+
+def _bucketed_pipeline(spark, tmp_path, name, hash_buckets=None):
+    cfg = CdcPipelineConfig(
+        table=name,
+        primary_keys=["id"],
+        row_schema=ROW_SCHEMA,
+        target_root=str(tmp_path / "targets"),
+        checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+        hash_buckets=hash_buckets,
+    )
+    return CdcPipeline(spark, cfg)
+
+
+def test_hash_bucketed_merge_equals_plain(spark, tmp_path):
+    """hash_buckets changes the commit layout, never the result: the
+    bucketed target equals the plain pipeline on the same event stream."""
+    batches = [
+        [envelope(i, f"v{i}", "c", i) for i in range(8)],
+        [envelope(3, "v3b", "u", 10), envelope(5, None, "d", 11),
+         envelope(9, "v9", "c", 12)],
+    ]
+    plain = _bucketed_pipeline(spark, tmp_path, "plain")
+    bucketed = _bucketed_pipeline(spark, tmp_path, "bucketed", hash_buckets=4)
+    for epoch, evs in enumerate(batches):
+        df = spark.createDataFrame([tuple(e.values()) for e in evs], RAW_SCHEMA)
+        plain.run_batch(df, epoch)
+        bucketed.run_batch(df, epoch)
+    cols = ["id", "name"]
+    a = {tuple(r[c] for c in cols) for r in plain.target.read().collect()}
+    b = {tuple(r[c] for c in cols) for r in bucketed.target.read().collect()}
+    assert a == b and len(a) == 8  # 8 created +1 new -1 deleted = 8
+
+
+def test_hash_bucketed_merge_links_untouched_buckets(spark, tmp_path):
+    import os
+
+    p = _bucketed_pipeline(spark, tmp_path, "delta", hash_buckets=8)
+    df1 = spark.createDataFrame(
+        [tuple(envelope(i, f"v{i}", "c", i).values()) for i in range(32)], RAW_SCHEMA
+    )
+    p.run_batch(df1, 0)
+    v1 = p.target.current_version()
+    # second batch touches ONE key → one bucket rewritten, others linked
+    df2 = spark.createDataFrame([tuple(envelope(3, "v3b", "u", 100).values())], RAW_SCHEMA)
+    p.run_batch(df2, 1)
+    v2 = p.target.current_version()
+
+    def inodes(v):
+        out = {}
+        vdir = os.path.join(p.target.path, f"v={v}")
+        for d in os.listdir(vdir):
+            if d.startswith("_bucket="):
+                for f in os.listdir(os.path.join(vdir, d)):
+                    if f.endswith(".parquet"):
+                        out[(d, f)] = os.stat(os.path.join(vdir, d, f)).st_ino
+        return out
+
+    i1, i2 = inodes(v1), inodes(v2)
+    linked = {k for k in i2 if k in i1 and i1[k] == i2[k]}
+    rewritten = {d for (d, _) in set(i2) - linked}
+    assert linked and len(rewritten) == 1, (len(linked), rewritten)
+    row = {r["id"]: r["name"] for r in p.target.read().collect()}
+    assert row[3] == "v3b" and len(row) == 32
+
+
+def test_hash_bucketed_schema_evolution_full_rewrite(spark, tmp_path):
+    """An add-column epoch cannot delta-commit (linked files can't gain
+    columns) — it must fall back to a full rewrite and stay correct."""
+    import json
+
+    p = _bucketed_pipeline(spark, tmp_path, "evolve", hash_buckets=4)
+    df1 = spark.createDataFrame(
+        [tuple(envelope(i, f"v{i}", "c", i).values()) for i in range(4)], RAW_SCHEMA
+    )
+    p.run_batch(df1, 0)
+    # widen the schema: new column appears in batch 2
+    wide_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType()),
+         T.StructField("email", T.StringType())]
+    )
+    p.config.row_schema = wide_schema
+    ev = {
+        "topic": "db.server.evolve", "partition": 0, "offset": 50,
+        "value": json.dumps({"before": None,
+                             "after": {"id": 9, "name": "n9", "email": "e9"},
+                             "op": "c", "ts_ms": 50}),
+    }
+    p.run_batch(spark.createDataFrame([tuple(ev.values())], RAW_SCHEMA), 1)
+    rows = {r["id"]: (r["name"], r["email"]) for r in p.target.read().collect()}
+    assert rows[9] == ("n9", "e9")
+    assert rows[0] == ("v0", None) and len(rows) == 5  # backfilled as NULL

@@ -97,6 +97,14 @@ class CdcPipelineConfig:
     # hive-partition the target's versions by these columns so the merge's
     # readers prune whole files (SCALE.md: partition-pruned CDC target)
     partition_by: list[str] | None = None
+    # hash-bucket the target on pmod(hash(primary_keys), n): each merge
+    # becomes a PARTITION-DELTA commit — only the buckets containing batch
+    # keys are read (partition-pruned) and rewritten; untouched buckets
+    # hard-link from the previous version (write_partition_delta). Makes
+    # the per-epoch merge O(batch), not O(table), on the write side too.
+    # Schema-evolution epochs fall back to a full rewrite (linked files
+    # cannot gain columns).
+    hash_buckets: int | None = None
     # compact the target every N committed epochs (None = never): streaming
     # merges write one file set per epoch; long-lived targets need the
     # small-file rewrite or scan cost drifts upward
@@ -180,8 +188,26 @@ class CdcPipeline:
         if self.config.store_offsets:
             target_cols.append(COL_KAFKA_OFFSET)
 
+        nb = self.config.hash_buckets
+        bucket_expr = (
+            F.pmod(F.hash(*[F.col(k) for k in self.config.primary_keys]), F.lit(nb))
+            if nb
+            else None
+        )
+        delta_buckets: list[int] | None = None
         if self.target.exists():
             current = self.target.read()
+            if nb and "_bucket" in current.columns:
+                evolved = set(target_cols) - set(current.columns)
+                if not evolved:
+                    # partition-delta path: read ONLY the buckets the batch
+                    # keys live in; rows outside them cannot change
+                    delta_buckets = sorted(
+                        r["b"]
+                        for r in batch_df.select(bucket_expr.alias("b")).distinct().collect()
+                    )
+                    current = current.filter(F.col("_bucket").isin(delta_buckets))
+                current = current.drop("_bucket")
             # D5 schema evolution: new columns appear as nulls on old rows
             for c in [c for c in target_cols if c not in current.columns]:
                 current = current.withColumn(c, F.lit(None).cast(batch_df.schema[c].dataType))
@@ -202,14 +228,31 @@ class CdcPipeline:
                 current, batch_df, self.config.primary_keys, counts, persist_registry=persisted
             )
         merged_epochs = sorted(self._merged_epochs() | {epoch_id})
-        self.target.write(
-            merged,
-            partition_by=self.config.partition_by,
-            metadata={"merged_epochs": merged_epochs},
-        )
+        if nb and delta_buckets is not None:
+            self.target.write_partition_delta(
+                merged.withColumn("_bucket", bucket_expr),
+                "_bucket",
+                delta_buckets,
+                metadata={"merged_epochs": merged_epochs},
+            )
+        elif nb:
+            # bootstrap or schema-evolution epoch: full bucketed rewrite
+            self.target.write(
+                merged.withColumn("_bucket", bucket_expr),
+                partition_by=["_bucket"],
+                metadata={"merged_epochs": merged_epochs},
+            )
+        else:
+            self.target.write(
+                merged,
+                partition_by=self.config.partition_by,
+                metadata={"merged_epochs": merged_epochs},
+            )
         n_merged = len(merged_epochs)
         if self.config.compact_every and n_merged % self.config.compact_every == 0:
-            self.target.compact(partition_by=self.config.partition_by)
+            self.target.compact(
+                partition_by=["_bucket"] if nb else self.config.partition_by
+            )
         for df in persisted + [batch_df]:  # don't leak cache across micro-batches
             df.unpersist()
 
