@@ -404,3 +404,38 @@ def events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(lat_us).alias("max_latency_us"),
         )
     )
+
+
+@query(
+    "analytics_part_cooccurrence",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM lp a JOIN lp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    survey_ref="analytics: market-basket co-occurrence (bounded self-join)",
+)
+def analytics_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs bought together in >= 2 orders. The self-join is keyed on
+    l_orderkey, so pair expansion is quadratic only WITHIN an order (TPC-H
+    orders hold <= 7 lines) — a bounded-group pair pattern, never an
+    all-pairs crossJoin. At 100 TB this is one orderkey-hash shuffle; a
+    pathological mega-order would need the same group-size cap as
+    lsh_candidate_pairs (corpus_dedup.py)."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -1,0 +1,68 @@
+"""Graph-ranking queries: PageRank over data-derived graphs.
+
+The oracle unrolls the fixed iteration count into chained CTEs — one
+(join + group-sum) pair per round, exactly mirroring the Spark loop in
+operators/pagerank.py — so DuckDB computes the identical fixpoint prefix
+and the driver's value-hash comparison stays exact (6-dp rounding absorbs
+summation-order float noise, the repo-wide convention)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.operators.pagerank import pagerank
+from tipoca_stream_spark.plans.registry import query
+from tipoca_stream_spark.sources.tables import load_table
+
+DAMPING = 0.85
+ITERS = 3
+
+
+def _pagerank_oracle(iters: int = ITERS, damping: float = DAMPING) -> str:
+    """Unrolled PageRank CTE chain over the supplier↔part bipartite graph."""
+    ctes = [
+        "le AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem)",
+        "edges AS (SELECT 's' || sk AS src, 'p' || pk AS dst FROM le"
+        " UNION ALL SELECT 'p' || pk, 's' || sk FROM le)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT count(*)::double AS n FROM nodes)",
+        "pr0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"mass{i} AS (SELECT e.dst AS node, sum(p.pr / d.outdeg) AS mass"
+            f" FROM edges e JOIN pr{i - 1} p ON p.node = e.src"
+            f" JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"pr{i} AS (SELECT nd.node,"
+            f" (1 - {damping}) / nn.n + {damping} * coalesce(m.mass, 0) AS pr"
+            f" FROM nodes nd CROSS JOIN nn LEFT JOIN mass{i} m ON m.node = nd.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(pr, 6) AS pagerank FROM pr{iters}"
+    )
+
+
+@query(
+    "graph_pagerank_supplier_part",
+    _pagerank_oracle(),
+    survey_ref="training: graph ranking (iterative PageRank)",
+)
+def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank suppliers and parts by centrality in the who-supplies-what
+    graph (symmetrized bipartite edges from lineitem). The same operator
+    ranks near-dup cluster members by linkage; this graph is chosen for
+    the gate because it is deterministic at every scale factor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, damping=DAMPING, iters=ITERS)
+    return ranks.select("node", F.round("pr", 6).alias("pagerank"))

@@ -242,3 +242,47 @@ def events_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return salted_count(events, "event_type", n_salts=16)
+
+
+CHUNK_LEN = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_LEN - CHUNK_STRIDE
+
+
+@query(
+    "corpus_chunk_windows",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    st AS (SELECT doc_id, w,
+                  unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS s
+           FROM tok)
+    SELECT doc_id,
+           (s // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+           array_to_string(w[s + 1 : s + {CHUNK_LEN}], ' ') AS chunk_text,
+           len(w[s + 1 : s + {CHUNK_LEN}])::BIGINT AS n_tokens
+    FROM st
+    """,
+    survey_ref="training: overlapping token-window chunking",
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slide a CHUNK_LEN-token window with CHUNK_STRIDE step over each
+    document — the standard context-window chunking step before embedding
+    or packing. Pure JVM expressions: sequence() generates the window
+    starts, posexplode fans them out, slice() cuts each chunk; a narrow
+    per-row transform with no shuffle at any scale (output rows ~= tokens
+    / stride per doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("w"))
+    starts = tok.select(
+        "doc_id",
+        "w",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "s"),
+    )
+    chunk = F.slice(F.col("w"), F.col("s") + 1, CHUNK_LEN)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

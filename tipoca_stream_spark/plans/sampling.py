@@ -6,7 +6,7 @@ the assignment itself is oracle-checked."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tipoca_stream_spark.plans.registry import query
@@ -75,4 +75,79 @@ def corpus_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "split")
         .agg(F.count("*").alias("n"))
+    )
+
+
+PSI_SALT = "psi-v1"
+PSI_BIN_WIDTH = 50.0  # fixed-width bins over events.value
+PSI_BINS = 10
+PSI_EPS = 1e-6  # clamp for empty bins (standard PSI practice)
+
+
+@query(
+    "dq_psi_drift",
+    f"""
+    WITH ev AS (
+      SELECT least({PSI_BINS - 1}, floor(value / {PSI_BIN_WIDTH}))::BIGINT AS bin,
+             CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || '{PSI_SALT}'), 1, 8))::BIGINT
+                       % 100 < {EVAL_PCT}
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM events),
+    c AS (SELECT bin,
+                 count(*) FILTER (split = 'train')::DOUBLE AS n_t,
+                 count(*) FILTER (split = 'eval')::DOUBLE AS n_e
+          FROM ev GROUP BY bin),
+    t AS (SELECT bin, n_t, n_e,
+                 sum(n_t) OVER () AS tot_t, sum(n_e) OVER () AS tot_e
+          FROM c),
+    p AS (SELECT bin,
+                 greatest(n_t / tot_t, {PSI_EPS}) AS p_train,
+                 greatest(n_e / tot_e, {PSI_EPS}) AS p_eval
+          FROM t)
+    SELECT bin,
+           round(p_train, 6) AS p_train,
+           round(p_eval, 6) AS p_eval,
+           round((p_train - p_eval) * ln(p_train / p_eval), 6) AS psi_term,
+           round(sum((p_train - p_eval) * ln(p_train / p_eval)) OVER (), 6) AS psi_total
+    FROM p
+    """,
+    survey_ref="dq: population-stability (drift) gate between splits",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the train and eval split of
+    events.value, binned fixed-width — the drift gate run before shipping
+    a refreshed training mix (PSI > 0.2 = investigate). One groupBy on
+    (bin) with conditional counts, then window totals over <= PSI_BINS
+    rows — the per-bin table is tiny at any corpus size, so the global
+    window is driver-cheap; the scan is the only O(data) stage."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.least(
+            F.lit(PSI_BINS - 1), F.floor(F.col("value") / PSI_BIN_WIDTH)
+        ).cast("long").alias("bin"),
+        F.when(_bucket(F.col("event_id"), PSI_SALT) < EVAL_PCT, "eval")
+        .otherwise("train")
+        .alias("split"),
+    )
+    c = ev.groupBy("bin").agg(
+        F.count(F.when(F.col("split") == "train", 1)).cast("double").alias("n_t"),
+        F.count(F.when(F.col("split") == "eval", 1)).cast("double").alias("n_e"),
+    )
+    w = Window.partitionBy()
+    t = c.select(
+        "bin",
+        (F.col("n_t") / F.sum("n_t").over(w)).alias("p_t_raw"),
+        (F.col("n_e") / F.sum("n_e").over(w)).alias("p_e_raw"),
+    )
+    p = t.select(
+        "bin",
+        F.greatest(F.col("p_t_raw"), F.lit(PSI_EPS)).alias("p_train"),
+        F.greatest(F.col("p_e_raw"), F.lit(PSI_EPS)).alias("p_eval"),
+    )
+    term = (F.col("p_train") - F.col("p_eval")) * F.log(F.col("p_train") / F.col("p_eval"))
+    return p.select(
+        "bin",
+        F.round("p_train", 6).alias("p_train"),
+        F.round("p_eval", 6).alias("p_eval"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(w), 6).alias("psi_total"),
     )
