@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ParquetTargetTable:
@@ -49,11 +50,25 @@ class ParquetTargetTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def read(self) -> DataFrame:
-        v = self.current_version()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current version, or any still-retained version (time travel —
+        versions are immutable, so a historical read is just a different
+        directory; ``vacuum`` bounds how far back travel reaches)."""
+        v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.name} has no committed version")
-        return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
+        vdir = os.path.join(self.path, f"v={v}")
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(f"table {self.name} version {v} not retained")
+        return self.spark.read.parquet(vdir)
+
+    def versions(self) -> list[int]:
+        """Retained version numbers, oldest first."""
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        )
 
     def read_metadata(self) -> dict:
         """Commit metadata of the current version (``{}`` when absent)."""
@@ -160,6 +175,102 @@ class ParquetTargetTable:
             f.write(str(v))
         os.replace(tmp, self._current_file)  # atomic on POSIX
         return v
+
+    def changes(
+        self, from_version: int, to_version: int, keys: list[str] | None = None
+    ) -> DataFrame:
+        """Change-data-feed between two retained versions: every row tagged
+        ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage} (the Delta CDF vocabulary). This is what lets a
+        downstream consumer — a cache, an index, a reverse-ETL sink — apply
+        O(changed rows) instead of re-reading the table, the same consumer
+        contract the reference's sink group serves with per-batch manifests.
+
+        When both versions were committed by the partition-delta path
+        (``_bucket``-partitioned), unchanged buckets are pruned BEFORE any
+        Spark work by comparing file inodes: a bucket carried over by
+        ``write_partition_delta`` hard-links the same files, so identical
+        inode sets prove identical bytes and only differing buckets are
+        scanned. At 100 TB that makes CDF cost O(touched buckets), not
+        O(table) — without the layout it degrades gracefully to a full
+        keyed diff.
+
+        With ``keys`` a full-outer join classifies inserts/deletes/updates
+        (non-key columns compared null-safely); without, a positional
+        multiset diff (``exceptAll`` both ways) yields inserts+deletes
+        only."""
+        old_dir = os.path.join(self.path, f"v={from_version}")
+        new_dir = os.path.join(self.path, f"v={to_version}")
+        for d, v in ((old_dir, from_version), (new_dir, to_version)):
+            if not os.path.isdir(d):
+                raise FileNotFoundError(f"table {self.name} version {v} not retained")
+
+        def bucket_inodes(vdir: str) -> dict[str, frozenset[int]] | None:
+            out: dict[str, frozenset[int]] = {}
+            for entry in os.listdir(vdir):
+                src = os.path.join(vdir, entry)
+                if entry.startswith("_bucket=") and os.path.isdir(src):
+                    out[entry] = frozenset(
+                        os.stat(os.path.join(src, fn)).st_ino
+                        for fn in os.listdir(src)
+                        if fn.endswith(".parquet")
+                    )
+            return out or None
+
+        def read_side(vdir: str, buckets: list[str] | None) -> DataFrame:
+            if buckets is None:
+                return self.spark.read.parquet(vdir)
+            if not buckets:
+                return self.spark.read.parquet(vdir).limit(0)
+            return self.spark.read.option("basePath", vdir).parquet(
+                *(os.path.join(vdir, b) for b in buckets)
+            )
+
+        ob, nb = bucket_inodes(old_dir), bucket_inodes(new_dir)
+        changed: list[str] | None = None
+        if ob is not None and nb is not None:
+            changed = sorted(k for k in ob.keys() | nb.keys() if ob.get(k) != nb.get(k))
+        old = read_side(old_dir, changed)
+        new = read_side(new_dir, changed)
+        if ob is not None:
+            old = old.drop("_bucket")
+        if nb is not None:
+            new = new.drop("_bucket")
+        # D5 schema evolution across the window: columns added since
+        # from_version read as NULL on the old side
+        for c in [c for c in new.columns if c not in old.columns]:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+
+        if keys is None:
+            cols = new.columns
+            ins = new.exceptAll(old.select(*cols)).withColumn("_change_type", F.lit("insert"))
+            dels = old.select(*cols).exceptAll(new).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            return ins.union(dels)
+
+        cols = new.columns
+        non_keys = [c for c in cols if c not in keys]
+        o = old.select(*cols).alias("o")
+        n = new.alias("n")
+        cond = [o[k].eqNullSafe(n[k]) for k in keys]
+        j = o.join(n, cond, "full_outer")
+        o_key0, n_key0 = o[keys[0]], n[keys[0]]
+        same = F.struct(*[o[c] for c in non_keys]).eqNullSafe(
+            F.struct(*[n[c] for c in non_keys])
+        )
+        ins = j.filter(o_key0.isNull() & n_key0.isNotNull()).select(
+            *[n[c] for c in cols], F.lit("insert").alias("_change_type")
+        )
+        dels = j.filter(n_key0.isNull() & o_key0.isNotNull()).select(
+            *[o[c] for c in cols], F.lit("delete").alias("_change_type")
+        )
+        upd = j.filter(o_key0.isNotNull() & n_key0.isNotNull() & ~same)
+        pre = upd.select(*[o[c] for c in cols], F.lit("update_preimage").alias("_change_type"))
+        post = upd.select(
+            *[n[c] for c in cols], F.lit("update_postimage").alias("_change_type")
+        )
+        return ins.union(dels).union(pre).union(post)
 
     def compact(self, target_files: int = 1, partition_by: list[str] | None = None) -> int:
         """Small-file compaction: rewrite the current version into
