@@ -151,3 +151,64 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(w), 6).alias("psi_total"),
     )
+
+
+WRS_SALT = "wrs-v1"
+WRS_K = 5  # keep per source
+
+
+@query(
+    "corpus_weighted_sample",
+    f"""
+    WITH u AS (
+      SELECT doc_id, source, n_chars,
+             (('0x' || substr(md5(doc_id::VARCHAR || '{WRS_SALT}'), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0 AS u
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(pow(u, 1.0 / n_chars), 9) AS k
+      FROM u),
+    ranked AS (
+      SELECT doc_id, source, n_chars, k,
+             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+      FROM keyed)
+    SELECT source, doc_id, n_chars, round(k, 6) AS sample_key
+    FROM ranked WHERE rn <= {WRS_K}
+    """,
+    survey_ref="training: weighted reservoir sampling (A-ES, deterministic)",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement: key =
+    u^(1/w) with w = n_chars, keep the top WRS_K keys per source. The
+    uniform u comes from the md5 split-hash (not rand()), so the draw is
+    reproducible across runs, engines, and partitionings — the property a
+    training-mix pipeline actually needs from its sampler. Keys are
+    rounded to 9 dp BEFORE ranking so the (key, doc_id) order is identical
+    in both engines despite last-ulp pow() differences. One window over
+    source partitions; at scale Spark's WindowGroupLimit pushes the rn
+    filter down to a per-partition top-k heap."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(WRS_SALT))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            + F.lit(0.5)
+        )
+        / F.lit(4294967296.0)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WRS_K)
+        .select("source", "doc_id", "n_chars", F.round("k", 6).alias("sample_key"))
+    )
