@@ -1,0 +1,48 @@
+"""Zone-map skipping: a range read must open only overlapping files and
+still return exactly the rows a full-scan filter would."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.sources.tables import load_table
+from tipoca_stream_spark.sources.zonemap import ZoneMappedTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_range_read_skips_files_and_matches_full_scan(spark, tmp_path):
+    t = ZoneMappedTable(spark, str(tmp_path / "ev"), zone_col="value")
+    t.write(load_table(spark, SF, "events"), n_files=8)
+    n_files = len(glob.glob(str(tmp_path / "ev" / "*.parquet")))
+    assert n_files == 8
+
+    got = t.read_range(10.0, 20.0)
+    scanned = set(got.inputFiles())
+    assert 0 < len(scanned) < n_files, (len(scanned), n_files)
+
+    want = sorted(
+        r["event_id"]
+        for r in t.read().filter(F.col("value").between(10.0, 20.0)).collect()
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == want and want
+
+
+def test_empty_range_reads_nothing(spark, tmp_path):
+    t = ZoneMappedTable(spark, str(tmp_path / "ev2"), zone_col="value")
+    t.write(load_table(spark, SF, "events"), n_files=4)
+    assert t.read_range(1e9, 2e9).count() == 0
+
+
+def test_timestamp_zone_column(spark, tmp_path):
+    t = ZoneMappedTable(spark, str(tmp_path / "ts"), zone_col="ts")
+    ev = load_table(spark, SF, "events")
+    t.write(ev, n_files=8)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 4
+    got = t.read_range(lo, mid)
+    assert 0 < len(set(got.inputFiles())) < 8
+    want = ev.filter(F.col("ts").between(lo, mid)).count()
+    assert got.count() == want and want > 0

@@ -1,0 +1,91 @@
+"""Zone-mapped tables: per-file min/max stats + range layout = file-level
+data skipping for predicates partitioning can't serve.
+
+The reference declares ``SORTKEY`` on every Redshift target (sortkey DDL
+in sources/jdbc.py D1, from the Debezium schema hints) precisely so the
+warehouse's zone maps can skip blocks on range predicates. This module is
+the engine-side equivalent for parquet targets, Delta/Iceberg data
+skipping reduced to its core:
+
+- **write**: ``repartitionByRange`` on the zone column, so each output
+  file owns a tight, nearly-disjoint value range (a random layout gives
+  every file min≈global-min/max≈global-max and skips nothing) — this is
+  the SORTKEY's physical meaning;
+- **stats**: one column-pruned pass collects per-file min/max into a
+  ``_zones.json`` sidecar (at warehouse scale these live in the commit
+  metadata, as Delta does);
+- **read**: a range predicate consults the sidecar and hands Spark only
+  the overlapping files — skipped files are never opened, never
+  scheduled, never counted in ``maxPartitionBytes`` math.
+
+Hive partitioning prunes on LOW-cardinality columns (dates, buckets);
+zone maps cover the continuous/high-cardinality ones (timestamps, ids,
+amounts) where a directory per value is impossible. At 100 TB a
+time-range query over a ts-zone-mapped table schedules the hour it asks
+for, not 8k tasks of full scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ZoneMappedTable:
+    def __init__(self, spark: SparkSession, path: str, zone_col: str):
+        self.spark = spark
+        self.path = path
+        self.zone_col = zone_col
+
+    @property
+    def _zones_file(self) -> str:
+        return os.path.join(self.path, "_zones.json")
+
+    def write(self, df: DataFrame, n_files: int = 8) -> None:
+        """Range-cluster on the zone column and persist per-file stats.
+        One extra column-pruned scan collects the zones; the write itself
+        is the one range shuffle that buys every later read its skipping."""
+        df.repartitionByRange(n_files, F.col(self.zone_col)).write.mode(
+            "overwrite"
+        ).parquet(self.path)
+        stats = (
+            self.spark.read.parquet(self.path)
+            .select(F.input_file_name().alias("file"), F.col(self.zone_col).alias("z"))
+            .groupBy("file")
+            .agg(F.min("z").alias("zmin"), F.max("z").alias("zmax"))
+            .collect()  # one row per file — bounded driver read
+        )
+        zones = {
+            r["file"]: {"min": _js(r["zmin"]), "max": _js(r["zmax"])} for r in stats
+        }
+        tmp = self._zones_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(zones, f)
+        os.replace(tmp, self._zones_file)
+
+    def read_range(self, lo, hi) -> DataFrame:
+        """Rows with ``zone_col`` in [lo, hi] — scanning only files whose
+        zone overlaps. The residual filter still applies (zones are file-
+        granular); correctness never depends on the stats, only speed."""
+        with open(self._zones_file) as f:
+            zones = json.load(f)
+        lo_s, hi_s = _js(lo), _js(hi)
+        files = [p for p, z in zones.items() if not (z["max"] < lo_s or z["min"] > hi_s)]
+        col = F.col(self.zone_col)
+        if not files:
+            return self.spark.read.parquet(self.path).limit(0)
+        df = self.spark.read.option("basePath", self.path).parquet(*files)
+        return df.filter(col.between(F.lit(lo), F.lit(hi)))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+
+def _js(v):
+    """JSON-comparable rendering that preserves ordering for the types a
+    zone column takes (numbers pass through; timestamps/dates/strings via
+    ISO-ish str())."""
+    return v if isinstance(v, (int, float)) else str(v)
