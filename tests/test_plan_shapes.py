@@ -193,3 +193,35 @@ def test_window_topk_gets_group_limit(spark, name):
     # stratum is a whole language at 100 TB
     plan = plan_of(spark, name)
     assert "WindowGroupLimit" in plan, f"{name}: window group-limit not applied"
+
+
+def test_chunk_windows_has_no_exchange(spark):
+    # sequence/posexplode/slice chunking is a narrow per-row transform
+    plan = plan_of(spark, "corpus_chunk_windows")
+    assert "Exchange" not in plan
+
+
+def test_pagerank_iterations_are_keyed_joins(spark):
+    # every round must be hash joins + hash aggregates on node ids —
+    # never a cartesian/BNLJ, never Python
+    plan = plan_of(spark, "graph_pagerank_supplier_part")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_cooccurrence_joins_on_orderkey(spark):
+    # the pair expansion must ride an equi-join on l_orderkey (bounded
+    # within-order quadratic), not a cross join with a filter
+    plan = plan_of(spark, "analytics_part_cooccurrence")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    # the vocab-probability join must broadcast the vocab side; the doc
+    # token stream must never sort-merge on the token
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -144,3 +144,93 @@ def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.quantize_int8(emb)
+
+
+from pyspark.sql import functions as F  # noqa: E402  (late family addition)
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    vc AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    tot AS (SELECT sum(c)::DOUBLE AS total, count(*)::DOUBLE AS v FROM vc),
+    p AS (SELECT w, (c + 1) / (total + v) AS pw FROM vc CROSS JOIN tot)
+    SELECT doc_id,
+           round(avg(ln(pw)), 6) AS avg_logprob,
+           count(*) AS n_tokens
+    FROM words JOIN p USING (w)
+    GROUP BY doc_id
+    """,
+    survey_ref="training: unigram LM scoring (perplexity-style quality signal)",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under the corpus's own add-1-
+    smoothed unigram model — the cheap perplexity stand-in used to flag
+    gibberish/outlier documents before training. Two aggregates (corpus
+    vocab, then per-doc mean over a vocab join); the vocab side is
+    broadcast-sized for any real tokenizer vocabulary, so the doc-side
+    scan never shuffles by token."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vc.agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    p = vc.crossJoin(F.broadcast(tot)).select(
+        "w", ((F.col("c") + 1) / (F.col("total") + F.col("v"))).alias("pw")
+    )
+    return (
+        words.join(F.broadcast(p), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log("pw")), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "embed_label_centroids",
+    """
+    WITH pos AS (SELECT label, unnest(generate_series(1, 64)) AS i, embedding
+                 FROM embeddings),
+    cent AS (SELECT label, i, avg(embedding[i]) AS v FROM pos GROUP BY label, i),
+    dot AS (SELECT a.label AS label_a, b.label AS label_b,
+                   sum(a.v * b.v) AS ab, sum(a.v * a.v) AS aa, sum(b.v * b.v) AS bb
+            FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+            GROUP BY 1, 2)
+    SELECT label_a, label_b, round(ab / sqrt(aa * bb), 6) AS cosine
+    FROM dot
+    """,
+    survey_ref="training: class-centroid similarity audit",
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between per-label embedding centroids — the
+    label-confusion audit run before training a classifier head (two
+    labels whose centroids cosine ~1 are candidates for merging). One
+    posexplode + (label, dim) aggregate reduces the corpus to k×64 rows;
+    the pairwise stage then joins a k×64 table with itself — trivially
+    broadcast at any corpus size, because k is the label-set size, not
+    the row count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("i0", "x"))
+    cent = pos.groupBy("label", (F.col("i0") + 1).alias("i")).agg(F.avg("x").alias("v"))
+    a = cent.select(F.col("label").alias("label_a"), "i", F.col("v").alias("va"))
+    b = cent.select(F.col("label").alias("label_b"), "i", F.col("v").alias("vb"))
+    dot = (
+        a.join(b, "i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("ab"),
+            F.sum(F.col("va") * F.col("va")).alias("aa"),
+            F.sum(F.col("vb") * F.col("vb")).alias("bb"),
+        )
+    )
+    return dot.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("ab") / F.sqrt(F.col("aa") * F.col("bb")), 6).alias("cosine"),
+    )
