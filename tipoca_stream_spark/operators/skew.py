@@ -67,18 +67,19 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_col: str | None = None,
 ) -> None:
-    """Persist as a bucketed managed table (distkey analogue). Subsequent
-    equi-joins between tables bucketed the same way need no Exchange."""
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
-    if sort_col:
-        writer = writer.sortBy(sort_col)
-    writer.saveAsTable(table_name)
+    """Deprecated alias — the full bucketed-table writer (one sorted file
+    per bucket, sort elision, bucket pruning) lives in
+    sources/bucketed.py; this delegates for round-1 callers."""
+    from tipoca_stream_spark.sources.bucketed import write_bucketed as _wb
+
+    _wb(df, table_name, n_buckets, [bucket_col], [sort_col] if sort_col else None)
 
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
-    """Join two identically-bucketed tables — with matching bucket specs
-    Catalyst plans a SortMergeJoin with zero Exchange on either side."""
-    return spark.table(left_table).join(spark.table(right_table), key)
+    """Deprecated alias for sources.bucketed.co_located_join."""
+    from tipoca_stream_spark.sources.bucketed import co_located_join
+
+    return co_located_join(spark, left_table, right_table, on=[key])
 
 
 def explain_has_exchange(df: DataFrame) -> bool:
