@@ -98,6 +98,11 @@ def main() -> None:
     QUERIES["tpch_q9_product_profit"].fn(spark, sf_dir).count()
     extras["tpch_q9_product_profit"] = round(time.perf_counter() - t0, 3)
     extras["tpch_total"] = round(t_family + extras["tpch_q9_product_profit"], 3)
+    # - graph_pagerank: the iterative-operator family's representative
+    #   (3 rounds of keyed join + group-sum with lineage truncation)
+    t0 = time.perf_counter()
+    QUERIES["graph_pagerank_supplier_part"].fn(spark, sf_dir).count()
+    extras["graph_pagerank"] = round(time.perf_counter() - t0, 3)
 
     print(
         json.dumps(

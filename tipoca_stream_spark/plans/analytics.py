@@ -439,3 +439,60 @@ def analytics_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "analytics_revenue_share",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT nation, region,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue AS DOUBLE) / CAST(sum(revenue) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           round(CAST(revenue AS DOUBLE) / CAST(sum(revenue) OVER () AS DOUBLE), 6)
+             AS share_of_total
+    FROM rev
+    """,
+    survey_ref="analytics: ratio-to-report (two-level share-of-total windows)",
+)
+def analytics_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's revenue as a share of its region and of the world —
+    the ratio-to-report pattern. The star join broadcasts every dim; the
+    two share windows run over the ~nations-sized aggregate, so the only
+    O(data) stage is the fact scan. Revenue goes through DECIMAL so both
+    engines sum exactly; shares divide as double only at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("decimal(18,4)").alias("revenue")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    rev_d = F.col("revenue").cast("double")
+    return rev.select(
+        "nation",
+        "region",
+        rev_d.alias("revenue"),
+        F.round(rev_d / F.sum("revenue").over(wr).cast("double"), 6).alias("share_of_region"),
+        F.round(rev_d / F.sum("revenue").over(wt).cast("double"), 6).alias("share_of_total"),
+    )
