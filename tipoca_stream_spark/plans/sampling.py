@@ -212,3 +212,62 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= WRS_K)
         .select("source", "doc_id", "n_chars", F.round("k", 6).alias("sample_key"))
     )
+
+
+@query(
+    "dq_chisq_drift",
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || '{PSI_SALT}'), 1, 8))::BIGINT
+                       % 100 < {EVAL_PCT}
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM events),
+    o AS (SELECT event_type, split, count(*)::DOUBLE AS n FROM ev GROUP BY 1, 2),
+    m AS (SELECT event_type, split, n,
+                 sum(n) OVER (PARTITION BY event_type) AS row_tot,
+                 sum(n) OVER (PARTITION BY split) AS col_tot,
+                 sum(n) OVER () AS grand
+          FROM o),
+    x AS (SELECT event_type, split, n,
+                 row_tot * col_tot / grand AS expected
+          FROM m)
+    SELECT event_type, split, n::BIGINT AS n,
+           round(expected, 6) AS expected,
+           round((n - expected) * (n - expected) / expected, 6) AS chisq_term,
+           round(sum((n - expected) * (n - expected) / expected) OVER (), 6) AS chisq_total
+    FROM x
+    """,
+    survey_ref="dq: categorical drift (chi-square independence of split x category)",
+)
+def dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between the train/eval assignment and
+    the event_type distribution — the categorical companion to
+    dq_psi_drift (a sound split shows chisq_total ≈ dof). Everything
+    after the one (event_type, split) count aggregate runs over a
+    categories×2 table, so the windows are cost-free at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(_bucket(F.col("event_id"), PSI_SALT) < EVAL_PCT, "eval")
+        .otherwise("train")
+        .alias("split"),
+    )
+    o = ev.groupBy("event_type", "split").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    m = o.select(
+        "event_type",
+        "split",
+        "n",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("split")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("grand"),
+    )
+    x = m.withColumn("expected", F.col("row_tot") * F.col("col_tot") / F.col("grand"))
+    term = (F.col("n") - F.col("expected")) ** 2 / F.col("expected")
+    return x.select(
+        "event_type",
+        "split",
+        F.col("n").cast("long").alias("n"),
+        F.round("expected", 6).alias("expected"),
+        F.round(term, 6).alias("chisq_term"),
+        F.round(F.sum(term).over(Window.partitionBy()), 6).alias("chisq_total"),
+    )
