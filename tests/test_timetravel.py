@@ -112,3 +112,43 @@ def test_changes_across_schema_evolution(spark, tmp_path):
         "update_preimage": (1, "a", None),
         "update_postimage": (1, "a", "x"),
     }
+
+
+def test_cdf_drives_downstream_incremental_aggregate(spark, tmp_path):
+    """A consumer maintains a per-name count by applying ONLY the change
+    feed between consecutive versions — never re-reading the table — and
+    stays equal to a full recompute after every epoch."""
+    cfg = CdcPipelineConfig(
+        table="agg",
+        primary_keys=["id"],
+        row_schema=ROW_SCHEMA,
+        target_root=str(tmp_path / "targets"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        hash_buckets=4,
+    )
+    p = CdcPipeline(spark, cfg)
+    batches = [
+        [envelope(i, f"n{i % 3}", "c", i) for i in range(9)],
+        [envelope(1, "n2", "u", 20), envelope(4, None, "d", 21), envelope(50, "n0", "c", 22)],
+        [envelope(50, None, "d", 30), envelope(2, "n0", "u", 31)],
+    ]
+    counts: dict[str, int] = {}
+    prev_v = None
+    for epoch, evs in enumerate(batches):
+        p.run_batch(spark.createDataFrame([tuple(e.values()) for e in evs], RAW_SCHEMA), epoch)
+        v = p.target.current_version()
+        if prev_v is None:
+            for r in p.target.read(version=v).collect():
+                counts[r["name"]] = counts.get(r["name"], 0) + 1
+        else:
+            for r in p.target.changes(prev_v, v, keys=["id"]).collect():
+                if r["_change_type"] in ("insert", "update_postimage"):
+                    counts[r["name"]] = counts.get(r["name"], 0) + 1
+                elif r["_change_type"] in ("delete", "update_preimage"):
+                    counts[r["name"]] -= 1
+        prev_v = v
+        full = {
+            r["name"]: r["n"]
+            for r in p.target.read().groupBy("name").agg(F.count("*").alias("n")).collect()
+        }
+        assert {k: v for k, v in counts.items() if v} == full, (epoch, counts, full)

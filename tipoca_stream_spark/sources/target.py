@@ -220,11 +220,13 @@ class ParquetTargetTable:
         def read_side(vdir: str, buckets: list[str] | None) -> DataFrame:
             if buckets is None:
                 return self.spark.read.parquet(vdir)
-            if not buckets:
+            # a bucket first written in the OTHER version has no directory
+            # on this side — it contributes no rows here, not an error
+            dirs = [os.path.join(vdir, b) for b in buckets]
+            dirs = [d for d in dirs if os.path.isdir(d)]
+            if not dirs:
                 return self.spark.read.parquet(vdir).limit(0)
-            return self.spark.read.option("basePath", vdir).parquet(
-                *(os.path.join(vdir, b) for b in buckets)
-            )
+            return self.spark.read.option("basePath", vdir).parquet(*dirs)
 
         ob, nb = bucket_inodes(old_dir), bucket_inodes(new_dir)
         changed: list[str] | None = None
