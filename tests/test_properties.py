@@ -218,3 +218,72 @@ def test_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+# --- bucketed partition-delta pipeline property ------------------------------
+
+pipeline_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # pk
+        st.sampled_from(["c", "u", "d"]),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pipeline_ops, st.sampled_from([1, 2, 3, 5]))
+def test_bucketed_pipeline_matches_python_oracle(spark, tmp_path_factory, events, buckets):
+    """Any op sequence, split across 3 epochs, through the hash-bucketed
+    partition-delta pipeline == a driver-side last-write-wins replay.
+    Pins the riskiest storage path: bucket pruning + hard-link carryover
+    must never change WHAT the merge computes."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from tipoca_stream_spark.streaming.pipeline import CdcPipeline, CdcPipelineConfig
+
+    row_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    raw_schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+    rows = []
+    state: dict[int, str] = {}
+    for off, (pk, op) in enumerate(events):
+        name = f"v{off}"
+        after = None if op == "d" else {"id": pk, "name": name}
+        # Debezium always carries the before-image on update/delete
+        before = {"id": pk, "name": "old"} if op in ("u", "d") else None
+        rows.append(
+            ("t", 0, off, json.dumps({"before": before, "after": after, "op": op, "ts_ms": off}))
+        )
+        if op == "d":
+            state.pop(pk, None)
+        else:
+            state[pk] = name
+
+    tmp = tmp_path_factory.mktemp("bucketed_prop")
+    cfg = CdcPipelineConfig(
+        table="t",
+        primary_keys=["id"],
+        row_schema=row_schema,
+        target_root=str(tmp / "targets"),
+        checkpoint_dir=str(tmp / "ckpt"),
+        hash_buckets=buckets,
+    )
+    p = CdcPipeline(spark, cfg)
+    third = max(1, len(rows) // 3)
+    epochs = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, chunk in enumerate(e for e in epochs if e):
+        p.run_batch(spark.createDataFrame(chunk, raw_schema), i)
+    got = {r["id"]: r["name"] for r in p.target.read().collect()}
+    assert got == state

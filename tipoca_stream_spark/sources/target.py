@@ -115,6 +115,7 @@ class ParquetTargetTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_dir)
+        self._ensure_readable(target_dir, df)
         if metadata:
             with open(os.path.join(target_dir, "_meta.json"), "w") as f:
                 json.dump(metadata, f)
@@ -151,6 +152,7 @@ class ParquetTargetTable:
         v = (prev or 0) + 1
         target_dir = os.path.join(self.path, f"v={v}")
         changed.write.mode("overwrite").partitionBy(partition_col).parquet(target_dir)
+        self._ensure_readable(target_dir, changed)
         changed_names = {f"{partition_col}={val}" for val in changed_values}
         if prev is not None:
             prev_dir = os.path.join(self.path, f"v={prev}")
@@ -175,6 +177,17 @@ class ParquetTargetTable:
             f.write(str(v))
         os.replace(tmp, self._current_file)  # atomic on POSIX
         return v
+
+    def _ensure_readable(self, target_dir: str, df: DataFrame) -> None:
+        """A PARTITIONED write of zero rows emits no parquet files at all
+        (partition dirs come from row values), leaving an unreadable
+        version — e.g. a delete-only epoch that empties the table. Detect
+        the no-files case and write one schema-carrying empty file so
+        readers and later merges see an empty table, not an error."""
+        for _, _, files in os.walk(target_dir):
+            if any(f.endswith(".parquet") for f in files):
+                return
+        df.limit(0).write.mode("overwrite").parquet(target_dir)
 
     def changes(
         self, from_version: int, to_version: int, keys: list[str] | None = None
