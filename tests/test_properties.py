@@ -287,3 +287,78 @@ def test_bucketed_pipeline_matches_python_oracle(spark, tmp_path_factory, events
         p.run_batch(spark.createDataFrame(chunk, raw_schema), i)
     got = {r["id"]: r["name"] for r in p.target.read().collect()}
     assert got == state
+
+
+@settings(max_examples=8, deadline=None)
+@given(pipeline_ops, pipeline_ops)
+def test_cdf_matches_python_diff(spark, tmp_path_factory, batch1, batch2):
+    """changes(v1, v2, keys) over any two epochs == the driver-side diff of
+    the replayed states (insert/delete/update classification included)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from tipoca_stream_spark.streaming.pipeline import CdcPipeline, CdcPipelineConfig
+
+    row_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    raw_schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+
+    def to_rows(events, base_off):
+        rows, delta = [], {}
+        for off, (pk, op) in enumerate(events, start=base_off):
+            name = f"v{off}"
+            after = None if op == "d" else {"id": pk, "name": name}
+            before = {"id": pk, "name": "old"} if op in ("u", "d") else None
+            rows.append(
+                ("t", 0, off, json.dumps({"before": before, "after": after, "op": op, "ts_ms": off}))
+            )
+            delta[pk] = None if op == "d" else name
+        return rows, delta
+
+    rows1, d1 = to_rows(batch1, 0)
+    rows2, d2 = to_rows(batch2, 1000)
+    s1 = {pk: v for pk, v in d1.items() if v is not None}
+    s2 = dict(s1)
+    for pk, v in d2.items():
+        if v is None:
+            s2.pop(pk, None)
+        else:
+            s2[pk] = v
+
+    tmp = tmp_path_factory.mktemp("cdf_prop")
+    cfg = CdcPipelineConfig(
+        table="t",
+        primary_keys=["id"],
+        row_schema=row_schema,
+        target_root=str(tmp / "targets"),
+        checkpoint_dir=str(tmp / "ckpt"),
+        hash_buckets=4,
+    )
+    p = CdcPipeline(spark, cfg)
+    p.run_batch(spark.createDataFrame(rows1, raw_schema), 0)
+    p.run_batch(spark.createDataFrame(rows2, raw_schema), 1)
+    v1, v2 = p.target.versions()
+
+    want = set()
+    for pk in s2.keys() - s1.keys():
+        want.add(("insert", pk, s2[pk]))
+    for pk in s1.keys() - s2.keys():
+        want.add(("delete", pk, s1[pk]))
+    for pk in s1.keys() & s2.keys():
+        if s1[pk] != s2[pk]:
+            want.add(("update_preimage", pk, s1[pk]))
+            want.add(("update_postimage", pk, s2[pk]))
+    got = {
+        (r["_change_type"], r["id"], r["name"])
+        for r in p.target.changes(v1, v2, keys=["id"]).collect()
+    }
+    assert got == want
