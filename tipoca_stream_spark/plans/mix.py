@@ -286,3 +286,36 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+SOURCE_CAP = 20  # max docs retained per source
+
+
+@query(
+    "corpus_source_caps",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, n_chars
+    FROM scored WHERE rn <= {SOURCE_CAP}
+    """,
+    survey_ref="training: per-source document caps (domain-cap pattern)",
+)
+def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source's contribution at SOURCE_CAP docs, keeping the
+    longest first (the per-domain cap every web-scale corpus applies so a
+    single crawler-friendly site can't dominate the mix). Deterministic
+    rank: (n_chars DESC, doc_id). WindowGroupLimit pushes the rn filter
+    into a per-partition top-k heap, so only ~cap rows per source ever
+    shuffle — the property that makes the cap safe when one domain has a
+    billion pages."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -289,12 +289,21 @@ class ParquetTargetTable:
 
     def compact(self, target_files: int = 1, partition_by: list[str] | None = None) -> int:
         """Small-file compaction: rewrite the current version into
-        ``target_files`` files (per partition directory if partitioned) and
-        commit it as a new version. Streaming merges produce one file set
-        per epoch; without periodic compaction a long-lived target's scan
-        cost is dominated by file-open overhead. coalesce (not repartition)
-        — a pure narrow rewrite, no shuffle."""
-        df = self.read().coalesce(target_files)
+        ``target_files`` files (one per partition directory if partitioned)
+        and commit it as a new version. Streaming merges produce one file
+        set per epoch; without periodic compaction a long-lived target's
+        scan cost is dominated by file-open overhead.
+
+        Unpartitioned: ``coalesce`` — a pure narrow rewrite, no shuffle.
+        Partitioned: hash-``repartition`` on the partition columns so each
+        task owns whole partition values and writes one file per value —
+        ``coalesce(1)`` here would funnel the entire table through a
+        single task, which is exactly the 100 TB mistake."""
+        df = self.read()
+        if partition_by:
+            df = df.repartition(*[F.col(c) for c in partition_by])
+        else:
+            df = df.coalesce(target_files)
         return self.write(df, partition_by=partition_by)
 
     def swap_from(self, other: "ParquetTargetTable") -> None:
