@@ -234,3 +234,76 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         F.round(F.col("ab") / F.sqrt(F.col("aa") * F.col("bb")), 6).alias("cosine"),
     )
+
+
+LM_LAMBDA = 0.7  # bigram weight; (1-λ) backs off to the add-1 unigram
+
+
+@query(
+    "text_bigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM tok),
+    tw AS (SELECT doc_id, w[i] AS wd, CASE WHEN i > 1 THEN w[i - 1] END AS prev
+           FROM pos),
+    uni AS (SELECT wd, count(*) AS c FROM tw GROUP BY wd),
+    tot AS (SELECT sum(c)::DOUBLE AS total, count(*)::DOUBLE AS v FROM uni),
+    big AS (SELECT prev, wd, count(*) AS cb FROM tw WHERE prev IS NOT NULL GROUP BY 1, 2),
+    pc AS (SELECT prev, sum(cb)::DOUBLE AS cprev FROM big GROUP BY prev),
+    scored AS (
+      SELECT t.doc_id,
+             ln({LM_LAMBDA} * (b.cb / p.cprev)
+                + {1 - LM_LAMBDA} * ((u.c + 1) / (tot.total + tot.v))) AS lp
+      FROM tw t
+      JOIN big b ON b.prev = t.prev AND b.wd = t.wd
+      JOIN pc p ON p.prev = t.prev
+      JOIN uni u ON u.wd = t.wd
+      CROSS JOIN tot
+      WHERE t.prev IS NOT NULL)
+    SELECT doc_id, round(avg(lp), 6) AS avg_bigram_logprob, count(*) AS n_scored
+    FROM scored GROUP BY doc_id
+    """,
+    survey_ref="training: interpolated bigram LM scoring",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean log-prob under a Jelinek-Mercer-interpolated bigram
+    model trained on the corpus itself — the next step up from
+    text_unigram_logprob for gibberish/outlier detection (word salad has
+    plausible unigrams but improbable bigrams). The bigram and unigram
+    tables are vocab²-bounded — broadcast-sized for real tokenizers — so
+    the token stream joins them map-side and never shuffles by token."""
+    docs = load_table(spark, sf_dir, "documents")
+    tw = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "wd"),
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        "wd",
+        F.when(F.col("i0") > 0, F.element_at("w", F.col("i0"))).alias("prev"),
+    )
+    uni = tw.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(
+        F.sum("c").cast("double").alias("total"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    big = (
+        tw.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "wd")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    pc = big.groupBy("prev").agg(F.sum("cb").cast("double").alias("cprev"))
+    lp = F.log(
+        F.lit(LM_LAMBDA) * (F.col("cb") / F.col("cprev"))
+        + F.lit(1 - LM_LAMBDA) * ((F.col("c") + 1) / (F.col("total") + F.col("v")))
+    )
+    return (
+        tw.filter(F.col("prev").isNotNull())
+        .join(F.broadcast(big), ["prev", "wd"])
+        .join(F.broadcast(pc), "prev")
+        .join(F.broadcast(uni), "wd")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(lp), 6).alias("avg_bigram_logprob"),
+            F.count(F.lit(1)).alias("n_scored"),
+        )
+    )
