@@ -168,3 +168,19 @@ def test_cr_builds_a_running_pipeline(spark, tmp_path):
     row = p.target.read().collect()[0]
     # name is PII → masked hash; name_length derived per the CR's mask file
     assert row["name"] != "alice" and row["name_length"] == 5
+
+
+def test_per_topic_release_condition_overrides():
+    from tipoca_stream_spark.sources.redshiftsink import lag_monitor_from_spec
+
+    spec = RedshiftSinkSpec.from_dict(
+        {
+            "releaseCondition": {"maxBatcherLag": 100, "maxLoaderLag": 10},
+            "topicReleaseCondition": {"db.inventory.orders": {"maxBatcherLag": 0}},
+        }
+    )
+    mon = lag_monitor_from_spec(spec)
+    mon.observe_progress("db.inventory.orders", 1)
+    mon.observe_progress("db.inventory.users", 1)
+    assert not mon.is_realtime("db.inventory.orders")  # override: must be fully caught up
+    assert mon.is_realtime("db.inventory.users")  # global ceiling applies

@@ -171,3 +171,17 @@ class RedshiftSinkSpec:
             self.max_batcher_lag if self.max_batcher_lag is not None else DEFAULT_MAX_BATCHER_LAG,
             self.max_loader_lag if self.max_loader_lag is not None else DEFAULT_MAX_LOADER_LAG,
         )
+
+
+def lag_monitor_from_spec(spec: RedshiftSinkSpec):
+    """O3 wiring: a LagMonitor carrying the CR's global maxBatcherLag and
+    its per-topic topicReleaseCondition overrides."""
+    from tipoca_stream_spark.streaming.supervisor import LagMonitor
+
+    overrides = {
+        topic: cond["maxBatcherLag"]
+        for topic, cond in spec.topic_release_conditions.items()
+        if isinstance(cond, dict) and "maxBatcherLag" in cond
+    }
+    batcher_lag, _ = spec.lag_thresholds()
+    return LagMonitor(max_lag=batcher_lag, max_lag_overrides=overrides)

@@ -39,14 +39,19 @@ class LagMonitor:
 
     max_lag: int = DEFAULT_MAX_BATCHER_LAG
     last_lag: dict[str, int] = field(default_factory=dict)
+    # per-topic release-condition overrides — the CR's topicReleaseCondition
+    # map (redshiftsink_types.go TopicReleaseCondition)
+    max_lag_overrides: dict[str, int] = field(default_factory=dict)
 
     def observe_progress(self, query_name: str, num_input_rows: int) -> None:
         self.last_lag[query_name] = num_input_rows
 
     def is_realtime(self, query_name: str) -> bool:
         """Release condition: recent input volume under the lag ceiling
-        (the reference compares Kafka last-offset - current-offset)."""
-        return self.last_lag.get(query_name, self.max_lag + 1) <= self.max_lag
+        (the reference compares Kafka last-offset - current-offset);
+        per-topic overrides win over the global ceiling."""
+        limit = self.max_lag_overrides.get(query_name, self.max_lag)
+        return self.last_lag.get(query_name, limit + 1) <= limit
 
 
 @dataclass
