@@ -46,3 +46,28 @@ def test_timestamp_zone_column(spark, tmp_path):
     assert 0 < len(set(got.inputFiles())) < 8
     want = ev.filter(F.col("ts").between(lo, mid)).count()
     assert got.count() == want and want > 0
+
+
+def test_correlated_extra_column_also_skips(spark, tmp_path):
+    # events.ts correlates with event_id in the testdata generator, so a
+    # range predicate on the NON-layout column still prunes files
+    t = ZoneMappedTable(spark, str(tmp_path / "ev3"), zone_col="ts", extra_cols=["event_id"])
+    ev = load_table(spark, SF, "events")
+    t.write(ev, n_files=8)
+    lo = ev.agg(F.min("event_id")).first()[0]
+    hi = lo + 100
+    got = t.read_range(lo, hi, col="event_id")
+    assert 0 < len(set(got.inputFiles())) < 8
+    want = sorted(r["event_id"] for r in ev.filter(F.col("event_id").between(lo, hi)).collect())
+    assert sorted(r["event_id"] for r in got.collect()) == want and want
+
+
+def test_uncorrelated_column_still_correct(spark, tmp_path):
+    # value does NOT correlate with the ts layout: pruning may keep every
+    # file, but the result must still be exactly the filter's rows
+    t = ZoneMappedTable(spark, str(tmp_path / "ev4"), zone_col="ts", extra_cols=["value"])
+    ev = load_table(spark, SF, "events")
+    t.write(ev, n_files=8)
+    got = sorted(r["event_id"] for r in t.read_range(10.0, 20.0, col="value").collect())
+    want = sorted(r["event_id"] for r in ev.filter(F.col("value").between(10.0, 20.0)).collect())
+    assert got == want and want

@@ -35,50 +35,77 @@ from pyspark.sql import functions as F
 
 
 class ZoneMappedTable:
-    def __init__(self, spark: SparkSession, path: str, zone_col: str):
+    """``zone_col`` drives the range layout (the clustering/SORTKEY
+    column); ``extra_cols`` are additionally tracked in the sidecar, so
+    predicates on them can skip files too — they prune well when they
+    CORRELATE with the layout column (ts↔id, ts↔offset — common in CDC),
+    exactly like Redshift zone maps on non-sortkey columns."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        zone_col: str,
+        extra_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.zone_col = zone_col
+        self.extra_cols = extra_cols or []
 
     @property
     def _zones_file(self) -> str:
         return os.path.join(self.path, "_zones.json")
 
     def write(self, df: DataFrame, n_files: int = 8) -> None:
-        """Range-cluster on the zone column and persist per-file stats.
-        One extra column-pruned scan collects the zones; the write itself
-        is the one range shuffle that buys every later read its skipping."""
+        """Range-cluster on the zone column and persist per-file stats for
+        it and every extra column. One extra column-pruned scan collects
+        the zones; the write itself is the one range shuffle that buys
+        every later read its skipping."""
         df.repartitionByRange(n_files, F.col(self.zone_col)).write.mode(
             "overwrite"
         ).parquet(self.path)
+        tracked = [self.zone_col, *self.extra_cols]
+        aggs = []
+        for c in tracked:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
         stats = (
             self.spark.read.parquet(self.path)
-            .select(F.input_file_name().alias("file"), F.col(self.zone_col).alias("z"))
+            .select(F.input_file_name().alias("file"), *tracked)
             .groupBy("file")
-            .agg(F.min("z").alias("zmin"), F.max("z").alias("zmax"))
+            .agg(*aggs)
             .collect()  # one row per file — bounded driver read
         )
         zones = {
-            r["file"]: {"min": _js(r["zmin"]), "max": _js(r["zmax"])} for r in stats
+            r["file"]: {
+                c: {"min": _js(r[f"min_{c}"]), "max": _js(r[f"max_{c}"])} for c in tracked
+            }
+            for r in stats
         }
         tmp = self._zones_file + ".tmp"
         with open(tmp, "w") as f:
             json.dump(zones, f)
         os.replace(tmp, self._zones_file)
 
-    def read_range(self, lo, hi) -> DataFrame:
-        """Rows with ``zone_col`` in [lo, hi] — scanning only files whose
-        zone overlaps. The residual filter still applies (zones are file-
-        granular); correctness never depends on the stats, only speed."""
+    def read_range(self, lo, hi, col: str | None = None) -> DataFrame:
+        """Rows with ``col`` (default: the layout column) in [lo, hi] —
+        scanning only files whose zone overlaps. The residual filter still
+        applies (zones are file-granular); correctness never depends on
+        the stats, only speed."""
+        col = col or self.zone_col
         with open(self._zones_file) as f:
             zones = json.load(f)
         lo_s, hi_s = _js(lo), _js(hi)
-        files = [p for p, z in zones.items() if not (z["max"] < lo_s or z["min"] > hi_s)]
-        col = F.col(self.zone_col)
+        files = [
+            p
+            for p, cols in zones.items()
+            if col not in cols or not (cols[col]["max"] < lo_s or cols[col]["min"] > hi_s)
+        ]
+        c = F.col(col)
         if not files:
             return self.spark.read.parquet(self.path).limit(0)
         df = self.spark.read.option("basePath", self.path).parquet(*files)
-        return df.filter(col.between(F.lit(lo), F.lit(hi)))
+        return df.filter(c.between(F.lit(lo), F.lit(hi)))
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
