@@ -752,3 +752,97 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "tpch_q12_priority_by_returnflag",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    survey_ref="§2.5 conditional agg, §2.6 fact-fact join (TPC-H Q12 shape)",
+)
+def tpch_q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes & order priority); the schema has no
+    l_shipmode, so l_returnflag plays the mode and the ship-year window
+    replaces receipt-date bounds. The priority split is the canonical
+    conditional aggregation. Ship-date range is pushed to the lineitem
+    scan; lineitem is pre-filtered before its single orderkey shuffle
+    against orders, so at 100 TB only one year of lineitems moves."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(orders.select("o_orderkey", "o_orderpriority"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    survey_ref="§2.10 correlated EXISTS/NOT EXISTS → semi/anti joins (TPC-H Q21 shape)",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: no
+    l_receiptdate/l_commitdate, so "kept the order waiting" = was the
+    strictly-latest shipper (by l_shipdate) on a multi-supplier order with
+    status 'F'. Declared in SQL so Catalyst decorrelates the EXISTS into a
+    left-semi and the NOT EXISTS into a left-anti join, both keyed on
+    l_orderkey — the same pattern as Q4 and the reference's DeleteCommon
+    anti-join (redshift.go:701-753). At 100 TB all three lineitem
+    instances shuffle once on orderkey; no cross product appears (pinned
+    in test_plan_shapes)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q21_lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q21_orders")
+    supp.createOrReplaceTempView("_q21_supplier")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM _q21_supplier s
+        JOIN _q21_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN _q21_orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM _q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM _q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """
+    )

@@ -1,12 +1,14 @@
 """Canonical testdata table loader.
 
 The driver's synthetic tables (TESTDATA.md) are one parquet file per table.
-One wrinkle: ``events.ts`` is written as parquet TIMESTAMP(NANOS), which
-Spark 4 rejects at scan time (PARQUET_TYPE_ILLEGAL). With
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set in our session factory)
-the column reads as a long of epoch-nanos; we normalize it back to a proper
-TimestampType here (integer division to micros — same truncation DuckDB
-applies, so oracle comparisons line up).
+One wrinkle: ``events.ts`` has shipped in two physical encodings across
+driver rounds — parquet TIMESTAMP(NANOS) (which Spark 4 rejects at scan
+time unless ``spark.sql.legacy.parquet.nanosAsLong=true``, set in our
+session factory, makes it read as epoch-nano longs) and TIMESTAMP(MICROS,
+isAdjustedToUTC=false) (which reads as TIMESTAMP_NTZ). Both are normalized
+to a plain TimestampType here so every downstream query sees one type;
+the session TZ is UTC so both normalizations are value-preserving and
+match DuckDB's reading of the same file.
 """
 
 from __future__ import annotations
@@ -36,10 +38,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if collector is not None:  # O8: usage metrics from the scan entry point
         collector.record_scan(name)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division: ts nanos ~1.7e18 exceeds double's 2^53 mantissa,
-        # so a float divide here is off by ±1 µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer division: ts nanos ~1.7e18 exceeds double's 2^53 mantissa,
+            # so a float divide here is off by ±1 µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ under
+            # Spark 4's inferTimestampNTZ; the session TZ is pinned to UTC so
+            # the cast to TimestampType is value-preserving, and functions
+            # that demand LTZ (unix_micros, window(), to_utc_timestamp)
+            # keep working unchanged.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
