@@ -58,19 +58,21 @@ def tpch_q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys are a year's orders only. Scales: one keyed shuffle each side."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    orders.createOrReplaceTempView("_q4_orders")
-    li.createOrReplaceTempView("_q4_lineitem")
+    # {df} binding registers invocation-unique views — no session-global
+    # name to race on when two callers share a SparkSession.
     return spark.sql(
         """
         SELECT o_orderpriority, count(*) AS order_count
-        FROM _q4_orders
+        FROM {orders}
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
-          AND EXISTS (SELECT 1 FROM _q4_lineitem
+          AND EXISTS (SELECT 1 FROM {lineitem}
                       WHERE l_orderkey = o_orderkey
                         AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
         GROUP BY o_orderpriority
-        """
+        """,
+        orders=orders,
+        lineitem=li,
     )
 
 
@@ -824,25 +826,29 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     instances shuffle once on orderkey; no cross product appears (pinned
     in test_plan_shapes)."""
     supp = load_table(spark, sf_dir, "supplier")
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q21_lineitem")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_q21_orders")
-    supp.createOrReplaceTempView("_q21_supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # {df} binding (invocation-unique views) instead of fixed-name
+    # createOrReplaceTempView — concurrent callers can't race.
     return spark.sql(
         """
         SELECT s_name, count(*) AS numwait
-        FROM _q21_supplier s
-        JOIN _q21_lineitem l1 ON l1.l_suppkey = s.s_suppkey
-        JOIN _q21_orders o ON o.o_orderkey = l1.l_orderkey
+        FROM {supplier} s
+        JOIN {lineitem} l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
         WHERE o.o_orderstatus = 'F'
-          AND EXISTS (SELECT 1 FROM _q21_lineitem l2
+          AND EXISTS (SELECT 1 FROM {lineitem} l2
                       WHERE l2.l_orderkey = l1.l_orderkey
                         AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM _q21_lineitem l3
+          AND NOT EXISTS (SELECT 1 FROM {lineitem} l3
                           WHERE l3.l_orderkey = l1.l_orderkey
                             AND l3.l_suppkey <> l1.l_suppkey
                             AND l3.l_shipdate > l1.l_shipdate)
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 100
-        """
+        """,
+        supplier=supp,
+        lineitem=li,
+        orders=orders,
     )

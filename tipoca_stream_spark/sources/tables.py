@@ -49,7 +49,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Spark 4's inferTimestampNTZ; the session TZ is pinned to UTC so
             # the cast to TimestampType is value-preserving, and functions
             # that demand LTZ (unix_micros, window(), to_utc_timestamp)
-            # keep working unchanged.
+            # keep working unchanged. The cast silently SHIFTS values under
+            # any other session TZ, so fail loudly instead (sessions built
+            # via get_spark always pass — session.py pins UTC).
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                raise ValueError(
+                    f"load_table requires spark.sql.session.timeZone=UTC for the "
+                    f"NTZ ts cast to be value-preserving; session has {tz!r}"
+                )
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
