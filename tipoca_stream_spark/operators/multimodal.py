@@ -379,7 +379,13 @@ def extract_features(media: DataFrame, frame_sample_rate: int = 10) -> DataFrame
                         "media_id": media_id,
                         "kind": kind,
                         "byte_len": len(payload),
-                        "payload_md5": hashlib.md5(payload).hexdigest(),
+                        # digest over the canonical lowercase-hex encoding of
+                        # the payload (bijective, so same dedup power as a raw
+                        # digest) — computable by VARCHAR-only md5() engines
+                        # (Redshift MD5, DuckDB v1.0), keeping the column
+                        # verifiable end-to-end in warehouses without a BLOB
+                        # digest
+                        "payload_md5": hashlib.md5(payload.hex().encode()).hexdigest(),
                         "width": w,
                         "height": h,
                         "n_frames": (len(payload) // frame_sample_rate) or 1,

@@ -361,15 +361,53 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(docs, "text", "doc_id")
 
 
-# --- multimodal (no SQL oracle: mapInPandas plumbing; rows-only check) ------
+# --- multimodal -------------------------------------------------------------
+#
+# The oracle reconstructs the adapter's PNG-framed payload byte-for-byte in
+# SQL (DuckDB blob concat + from_hex) and recomputes every header-derived
+# feature with blob arithmetic — so the mapInPandas decode path is verified
+# end-to-end, not rows-only. payload_md5 is defined over the lowercase-hex
+# encoding of the payload (bijective) so VARCHAR-only md5() engines can
+# compute it.
+
+_MULTIMODAL_ORACLE = """
+    WITH m AS (
+      SELECT doc_id, encode(text) AS tb, octet_length(encode(text)) AS n
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n,
+             from_hex('89504E470D0A1A0A0000000D49484452')
+               || from_hex(lpad(to_hex((n % 640) + 1), 8, '0'))
+               || from_hex(lpad(to_hex((n % 480) + 1), 8, '0'))
+               || from_hex('080200000000000000')
+               || tb AS payload
+      FROM m
+    )
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           (33 + n)::BIGINT AS byte_len,
+           md5(lower(to_hex(payload))) AS payload_md5,
+           ((n % 640) + 1)::INTEGER AS width,
+           ((n % 480) + 1)::INTEGER AS height,
+           ((33 + n) // 10)::INTEGER AS n_frames,
+           NULL::INTEGER AS channels,
+           NULL::INTEGER AS sample_rate,
+           NULL::BIGINT AS duration_ms
+    FROM p
+"""
 
 
-@query("multimodal_features", None, survey_ref="training: multimodal columns")
+@query(
+    "multimodal_features",
+    _MULTIMODAL_ORACLE,
+    survey_ref="training: multimodal columns",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas.
     Header decode is real (PNG IHDR parse of the adapter's PNG-framed
-    payloads); only pixel-level kernels remain gated on PIL — see
-    operators.multimodal."""
+    payloads) and now oracle-verified: the DuckDB oracle rebuilds the exact
+    payload blob and recomputes width/height/digest with byte arithmetic.
+    Only pixel-level kernels remain gated on PIL — see operators.multimodal."""
     docs = _docs(spark, sf_dir)
     return mm.extract_features(mm.documents_as_media(docs))
 
