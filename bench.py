@@ -54,19 +54,24 @@ def main() -> None:
     for warm in ("m2_dedupe_latest", "agg_pricing_summary"):
         QUERIES[warm].fn(spark, sf_dir).count()
 
-    # min-of-2 per query: the container shares a host, and single-shot
+    # min-of-N per query: the container shares a host, and single-shot
     # timings swing ±30% with neighbor load; the min is the standard
     # noise-robust latency estimate (Spark re-executes the full plan each
-    # run — nothing is result-cached between the two).
+    # run — nothing is result-cached between reps). Round 3 showed +20%
+    # phantom "regressions" on unchanged code from single-shot extras, so
+    # EVERYTHING here is min-of-N now: headline min-of-3, extras min-of-2.
+    def best_of(reps: int, run) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qdef = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qdef.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = best_of(3, lambda: qdef.fn(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
 
@@ -79,30 +84,35 @@ def main() -> None:
     # - dedup_components: too slow for HEADLINE (pair join dominates), but
     #   tracked so regressions are visible.
     extras: dict[str, float] = {}
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    QUERIES["cdc_merge_lww"].fn(spark, sf_dir).count()
-    extras["cdc_merge_lww_steady"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    QUERIES["dedup_components"].fn(spark, sf_dir).count()
-    extras["dedup_components"] = round(time.perf_counter() - t0, 3)
+
+    def merge_steady() -> None:
+        spark.catalog.clearCache()
+        QUERIES["cdc_merge_lww"].fn(spark, sf_dir).count()
+
+    extras["cdc_merge_lww_steady"] = best_of(2, merge_steady)
+    extras["dedup_components"] = best_of(
+        2, lambda: QUERIES["dedup_components"].fn(spark, sf_dir).count()
+    )
     # - tpch_total: the 16-query TPC-H family in one number (round 2+);
     #   one representative star join reported individually.
-    t0 = time.perf_counter()
-    for name in sorted(q for q in QUERIES if q.startswith("tpch_")):
-        if name == "tpch_q9_product_profit":
-            continue
-        QUERIES[name].fn(spark, sf_dir).count()
-    t_family = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    QUERIES["tpch_q9_product_profit"].fn(spark, sf_dir).count()
-    extras["tpch_q9_product_profit"] = round(time.perf_counter() - t0, 3)
+    tpch_rest = sorted(
+        q for q in QUERIES if q.startswith("tpch_") and q != "tpch_q9_product_profit"
+    )
+
+    def tpch_family() -> None:
+        for name in tpch_rest:
+            QUERIES[name].fn(spark, sf_dir).count()
+
+    t_family = best_of(2, tpch_family)
+    extras["tpch_q9_product_profit"] = best_of(
+        2, lambda: QUERIES["tpch_q9_product_profit"].fn(spark, sf_dir).count()
+    )
     extras["tpch_total"] = round(t_family + extras["tpch_q9_product_profit"], 3)
     # - graph_pagerank: the iterative-operator family's representative
     #   (3 rounds of keyed join + group-sum with lineage truncation)
-    t0 = time.perf_counter()
-    QUERIES["graph_pagerank_supplier_part"].fn(spark, sf_dir).count()
-    extras["graph_pagerank"] = round(time.perf_counter() - t0, 3)
+    extras["graph_pagerank"] = best_of(
+        2, lambda: QUERIES["graph_pagerank_supplier_part"].fn(spark, sf_dir).count()
+    )
 
     print(
         json.dumps(
