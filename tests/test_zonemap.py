@@ -71,3 +71,28 @@ def test_uncorrelated_column_still_correct(spark, tmp_path):
     got = sorted(r["event_id"] for r in t.read_range(10.0, 20.0, col="value").collect())
     want = sorted(r["event_id"] for r in ev.filter(F.col("value").between(10.0, 20.0)).collect())
     assert got == want and want
+
+
+def test_many_files_prunes_scheduling(spark, tmp_path):
+    # 200 files: the stats table, not a driver dict, does the pruning —
+    # a 0.5%-wide range must schedule a handful of files, and only the
+    # matching paths ever reach the driver
+    t = ZoneMappedTable(spark, str(tmp_path / "many"), zone_col="value")
+    df = spark.range(20000).select(
+        F.col("id").alias("event_id"), F.col("id").cast("double").alias("value")
+    )
+    t.write(df, n_files=200)
+    n_files = len(glob.glob(str(tmp_path / "many" / "*.parquet")))
+    assert n_files == 200
+    got = t.read_range(1000.0, 1099.0)
+    assert len(set(got.inputFiles())) <= 4, "pruning must schedule ~1% of files"
+    assert got.count() == 100
+
+
+def test_stats_live_in_parquet_not_driver_json(spark, tmp_path):
+    t = ZoneMappedTable(spark, str(tmp_path / "st"), zone_col="value")
+    t.write(load_table(spark, SF, "events"), n_files=4)
+    assert not glob.glob(str(tmp_path / "st" / "_zones.json"))
+    stats = spark.read.parquet(str(tmp_path / "st" / "_zones"))
+    assert stats.count() == 4
+    assert {"file", "min_value", "max_value"} <= set(stats.columns)

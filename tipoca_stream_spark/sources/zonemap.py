@@ -11,12 +11,16 @@ skipping reduced to its core:
   file owns a tight, nearly-disjoint value range (a random layout gives
   every file min≈global-min/max≈global-max and skips nothing) — this is
   the SORTKEY's physical meaning;
-- **stats**: one column-pruned pass collects per-file min/max into a
-  ``_zones.json`` sidecar (at warehouse scale these live in the commit
-  metadata, as Delta does);
-- **read**: a range predicate consults the sidecar and hands Spark only
-  the overlapping files — skipped files are never opened, never
-  scheduled, never counted in ``maxPartitionBytes`` math.
+- **stats**: one column-pruned pass aggregates per-file min/max into a
+  parquet stats TABLE under ``<path>/_zones/`` (underscore-prefixed, so
+  the main scan never sees it — the same trick as Delta's ``_delta_log``).
+  The stats never land on the driver at write time; the aggregation's
+  output goes executor → parquet.
+- **read**: a range predicate is evaluated AS A FILTER ON THE STATS TABLE
+  (distributed), and only the surviving file paths are brought to the
+  driver to build the pruned scan — the same bounded metadata read Delta
+  and Iceberg perform during file skipping. At 10⁵–10⁶ files the driver
+  holds the matching paths for one query, never a dict of every zone.
 
 Hive partitioning prunes on LOW-cardinality columns (dates, buckets);
 zone maps cover the continuous/high-cardinality ones (timestamps, ids,
@@ -27,7 +31,6 @@ for, not 8k tasks of full scan.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,8 +39,8 @@ from pyspark.sql import functions as F
 
 class ZoneMappedTable:
     """``zone_col`` drives the range layout (the clustering/SORTKEY
-    column); ``extra_cols`` are additionally tracked in the sidecar, so
-    predicates on them can skip files too — they prune well when they
+    column); ``extra_cols`` are additionally tracked in the stats table,
+    so predicates on them can skip files too — they prune well when they
     CORRELATE with the layout column (ts↔id, ts↔offset — common in CDC),
     exactly like Redshift zone maps on non-sortkey columns."""
 
@@ -54,14 +57,17 @@ class ZoneMappedTable:
         self.extra_cols = extra_cols or []
 
     @property
-    def _zones_file(self) -> str:
-        return os.path.join(self.path, "_zones.json")
+    def _zones_path(self) -> str:
+        # underscore prefix = invisible to Spark's file index for the data
+        # scan (hidden-file convention), so stats can live inside the table
+        return os.path.join(self.path, "_zones")
 
     def write(self, df: DataFrame, n_files: int = 8) -> None:
         """Range-cluster on the zone column and persist per-file stats for
-        it and every extra column. One extra column-pruned scan collects
-        the zones; the write itself is the one range shuffle that buys
-        every later read its skipping."""
+        it and every extra column. One extra column-pruned scan aggregates
+        the zones (one row per file) straight into the stats table — no
+        driver materialization; the write itself is the one range shuffle
+        that buys every later read its skipping."""
         df.repartitionByRange(n_files, F.col(self.zone_col)).write.mode(
             "overwrite"
         ).parquet(self.path)
@@ -69,50 +75,44 @@ class ZoneMappedTable:
         aggs = []
         for c in tracked:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-        stats = (
+        (
             self.spark.read.parquet(self.path)
             .select(F.input_file_name().alias("file"), *tracked)
             .groupBy("file")
             .agg(*aggs)
-            .collect()  # one row per file — bounded driver read
+            # one row per data file; a handful of output files is plenty
+            # even at 10^6 data files (~100 B/row)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(self._zones_path)
         )
-        zones = {
-            r["file"]: {
-                c: {"min": _js(r[f"min_{c}"]), "max": _js(r[f"max_{c}"])} for c in tracked
-            }
-            for r in stats
-        }
-        tmp = self._zones_file + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(zones, f)
-        os.replace(tmp, self._zones_file)
+
+    def _stats(self) -> DataFrame:
+        return self.spark.read.parquet(self._zones_path)
 
     def read_range(self, lo, hi, col: str | None = None) -> DataFrame:
         """Rows with ``col`` (default: the layout column) in [lo, hi] —
-        scanning only files whose zone overlaps. The residual filter still
-        applies (zones are file-granular); correctness never depends on
-        the stats, only speed."""
+        scanning only files whose zone overlaps. Pruning runs as a filter
+        over the stats table; only the matching file PATHS reach the
+        driver (the bounded metadata read every table format's planner
+        does). The residual filter still applies (zones are file-granular);
+        correctness never depends on the stats, only speed."""
         col = col or self.zone_col
-        with open(self._zones_file) as f:
-            zones = json.load(f)
-        lo_s, hi_s = _js(lo), _js(hi)
-        files = [
-            p
-            for p, cols in zones.items()
-            if col not in cols or not (cols[col]["max"] < lo_s or cols[col]["min"] > hi_s)
-        ]
         c = F.col(col)
+        pred = c.between(F.lit(lo), F.lit(hi))
+        stats = self._stats()
+        if f"min_{col}" not in stats.columns:
+            # untracked column: no skipping possible, plain filtered scan
+            return self.read().filter(pred)
+        # keep a file unless its zone provably misses [lo, hi]; NULL stats
+        # (all-null file) compare to NULL → coalesce keeps it, conservative
+        disjoint = (F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi))
+        keep = F.coalesce(~disjoint, F.lit(True))
+        files = [r["file"] for r in stats.filter(keep).select("file").collect()]
         if not files:
             return self.spark.read.parquet(self.path).limit(0)
         df = self.spark.read.option("basePath", self.path).parquet(*files)
-        return df.filter(c.between(F.lit(lo), F.lit(hi)))
+        return df.filter(pred)
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
-
-
-def _js(v):
-    """JSON-comparable rendering that preserves ordering for the types a
-    zone column takes (numbers pass through; timestamps/dates/strings via
-    ISO-ish str())."""
-    return v if isinstance(v, (int, float)) else str(v)
