@@ -211,3 +211,46 @@ def test_contamination_scores_golden(spark):
     assert out[1]["n_contaminated"] == 1  # 'alpha beta gamma'
     assert out[1]["contamination_ratio"] == pytest.approx(1 / 4)
     assert out[2]["n_contaminated"] == 0 and out[2]["contamination_ratio"] == 0.0
+
+
+def test_cooccurrence_hot_group_cap_bounds_degenerate_key(spark):
+    # one "mega order" holding 20k distinct parts: uncapped this is
+    # C(20k,2) ~ 200M pairs from ONE task. With the cap the group is
+    # dropped (observed), normal-sized groups still pair.
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+
+    from tipoca_stream_spark.plans.analytics import cooccurrence_pairs
+
+    mega = spark.range(20_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("item")
+    )
+    normal = spark.createDataFrame(
+        [(2, 10), (2, 11), (3, 10), (3, 11)], "k long, item long"
+    )
+    obs = Observation("coocc_drops")
+    pairs = cooccurrence_pairs(
+        mega.union(normal),
+        key_col="k",
+        item_col="item",
+        min_count=2,
+        max_group_size=256,
+        observation=obs,
+    ).collect()
+    assert [(r["item_a"], r["item_b"]) for r in pairs] == [(10, 11)]
+    assert obs.get["dropped_groups"] == 1
+    assert obs.get["dropped_items"] == 20_000
+
+
+def test_cooccurrence_cap_leaves_small_groups_alone(spark):
+    from tipoca_stream_spark.plans.analytics import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [(1, 5), (1, 6), (1, 7), (2, 5), (2, 6), (2, 6)], "k long, item long"
+    )
+    capped = cooccurrence_pairs(df, "k", "item", min_count=1, max_group_size=64).collect()
+    uncapped = cooccurrence_pairs(df, "k", "item", min_count=1).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+    assert {(r["item_a"], r["item_b"], r["n_keys"]) for r in capped} == {
+        (5, 6, 2), (5, 7, 1), (6, 7, 1)
+    }

@@ -211,12 +211,14 @@ def test_pagerank_iterations_are_keyed_joins(spark):
         assert node not in plan
 
 
-def test_cooccurrence_joins_on_orderkey(spark):
-    # the pair expansion must ride an equi-join on l_orderkey (bounded
-    # within-order quadratic), not a cross join with a filter
+def test_cooccurrence_is_single_shuffle_group_expansion(spark):
+    # pair expansion is bucket-local (group by l_orderkey, expand the
+    # in-group item array) — never a cross join, never a second scan for
+    # a self-join branch
     plan = plan_of(spark, "analytics_part_cooccurrence")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan  # group-expansion form has no join at all
 
 
 def test_unigram_logprob_broadcasts_vocab(spark):

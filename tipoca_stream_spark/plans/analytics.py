@@ -406,6 +406,62 @@ def events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cooccurrence_pairs(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    out_a: str = "item_a",
+    out_b: str = "item_b",
+    n_col: str = "n_keys",
+    min_count: int = 2,
+    max_group_size: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """Item pairs sharing a key, counted across keys — the market-basket
+    pattern as a bounded-group expansion: group to (key → sorted distinct
+    item list), emit C(n,2) pairs per key with nested array transforms,
+    then one pair-keyed count. ONE item shuffle (the self-join form
+    shuffles twice and re-scans the input for the second branch).
+
+    ``max_group_size`` caps hot keys exactly like the LSH hot-bucket guard
+    (operators/corpus_dedup.py lsh_candidate_pairs): on generic data one
+    degenerate key (a "basket" with 1M items) would emit C(n,2) pairs from
+    a single task. Oversized groups are dropped and the drop is observed
+    (``dropped_groups`` / ``dropped_items``) so the cap is never silent;
+    pass a ``pyspark.sql.Observation`` to read it after an action."""
+    groups = (
+        df.select(key_col, item_col)
+        .groupBy(key_col)
+        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    if max_group_size is not None:
+        over = F.size("items") > max_group_size
+        groups = groups.observe(
+            observation if observation is not None else "cooccurrence_hot_group_drops",
+            F.count(F.when(over, 1)).alias("dropped_groups"),
+            F.coalesce(F.sum(F.when(over, F.size("items"))), F.lit(0)).alias(
+                "dropped_items"
+            ),
+        ).filter(~over)
+    pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        groups.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias(out_a), F.col("p.b").alias(out_b))
+        .groupBy(out_a, out_b)
+        .agg(F.count("*").alias(n_col))
+        .filter(F.col(n_col) >= min_count)
+    )
+
+
 @query(
     "analytics_part_cooccurrence",
     """
@@ -416,28 +472,24 @@ def events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """,
-    survey_ref="analytics: market-basket co-occurrence (bounded self-join)",
+    survey_ref="analytics: market-basket co-occurrence (capped group expansion)",
 )
 def analytics_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Part pairs bought together in >= 2 orders. The self-join is keyed on
-    l_orderkey, so pair expansion is quadratic only WITHIN an order (TPC-H
-    orders hold <= 7 lines) — a bounded-group pair pattern, never an
-    all-pairs crossJoin. At 100 TB this is one orderkey-hash shuffle; a
-    pathological mega-order would need the same group-size cap as
-    lsh_candidate_pairs (corpus_dedup.py)."""
-    lp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
-    b = lp.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
-    return (
-        a.join(b, "k")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+    """Part pairs bought together in >= 2 orders, via ``cooccurrence_pairs``:
+    one orderkey shuffle, pair expansion quadratic only WITHIN an order
+    (TPC-H orders hold <= 7 lines), and a 256-item hot-group cap with
+    observed drops so a pathological mega-order on generic data stays
+    bounded — same guard as lsh_candidate_pairs. The cap is far above any
+    TPC-H group size, so oracle results are unaffected."""
+    return cooccurrence_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        key_col="l_orderkey",
+        item_col="l_partkey",
+        out_a="part_a",
+        out_b="part_b",
+        n_col="n_orders",
+        min_count=2,
+        max_group_size=256,
     )
 
 
