@@ -311,3 +311,128 @@ def test_sample_frames_uses_real_mp4_table(spark):
     )
     # every 3rd REAL compressed sample, exact bytes
     assert out == [(0, b"sample-0"), (3, b"sample-3"), (6, b"sample-6"), (9, b"sample-9")]
+
+
+# --- PNG pixel decode (stdlib zlib + filter reversal) -----------------------
+
+
+def _gradient(h, w, ch):
+    import numpy as np
+
+    y, x, c = np.ogrid[:h, :w, :ch]
+    return ((x * 7 + y * 13 + c * 29) % 256).astype(np.uint8)
+
+
+def test_decode_png_roundtrip_rgb_rgba_gray():
+    import numpy as np
+
+    from tipoca_stream_spark.operators import multimodal as mm
+
+    for color_type, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = _gradient(5, 7, ch)
+        out = mm.decode_png(mm.png_encoded(px, color_type=color_type))
+        assert out is not None and out.shape == (5, 7, ch)
+        assert np.array_equal(out, px), f"color_type={color_type}"
+
+
+def test_decode_png_all_filter_types():
+    # forward-filter known pixels with each of Sub/Up/Average/Paeth and
+    # check the decoder reconstructs them (spec §9 inverse)
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tipoca_stream_spark.operators import multimodal as mm
+
+    h, w, ch = 5, 6, 3
+    px = _gradient(h, w, ch)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(int)
+    raw = bytearray()
+    filters = [0, 1, 2, 3, 4]
+    for y, f in enumerate(filters):
+        raw.append(f)
+        up = flat[y - 1] if y else np.zeros(stride, dtype=int)
+        for x in range(stride):
+            left = flat[y][x - ch] if x >= ch else 0
+            ul = up[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: left, 2: up[x], 3: (left + up[x]) // 2,
+                    4: paeth(left, up[x], ul)}[f]
+            raw.append((flat[y][x] - pred) & 0xFF)
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    payload = (mm.PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    out = mm.decode_png(payload)
+    assert out is not None and np.array_equal(out, px)
+
+
+def test_decode_png_multiple_idat_chunks():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tipoca_stream_spark.operators import multimodal as mm
+
+    px = _gradient(4, 4, 3)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(4))
+    comp = zlib.compress(raw)
+    mid = len(comp) // 2
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    payload = (mm.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp[:mid])
+               + chunk(b"IDAT", comp[mid:]) + chunk(b"IEND", b""))
+    assert np.array_equal(mm.decode_png(payload), px)
+
+
+def test_decode_image_png_bmp_real_jpeg_gated():
+    import numpy as np
+    import pytest
+
+    from tipoca_stream_spark.operators import multimodal as mm
+
+    px = _gradient(3, 4, 3)
+    assert np.array_equal(mm.decode_image(mm.png_encoded(px)), px)
+
+    bmp = mm.bmp_framed(3, 2)  # default gradient, (b,g,r) tuples per row
+    out = mm.decode_image(bmp)
+    assert out.shape == (2, 3, 3)
+    # decode returns rows top-down in stored BGR order; spot-check a pixel
+    assert tuple(out[0][1]) == ((1 * 7) % 256, 0 % 256, (1 + 0) % 256)
+
+    # truncated-but-headered JPEG: header parses, pixel decode must raise
+    jpeg = b"\xff\xd8\xff\xc0" + (9).to_bytes(2, "big") + bytes([8]) + (2).to_bytes(2, "big") + (3).to_bytes(2, "big") + b"\x01"
+    assert mm.decode_image_header(jpeg) == ("jpeg", 3, 2)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(jpeg)
+
+
+def test_decode_png_rejects_unsupported_variants():
+    from tipoca_stream_spark.operators import multimodal as mm
+
+    px = _gradient(2, 2, 3)
+    good = bytearray(mm.png_encoded(px))
+    bad_depth = bytearray(good); bad_depth[24] = 16
+    bad_interlace = bytearray(good); bad_interlace[28] = 1
+    bad_palette = bytearray(good); bad_palette[25] = 3
+    for payload in (bad_depth, bad_interlace, bad_palette):
+        assert mm.decode_png(bytes(payload)) is None
+    # the adapter's header-only PNG frames (no IDAT) must decode to None,
+    # not crash
+    assert mm.decode_png(mm.png_framed(10, 10, b"not idat")) is None
