@@ -46,13 +46,15 @@ def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2.5 grouping sets",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    # {df} binding registers an invocation-unique view — no session-global
+    # name to race on when two callers share a SparkSession.
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n
-        FROM _gs_orders
+        FROM {orders}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+        """,
+        orders=load_table(spark, sf_dir, "orders"),
     )
 
 
@@ -182,14 +184,15 @@ def topk_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2.6 scalar subquery",
 )
 def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    # {df} binding: invocation-unique view, both references share one scan
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice
-        FROM _sq_orders
+        FROM {orders}
         WHERE o_totalprice > 1.8 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                                         / count(*) FROM _sq_orders)
-        """
+                                         / count(*) FROM {orders})
+        """,
+        orders=load_table(spark, sf_dir, "orders"),
     )
 
 

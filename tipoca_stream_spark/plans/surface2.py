@@ -398,8 +398,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (disjoint roll-ups + grand total) with
     grouping() flags — the general form behind rollup/cube; one expand +
     partial-aggregate shuffle, same as cube."""
-    ev = load_table(spark, sf_dir, "orders")
-    ev.createOrReplaceTempView("orders_gs")
+    # {df} binding: invocation-unique view, no session-global name race
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
@@ -407,9 +406,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
                CAST(grouping(o_orderstatus) AS INT) AS g_status,
                CAST(grouping(o_orderpriority) AS INT) AS g_priority
-        FROM orders_gs
+        FROM {orders}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+        """,
+        orders=load_table(spark, sf_dir, "orders"),
     )
 
 
@@ -533,20 +533,22 @@ def subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (→ Catalyst rewrites to an aggregate + join on the correlation key).
     Declared in SQL so the optimizer does the decorrelation — the
     Spark-first form; every rewrite is a keyed join, nothing nested-loop."""
-    for t in ["customer", "orders", "nation"]:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sq")
+    # {df} binding: invocation-unique views, no session-global name race
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_mktsegment,
                CAST(c.c_acctbal AS DOUBLE) AS acctbal
-        FROM customer_sq c
-        WHERE EXISTS (SELECT 1 FROM orders_sq o WHERE o.o_custkey = c.c_custkey
+        FROM {customer} c
+        WHERE EXISTS (SELECT 1 FROM {orders} o WHERE o.o_custkey = c.c_custkey
                       AND o.o_orderstatus = 'O')
-          AND c.c_nationkey IN (SELECT n_nationkey FROM nation_sq
+          AND c.c_nationkey IN (SELECT n_nationkey FROM {nation}
                                 WHERE n_regionkey = 1)
-          AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_sq c2
+          AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM {customer} c2
                              WHERE c2.c_mktsegment = c.c_mktsegment)
-        """
+        """,
+        customer=load_table(spark, sf_dir, "customer"),
+        orders=load_table(spark, sf_dir, "orders"),
+        nation=load_table(spark, sf_dir, "nation"),
     )
 
 

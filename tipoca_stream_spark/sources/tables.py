@@ -31,6 +31,27 @@ TABLE_NAMES = [
 ]
 
 
+def _is_utc_equivalent(tz: str) -> bool:
+    """True when the session zone is UTC under any alias ('Etc/GMT', 'GMT0',
+    'Zulu', '+00:00', ...): resolved via zoneinfo by checking the offset is
+    zero at two instants half a year apart (a zero-offset zone with DST does
+    not exist, but probing both solstices keeps the check airtight rather
+    than trusting one sample). Falls back to a literal allowlist for offset
+    spellings zoneinfo doesn't resolve."""
+    if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00", "+0000", "-00:00", "+00"):
+        return True
+    try:
+        from datetime import datetime, timedelta, timezone
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(tz)
+        jan = datetime(2026, 1, 1, tzinfo=timezone.utc).astimezone(zone)
+        jul = datetime(2026, 7, 1, tzinfo=timezone.utc).astimezone(zone)
+        return jan.utcoffset() == timedelta(0) and jul.utcoffset() == timedelta(0)
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from tipoca_stream_spark.streaming.exporter import active_collector
 
@@ -53,7 +74,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # any other session TZ, so fail loudly instead (sessions built
             # via get_spark always pass — session.py pins UTC).
             tz = spark.conf.get("spark.sql.session.timeZone")
-            if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            if not _is_utc_equivalent(tz):
                 raise ValueError(
                     f"load_table requires spark.sql.session.timeZone=UTC for the "
                     f"NTZ ts cast to be value-preserving; session has {tz!r}"
