@@ -74,6 +74,11 @@ class Supervisor:
         self.tables: dict[str, ManagedTable] = {}
         self.lag = lag_monitor or LagMonitor()
         self.max_topic_release = max_topic_release
+        # O5 version tracking: Status.MaskStatus.CurrentMaskVersion analogue
+        # (redshiftsink_controller.go:409-417) + the in-flight desired pair
+        self.current_mask_version: str | None = None
+        self.current_mask_config = None
+        self._pending_mask: tuple[str, object] | None = None
 
     def add_table(self, name: str, pipeline: CdcPipeline) -> None:
         self.tables[name] = ManagedTable(main=pipeline)
@@ -101,6 +106,49 @@ class Supervisor:
                 self.begin_mask_reload(name, reload_factory(name))
                 begun.append(name)
         return begun
+
+    def reconcile_mask_file(
+        self, cache, mask_file: str, salt: str, reload_factory, algo: str = "sha1"
+    ) -> list[str]:
+        """O5 end-to-end: resolve the LATEST mask version from the config
+        cache and reconcile against the currently-released version — the
+        controller's fetchLatestMaskFileVersion → currentMaskVersion
+        comparison → reload flow (redshiftsink_controller.go:399-427).
+        The desired config is loaded from the cache's SNAPSHOT path, so the
+        bytes always match the resolved version. The new version commits to
+        ``current_mask_version`` once every begun reload has released (the
+        reference flips MaskStatus when all topics reach released)."""
+        from tipoca_stream_spark.functions.mask_diff import (
+            load_reference_mask_config,
+        )
+
+        version = cache.get_file_version(mask_file)
+        if version == self.current_mask_version:
+            return []
+        desired = load_reference_mask_config(
+            cache.get_file_local_path(mask_file), salt=salt, algo=algo
+        )
+        if self.current_mask_config is None:
+            # first deployment (currentMaskVersion == ""): every included
+            # managed table reloads (controllers/mask_diff.go:81-83)
+            begun = []
+            for name in self.tables:
+                if desired.table_included(name):
+                    self.begin_mask_reload(name, reload_factory(name))
+                    begun.append(name)
+        else:
+            begun = self.reconcile_mask_change(
+                self.current_mask_config, desired, reload_factory
+            )
+        self._pending_mask = (version, desired)
+        if not begun:
+            self._commit_pending_mask()
+        return begun
+
+    def _commit_pending_mask(self) -> None:
+        if self._pending_mask is not None:
+            self.current_mask_version, self.current_mask_config = self._pending_mask
+            self._pending_mask = None
 
     def plan_reload_units(
         self,
@@ -137,6 +185,13 @@ class Supervisor:
             t.reload = None
             t.released = True
             released.append(name)
+        # all reloads done → the in-flight mask version becomes current
+        # (the reference updates MaskStatus.CurrentMaskVersion once every
+        # topic is released)
+        if self._pending_mask is not None and all(
+            t.reload is None for t in self.tables.values()
+        ):
+            self._commit_pending_mask()
         return released
 
     def status(self) -> dict[str, dict]:
