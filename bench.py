@@ -113,6 +113,46 @@ def main() -> None:
     extras["graph_pagerank"] = best_of(
         2, lambda: QUERIES["graph_pagerank_supplier_part"].fn(spark, sf_dir).count()
     )
+    # - cdc_merge_bucketed_steady: steady-state merge against a CATALOG-
+    #   bucketed target (BucketedTargetTable) — read only the batch's
+    #   bucket files, broadcast merge, bucket-delta commit hard-linking
+    #   untouched buckets. This is the O(batch) per-epoch shape that holds
+    #   at 100 TB; the bootstrap write is untimed setup.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tipoca_stream_spark.operators.merge import merge_into_target
+    from tipoca_stream_spark.plans.relational import _events_as_cdc
+    from tipoca_stream_spark.sources.target import BucketedTargetTable
+
+    bt_root = tempfile.mkdtemp(prefix="bench_bt_")
+    try:
+        bt = BucketedTargetTable(spark, bt_root, "bench_cdc", buckets=32, keys=["user_id"])
+        full = _events_as_cdc(spark, sf_dir)
+        empty = spark.createDataFrame(
+            [], "user_id long, event_type string, value double"
+        )
+        bt.write(merge_into_target(empty, full, ["user_id"]))  # bootstrap, untimed
+        batch = full.filter(F.col("user_id") % 997 == 0)  # ~0.1% of keys
+
+        def bucketed_steady() -> None:
+            registry: list = []
+            touched = sorted(
+                r["b"] for r in batch.select(bt.bucket_of().alias("b")).distinct().collect()
+            )
+            current = bt.read_buckets(touched)
+            merged = merge_into_target(
+                current, batch, ["user_id"], persist_registry=registry
+            )
+            bt.write_bucket_delta(merged, touched)
+            for df in registry:
+                df.unpersist()
+
+        extras["cdc_merge_bucketed_steady"] = best_of(2, bucketed_steady)
+    finally:
+        shutil.rmtree(bt_root, ignore_errors=True)
 
     print(
         json.dumps(

@@ -1,0 +1,191 @@
+"""BucketedTargetTable: catalog-registered bucketed CDC target — zero
+Exchange on the target side of PK joins, O(batch) bucket-delta commits via
+hard links, per-version time travel preserved."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tipoca_stream_spark.sources.target import BucketedTargetTable
+
+
+def _simple_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple mode: each node printed once
+    return buf.getvalue()
+
+
+def _mk(spark, tmp_path, buckets=8):
+    return BucketedTargetTable(
+        spark, str(tmp_path), "bt", buckets=buckets, keys=["user_id"]
+    )
+
+
+def _frame(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).cast("double").alias("value")
+    )
+
+
+def test_pk_join_has_no_exchange_on_target_side(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.write(_frame(spark, 1000))
+    batch = _frame(spark, 100)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _simple_plan(t.read().join(batch.withColumnRenamed("value", "v2"), "user_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # exactly ONE Exchange — the non-bucketed batch side; the target scan
+    # reports its bucket layout and is never shuffled
+    assert plan.count("Exchange") == 1, plan
+    assert "Bucketed: true" in plan, plan
+
+
+def test_pk_groupby_has_no_exchange(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.write(_frame(spark, 1000))
+    plan = _simple_plan(t.read().groupBy("user_id").agg(F.sum("value")))
+    assert "Exchange" not in plan, plan
+
+
+def test_bucket_delta_links_untouched_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path, buckets=8)
+    t.write(_frame(spark, 1000))
+    # a batch touching a handful of keys → few buckets
+    batch = _frame(spark, 10).withColumn("value", F.lit(-1.0))
+    touched = sorted(
+        r["b"] for r in batch.select(t.bucket_of().alias("b")).distinct().collect()
+    )
+    assert 0 < len(touched) < 8
+    survivors = t.read().join(batch.select("user_id"), "user_id", "left_anti")
+    merged = survivors.unionByName(batch)
+    # delta frame = all rows of the touched buckets
+    delta = merged.filter(t.bucket_of().isin(touched))
+    t.write_bucket_delta(delta, touched)
+
+    # correctness: table now holds the merged rows exactly
+    got = {r["user_id"]: r["value"] for r in t.read().collect()}
+    assert len(got) == 1000
+    assert all(got[i] == -1.0 for i in range(10))
+    assert all(got[i] == float(i * 2) for i in range(10, 1000))
+
+    # untouched buckets are hard links (same inode), touched are rewrites
+    v1, v2 = (t._bucket_files(v) for v in (1, 2))
+    for b in range(8):
+        if b in touched:
+            assert {os.stat(f).st_ino for f in v1[b]}.isdisjoint(
+                os.stat(f).st_ino for f in v2[b]
+            )
+        else:
+            assert {os.stat(f).st_ino for f in v1[b]} == {
+                os.stat(f).st_ino for f in v2[b]
+            }
+    # the delta-committed version still plans bucketed
+    plan = _simple_plan(t.read().groupBy("user_id").agg(F.sum("value")))
+    assert "Exchange" not in plan, plan
+
+
+def test_reregisters_after_catalog_loss(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.write(_frame(spark, 100))
+    spark.sql(f"DROP TABLE {t._table_ident(1)}")  # simulate a fresh session
+    df = t.read()
+    assert df.count() == 100
+    plan = _simple_plan(df.groupBy("user_id").agg(F.sum("value")))
+    assert "Exchange" not in plan, plan  # DDL re-registration kept the layout
+
+
+def test_time_travel_and_metadata(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.write(_frame(spark, 50), metadata={"merged_epochs": [0]})
+    t.write(_frame(spark, 60), metadata={"merged_epochs": [0, 1]})
+    assert t.read(version=1).count() == 50
+    assert t.read().count() == 60
+    assert t.read_metadata() == {"merged_epochs": [0, 1]}
+    assert t.vacuum(keep=1) == [1]
+    assert not spark.catalog.tableExists(t._table_ident(1))
+
+
+def test_cdc_pipeline_with_catalog_buckets(spark, tmp_path):
+    from tipoca_stream_spark.streaming.pipeline import CdcPipeline, CdcPipelineConfig
+
+    row_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    raw_schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+
+    def envelope(id_, name, offset, op="c"):
+        return {
+            "topic": "db.server.users",
+            "partition": 0,
+            "offset": offset,
+            "value": json.dumps(
+                {
+                    "before": {"id": id_, "name": name} if op == "d" else None,
+                    "after": None if op == "d" else {"id": id_, "name": name},
+                    "op": op,
+                    "ts_ms": offset,
+                }
+            ),
+        }
+
+    pipe = CdcPipeline(
+        spark,
+        CdcPipelineConfig(
+            table="users",
+            primary_keys=["id"],
+            row_schema=row_schema,
+            target_root=str(tmp_path / "targets"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            catalog_buckets=4,
+        ),
+    )
+    # epoch 0: bootstrap (full bucketed write)
+    seed = spark.createDataFrame(
+        [envelope(i, f"u{i}", i) for i in range(40)], raw_schema
+    )
+    pipe.run_batch(seed, epoch_id=0)
+    assert pipe.target.read().count() == 40
+
+    # epoch 1: steady state — update 2 keys, delete 1 → bucket-delta commit
+    delta = spark.createDataFrame(
+        [
+            envelope(1, "one", 100, op="u"),
+            envelope(2, "two", 101, op="u"),
+            envelope(3, "x", 102, op="d"),
+        ],
+        raw_schema,
+    )
+    pipe.run_batch(delta, epoch_id=1)
+    got = {r["id"]: r["name"] for r in pipe.target.read().drop("kafkaoffset").collect()}
+    assert len(got) == 39 and 3 not in got
+    assert got[1] == "one" and got[2] == "two" and got[5] == "u5"
+
+    # the delta epoch hard-linked at least one untouched bucket
+    v1, v2 = (pipe.target._bucket_files(v) for v in (1, 2))
+    shared = [
+        b
+        for b in v1
+        if b in v2 and {os.stat(f).st_ino for f in v1[b]} == {os.stat(f).st_ino for f in v2[b]}
+    ]
+    assert shared, "expected untouched buckets to carry over as hard links"
+
+    # replayed epoch is a no-op (T4 guard rides on target metadata)
+    pipe.run_batch(delta, epoch_id=1)
+    assert pipe.target.current_version() == 2

@@ -105,6 +105,13 @@ class CdcPipelineConfig:
     # Schema-evolution epochs fall back to a full rewrite (linked files
     # cannot gain columns).
     hash_buckets: int | None = None
+    # CATALOG-bucketed target (sources/target.BucketedTargetTable): same
+    # O(batch) delta commits as hash_buckets, but the layout is a real
+    # bucket spec registered in the catalog — downstream joins/aggregates
+    # on the PK plan with zero Exchange on the target side (the DISTKEY
+    # co-location the reference gets from Redshift). Mutually exclusive
+    # with hash_buckets.
+    catalog_buckets: int | None = None
     # compact the target every N committed epochs (None = never): streaming
     # merges write one file set per epoch; long-lived targets need the
     # small-file rewrite or scan cost drifts upward
@@ -118,7 +125,18 @@ class CdcPipeline:
     def __init__(self, spark: SparkSession, config: CdcPipelineConfig):
         self.spark = spark
         self.config = config
-        self.target = ParquetTargetTable(spark, config.target_root, config.table)
+        if config.catalog_buckets:
+            from tipoca_stream_spark.sources.target import BucketedTargetTable
+
+            self.target: ParquetTargetTable = BucketedTargetTable(
+                spark,
+                config.target_root,
+                config.table,
+                buckets=config.catalog_buckets,
+                keys=config.primary_keys,
+            )
+        else:
+            self.target = ParquetTargetTable(spark, config.target_root, config.table)
         self.metrics: list[dict] = []  # A1/A2 counters per epoch
         os.makedirs(config.checkpoint_dir, exist_ok=True)
 
@@ -189,15 +207,29 @@ class CdcPipeline:
             target_cols.append(COL_KAFKA_OFFSET)
 
         nb = self.config.hash_buckets
+        cb = self.config.catalog_buckets
+        n_buckets = nb or cb
         bucket_expr = (
-            F.pmod(F.hash(*[F.col(k) for k in self.config.primary_keys]), F.lit(nb))
-            if nb
+            F.pmod(
+                F.hash(*[F.col(k) for k in self.config.primary_keys]), F.lit(n_buckets)
+            )
+            if n_buckets
             else None
         )
         delta_buckets: list[int] | None = None
         if self.target.exists():
             current = self.target.read()
-            if nb and "_bucket" in current.columns:
+            if cb:
+                evolved = set(target_cols) - set(current.columns)
+                if not evolved:
+                    # bucket-delta path: read ONLY the bucket files the
+                    # batch keys live in (same hash as the bucket spec)
+                    delta_buckets = sorted(
+                        r["b"]
+                        for r in batch_df.select(bucket_expr.alias("b")).distinct().collect()
+                    )
+                    current = self.target.read_buckets(delta_buckets)
+            elif nb and "_bucket" in current.columns:
                 evolved = set(target_cols) - set(current.columns)
                 if not evolved:
                     # partition-delta path: read ONLY the buckets the batch
@@ -228,7 +260,14 @@ class CdcPipeline:
                 current, batch_df, self.config.primary_keys, counts, persist_registry=persisted
             )
         merged_epochs = sorted(self._merged_epochs() | {epoch_id})
-        if nb and delta_buckets is not None:
+        if cb and delta_buckets is not None:
+            self.target.write_bucket_delta(
+                merged, delta_buckets, metadata={"merged_epochs": merged_epochs}
+            )
+        elif cb:
+            # bootstrap or schema-evolution epoch: full bucketed rewrite
+            self.target.write(merged, metadata={"merged_epochs": merged_epochs})
+        elif nb and delta_buckets is not None:
             self.target.write_partition_delta(
                 merged.withColumn("_bucket", bucket_expr),
                 "_bucket",
