@@ -79,6 +79,12 @@ class Supervisor:
         self.current_mask_version: str | None = None
         self.current_mask_config = None
         self._pending_mask: tuple[str, object] | None = None
+        # O6 release notification (release.go:178-211): optional Notifier +
+        # the repo/file context the message links to; None = silent
+        self.notifier = None
+        self.notify_schema = "public"
+        self.notify_repo = ""
+        self.notify_mask_file = ""
 
     def add_table(self, name: str, pipeline: CdcPipeline) -> None:
         self.tables[name] = ManagedTable(main=pipeline)
@@ -185,6 +191,23 @@ class Supervisor:
             t.reload = None
             t.released = True
             released.append(name)
+            if self.notifier is not None:
+                from tipoca_stream_spark.streaming.notify import notify_topic_release
+
+                desired = (
+                    self._pending_mask[0]
+                    if self._pending_mask is not None
+                    else (self.current_mask_version or "")
+                )
+                notify_topic_release(
+                    self.notifier,
+                    self.notify_schema,
+                    name if name.count(".") >= 2 else f"db.server.{name}",
+                    self.notify_repo,
+                    self.notify_mask_file,
+                    self.current_mask_version or "",
+                    desired,
+                )
         # all reloads done → the in-flight mask version becomes current
         # (the reference updates MaskStatus.CurrentMaskVersion once every
         # topic is released)
