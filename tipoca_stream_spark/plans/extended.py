@@ -406,12 +406,29 @@ def kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", None, survey_ref="A3 approx_count_distinct (rows-only: HLL impls differ)")
+@query(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+              <= 0.05 * count(DISTINCT l_partkey)) AS approx_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey_ref="A3 approx_count_distinct",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct surface — no oracle (DuckDB's HLL yields
-    different estimates); driver records the rows-only check."""
+    """approx_count_distinct surface. The raw HLL estimate is
+    engine-specific (Spark and DuckDB sketch differently), so the
+    oracle-checkable contract is the one both engines share: the estimate
+    lands within HLL's relative-error envelope of the exact count (5% ≫
+    the ~2% default standard error on both sides). Exact count + the
+    within-envelope flag hash-match; the estimate itself stays internal."""
     li = load_table(spark, sf_dir, "lineitem")
+    approx = F.approx_count_distinct("l_partkey")
+    exact = F.countDistinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.alias("exact_parts"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
