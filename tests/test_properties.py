@@ -362,3 +362,71 @@ def test_cdf_matches_python_diff(spark, tmp_path_factory, batch1, batch2):
         for r in p.target.changes(v1, v2, keys=["id"]).collect()
     }
     assert got == want
+
+
+# --- PNG pixel decode (stdlib zlib + filter reversal) -----------------------
+
+
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_decode_inverts_any_filter_sequence(data, w, h, color_type):
+    """Forward-filter random pixels with a random per-row filter choice
+    (the encoder's freedom under the PNG spec) and require decode_png to
+    reconstruct them exactly — the inverse of spec §9 for every filter
+    interleaving, not just the golden cases."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tipoca_stream_spark.operators import multimodal as mm
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    px = np.array(
+        data.draw(
+            st.lists(
+                st.lists(
+                    st.lists(st.integers(0, 255), min_size=ch, max_size=ch),
+                    min_size=w,
+                    max_size=w,
+                ),
+                min_size=h,
+                max_size=h,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for y, f in enumerate(filters):
+        raw.append(f)
+        up = flat[y - 1] if y else [0] * stride
+        for x in range(stride):
+            left = flat[y][x - ch] if x >= ch else 0
+            ul = up[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: left, 2: up[x], 3: (left + up[x]) // 2,
+                    4: paeth(left, up[x], ul)}[f]
+            raw.append((flat[y][x] - pred) & 0xFF)
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color_type, 0, 0, 0])
+    payload = (mm.PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    out = mm.decode_png(payload)
+    assert out is not None and np.array_equal(out, px)

@@ -437,14 +437,23 @@ class BucketedTargetTable(ParquetTargetTable):
             return self.read(v).limit(0)
         return self.spark.read.schema(self.read(v).schema).parquet(*files)
 
-    def _write_bucketed(self, df: DataFrame, v: int) -> None:
+    def _write_bucketed(self, df: DataFrame, v: int, n_tasks: int | None = None) -> None:
         ident = self._table_ident(v)
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        if n_tasks is None:
+            # full rewrite: one task per bucket → one sorted file per bucket
+            # (see sources/bucketed.py for the rationale)
+            clustered = df.repartition(self.buckets, *[df[k] for k in self.keys])
+        else:
+            # delta write: the rows span only k touched buckets — scheduling
+            # self.buckets tasks (250k at 100 TB) for a batch-sized delta
+            # would be k real tasks and n-k empty ones. Repartition by the
+            # BUCKET id into ~k partitions instead: all rows of one bucket
+            # share the id, so each bucket lands whole in one task and the
+            # write still emits one file per touched bucket.
+            clustered = df.repartition(max(n_tasks, 1), self.bucket_of())
         (
-            # one shuffle so each task owns exactly one bucket → one file
-            # per bucket (see sources/bucketed.py for the full rationale)
-            df.repartition(self.buckets, *[df[k] for k in self.keys])
-            .write.mode("overwrite")
+            clustered.write.mode("overwrite")
             .format("parquet")
             .bucketBy(self.buckets, *self.keys)
             .sortBy(*self.sort_keys)
@@ -492,7 +501,7 @@ class BucketedTargetTable(ParquetTargetTable):
             metadata = self.read_metadata()
         prev = self.current_version()
         v = (prev or 0) + 1
-        self._write_bucketed(changed, v)
+        self._write_bucketed(changed, v, n_tasks=len(changed_buckets))
         if prev is not None:
             changed_set = set(changed_buckets)
             for b, files in self._bucket_files(prev).items():
