@@ -189,3 +189,35 @@ def test_cdc_pipeline_with_catalog_buckets(spark, tmp_path):
     # replayed epoch is a no-op (T4 guard rides on target metadata)
     pipe.run_batch(delta, epoch_id=1)
     assert pipe.target.current_version() == 2
+
+
+def test_same_name_different_roots_do_not_collide(spark, tmp_path):
+    """ADVICE r4: the catalog identifier carries a path hash — two targets
+    with the same table name under different roots in one session must
+    read their own data, not a stale registration's LOCATION."""
+    a = BucketedTargetTable(spark, str(tmp_path / "rootA"), "t", buckets=4, keys=["user_id"])
+    b = BucketedTargetTable(spark, str(tmp_path / "rootB"), "t", buckets=4, keys=["user_id"])
+    a.write(_frame(spark, 10))
+    b.write(_frame(spark, 20, start=1000))
+    assert a._table_ident(1) != b._table_ident(1)
+    assert a.read().count() == 10
+    assert b.read().count() == 20
+    assert {r["user_id"] for r in b.read().collect()} == set(range(1000, 1020))
+
+
+def test_empty_version_readable_after_catalog_loss(spark, tmp_path):
+    """ADVICE r4: a delete-only epoch that empties the table commits a
+    version with zero parquet files; the persisted _schema.json keeps it
+    registrable (and readable) in a fresh session / after catalog loss."""
+    t = _mk(spark, tmp_path, buckets=4)
+    t.write(_frame(spark, 5))
+    empty = _frame(spark, 5).limit(0)
+    v = t.write(empty)
+    # simulate catalog loss: drop every per-version registration
+    for ver in (1, v):
+        spark.sql(f"DROP TABLE IF EXISTS {t._table_ident(ver)}")
+    df = t.read()
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["user_id", "value"]
+    # time travel to the non-empty version still works too
+    assert t.read(version=1).count() == 5

@@ -439,3 +439,22 @@ def test_hash_bucketed_schema_evolution_full_rewrite(spark, tmp_path):
     rows = {r["id"]: (r["name"], r["email"]) for r in p.target.read().collect()}
     assert rows[9] == ("n9", "e9")
     assert rows[0] == ("v0", None) and len(rows) == 5  # backfilled as NULL
+
+
+def test_hash_and_catalog_buckets_mutually_exclusive(spark, tmp_path):
+    """ADVICE r4: setting both bucket modes would compute delta bucket ids
+    in one space while the target lives in the other — reject at init."""
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CdcPipeline(
+            spark,
+            CdcPipelineConfig(
+                table="t",
+                primary_keys=["id"],
+                row_schema=schema,
+                target_root=str(tmp_path / "targets"),
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                hash_buckets=4,
+                catalog_buckets=4,
+            ),
+        )

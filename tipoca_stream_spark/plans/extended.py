@@ -422,11 +422,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct surface. The raw HLL estimate is
     engine-specific (Spark and DuckDB sketch differently), so the
     oracle-checkable contract is the one both engines share: the estimate
-    lands within HLL's relative-error envelope of the exact count (5% ≫
-    the ~2% default standard error on both sides). Exact count + the
+    lands within a 5% envelope of the exact count. Spark's default rsd is
+    0.05 (~5% standard error — the envelope would be only ~1 sigma), so we
+    pass rsd=0.01 explicitly: the 5% envelope is then ~5 sigma on the Spark
+    side, and DuckDB's HLL (~1.6% error) already fits. Exact count + the
     within-envelope flag hash-match; the estimate itself stays internal."""
     li = load_table(spark, sf_dir, "lineitem")
-    approx = F.approx_count_distinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.01)
     exact = F.countDistinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
         exact.alias("exact_parts"),

@@ -23,6 +23,8 @@ Also implements:
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import re
 
@@ -382,8 +384,13 @@ class BucketedTargetTable(ParquetTargetTable):
         return F.pmod(F.hash(*[F.col(k) for k in self.keys]), F.lit(self.buckets))
 
     def _table_ident(self, v: int) -> str:
+        # the identifier carries a short hash of the table PATH: two targets
+        # with the same name under different roots in one session must not
+        # collide in the catalog (a stale registration would silently point
+        # reads at the other root's LOCATION)
         safe = re.sub(r"[^A-Za-z0-9_]", "_", self.name)
-        return f"{safe}_v{v}"
+        tag = hashlib.sha1(os.path.abspath(self.path).encode()).hexdigest()[:8]
+        return f"{safe}_{tag}_v{v}"
 
     def _vdir(self, v: int) -> str:
         return os.path.join(self.path, f"v={v}")
@@ -391,7 +398,7 @@ class BucketedTargetTable(ParquetTargetTable):
     def _register(self, v: int) -> None:
         vdir = self._vdir(v)
         ident = self._table_ident(v)
-        schema = self.spark.read.parquet(vdir).schema
+        schema = self._version_schema(vdir)
         cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
         keys = ", ".join(f"`{k}`" for k in self.keys)
         sort = ", ".join(f"`{k}`" for k in self.sort_keys)
@@ -400,6 +407,22 @@ class BucketedTargetTable(ParquetTargetTable):
             f"CLUSTERED BY ({keys}) SORTED BY ({sort}) INTO {self.buckets} BUCKETS "
             f"LOCATION '{vdir}'"
         )
+
+    def _version_schema(self, vdir: str):
+        """Schema of a version dir — from the persisted ``_schema.json``
+        when present, else inferred from the parquet files. The sidecar is
+        what keeps a version READABLE when it holds zero parquet files
+        (delete-only epoch that empties the table: empty write tasks emit
+        no files, and a bucketed LOCATION cannot take the base class's
+        plain empty-file fallback — Spark rejects data files whose names
+        carry no bucket id)."""
+        from pyspark.sql import types as T
+
+        sfile = os.path.join(vdir, "_schema.json")
+        if os.path.exists(sfile):
+            with open(sfile) as f:
+                return T.StructType.fromJson(json.load(f))
+        return self.spark.read.parquet(vdir).schema
 
     def _ensure_registered(self, v: int) -> None:
         if not self.spark.catalog.tableExists(self._table_ident(v)):
@@ -460,6 +483,11 @@ class BucketedTargetTable(ParquetTargetTable):
             .option("path", self._vdir(v))
             .saveAsTable(ident)
         )
+        # schema sidecar: lets _register rebuild the catalog entry after
+        # catalog loss even when this version has no parquet files (see
+        # _version_schema)
+        with open(os.path.join(self._vdir(v), "_schema.json"), "w") as f:
+            f.write(df.schema.json())
 
     def _commit(self, v: int, metadata: dict | None) -> int:
         import json

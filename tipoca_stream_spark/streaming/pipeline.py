@@ -125,6 +125,17 @@ class CdcPipeline:
     def __init__(self, spark: SparkSession, config: CdcPipelineConfig):
         self.spark = spark
         self.config = config
+        if config.hash_buckets and config.catalog_buckets:
+            # mutually exclusive by design: n_buckets = nb or cb would
+            # compute delta bucket ids in the hash_buckets space while the
+            # target is laid out in catalog_buckets space — read_buckets
+            # would miss rows and bucket-delta commits would link buckets
+            # that also contain rewritten keys (silent duplication/loss)
+            raise ValueError(
+                "hash_buckets and catalog_buckets are mutually exclusive; "
+                f"got hash_buckets={config.hash_buckets}, "
+                f"catalog_buckets={config.catalog_buckets}"
+            )
         if config.catalog_buckets:
             from tipoca_stream_spark.sources.target import BucketedTargetTable
 
