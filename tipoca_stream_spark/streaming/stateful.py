@@ -144,6 +144,47 @@ def _fold_event(sessions: list, t: int, v: float, gap_ms: int) -> None:
             i += 1
 
 
+def _fold_batch(sessions: list, ts_ms, vals, gap_ms: int) -> list:
+    """Vectorized equivalent of folding every event of a sorted batch via
+    :func:`_fold_event` — same final session list, numpy-speed.
+
+    Works because gap-merging is a transitive closure: the result is the
+    partition of all points/intervals where consecutive cluster boundaries
+    sit more than ``gap_ms`` apart, independent of insertion order. So the
+    batch collapses to segments first (``diff > gap`` boundaries on the
+    sorted timestamps, ``reduceat`` segment sums), then one linear pass
+    merges the handful of segments with the carried state sessions. A hot
+    key delivering millions of events in one micro-batch costs one numpy
+    scan instead of millions of Python object iterations.
+
+    ``ts_ms`` must be sorted ascending; ``sessions`` is the state list of
+    ``[start, end, n, total]`` rows (not mutated).
+    """
+    import numpy as np
+
+    if len(ts_ms):
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(ts_ms) > gap_ms) + 1)
+        )
+        seg_sums = np.add.reduceat(vals, bounds)
+        hi = np.concatenate((bounds[1:], [len(ts_ms)]))
+        segs = [
+            [int(ts_ms[lo]), int(ts_ms[h - 1]), int(h - lo), float(s)]
+            for lo, h, s in zip(bounds, hi, seg_sums)
+        ]
+    else:
+        segs = []
+    out: list = []
+    for s in sorted([list(s) for s in sessions] + segs):
+        if out and s[0] - out[-1][1] <= gap_ms:
+            out[-1][1] = max(out[-1][1], s[1])
+            out[-1][2] += s[2]
+            out[-1][3] += s[3]
+        else:
+            out.append(list(s))
+    return out
+
+
 def sessionize_stateful(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -185,10 +226,16 @@ def sessionize_stateful(
             frames = [pdf for pdf in pdf_iter if not pdf.empty]
             if frames:
                 batch = pd.concat(frames).sort_values(ts_col)
-                for _, row in batch.iterrows():
-                    t_ms = int(row[ts_col].value // 1_000_000)
-                    v = float(row[value_col]) if row[value_col] is not None else 0.0
-                    _fold_event(sessions, t_ms, v, gap_ms)
+                ts_ms = (
+                    batch[ts_col].to_numpy("datetime64[ns]").astype("int64")
+                    // 1_000_000
+                )
+                vals = (
+                    pd.to_numeric(batch[value_col], errors="coerce")
+                    .fillna(0.0)
+                    .to_numpy(dtype=float)
+                )
+                sessions = _fold_batch(sessions, ts_ms, vals, gap_ms)
         emit = [s for s in sessions if s[1] + gap_ms <= wm]
         keep = [s for s in sessions if s[1] + gap_ms > wm]
         if keep:
