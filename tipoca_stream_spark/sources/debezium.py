@@ -53,12 +53,23 @@ def wire_schema_id(value: Column) -> Column:
 @dataclass
 class SchemaRegistry:
     """Driver-side schema-id → schema cache (schemaregistry.go:80-138's
-    cache, minus HTTP; a real deployment plugs an HTTP fetch into
-    ``register_avro``). Holds both the Spark envelope StructType (JSON
-    path) and the raw Avro schema JSON (wire-format path)."""
+    cache + client). Holds both the Spark envelope StructType (JSON path)
+    and the raw Avro schema JSON (wire-format path).
+
+    ``client`` is an optional ``registry_http.RegistryHTTPClient``: when
+    set, an UNKNOWN wire id resolves through it — by-id cache first, then
+    GET /schemas/ids/{id} with the reference's retry band
+    (schemaregistry.go:115-138) — and the result is cached, so the network
+    is consulted at most once per id per process, exactly like the
+    reference batcher's GetSchema on every unknown claim
+    (serializer.go:54-61). Without a client, unknown ids still raise."""
 
     schemas: dict[int, T.StructType] = field(default_factory=dict)
     avro_schemas: dict[int, str] = field(default_factory=dict)
+    client: object | None = None
+    client_attempts: int = 5
+    client_sleep: object = None  # injectable for tests; None = time.sleep
+    client_rng: object = None
 
     def register(self, schema_id: int, row_schema: T.StructType) -> None:
         self.schemas[schema_id] = envelope_schema(row_schema)
@@ -72,6 +83,31 @@ class SchemaRegistry:
         if schema_id not in self.schemas:
             raise KeyError(f"schema id {schema_id} not registered")
         return self.schemas[schema_id]
+
+    def resolve_avro(self, schema_id: int) -> str:
+        """Writer schema for a wire id: in-process cache first, then the
+        HTTP client (when configured) with retry, caching the result."""
+        hit = self.avro_schemas.get(schema_id)
+        if hit is not None:
+            return hit
+        if self.client is None:
+            raise KeyError(
+                f"schema id {schema_id} not registered and no registry client "
+                f"configured (ids: {sorted(self.avro_schemas)})"
+            )
+        import time as _time
+
+        from tipoca_stream_spark.sources.registry_http import get_schema_with_retry
+
+        schema = get_schema_with_retry(
+            self.client,
+            schema_id,
+            attempts=self.client_attempts,
+            sleep=self.client_sleep or _time.sleep,
+            rng=self.client_rng,
+        )
+        self.register_avro(schema_id, schema.schema)
+        return schema.schema
 
 
 def _avro_decode_to_json(
@@ -162,7 +198,21 @@ def decode_envelope(
     out_cols = [c for c in df.columns if c != value_col]
 
     if fmt == "avro":
-        if registry is None or not registry.avro_schemas:
+        if registry is None:
+            raise ValueError("fmt='avro' needs a SchemaRegistry")
+        if registry.client is not None:
+            # the reference batcher consults the registry client for every
+            # unknown claimed id (serializer.go:54-61 → schemaregistry.go:
+            # 115-138). Same move, batch-shaped: one cheap driver-side pass
+            # over the DISTINCT wire ids of this batch (5 header bytes per
+            # row + a distinct — bounded by the schema count, not the row
+            # count), resolving unknowns through the client so the Arrow
+            # decode ships a complete id→schema dict to the executors.
+            for r in (
+                df.select(wire_schema_id(value).alias("sid")).distinct().collect()
+            ):
+                registry.resolve_avro(int(r["sid"]))
+        if not registry.avro_schemas:
             raise ValueError("fmt='avro' needs a SchemaRegistry with register_avro()")
         decoded = _avro_decode_to_json(df, value_col, dict(registry.avro_schemas))
         parsed = F.from_json(F.col("payload_json"), envelope_schema(row_schema))
