@@ -33,10 +33,26 @@ from pyspark.sql import functions as F
 
 
 class ParquetTargetTable:
-    def __init__(self, spark: SparkSession, root: str, name: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        zone_cols: list[str] | None = None,
+        zone_files: int = 32,
+    ):
         self.spark = spark
         self.name = name
         self.path = os.path.join(root, name)
+        # SORTKEY analogue on the versioned target (the reference declares
+        # SORTKEY on every Redshift table so zone maps skip blocks): when
+        # zone_cols is set, full rewrites range-cluster on zone_cols[0] and
+        # every commit maintains per-file min/max stats for all zone_cols
+        # under v=<n>/_zones/, so read_range schedules only overlapping
+        # files. Stats commit ATOMICALLY with the data (same version dir,
+        # same pointer flip).
+        self.zone_cols = zone_cols or []
+        self.zone_files = zone_files
         os.makedirs(self.path, exist_ok=True)
 
     @property
@@ -114,11 +130,19 @@ class ParquetTargetTable:
             metadata = self.read_metadata()
         v = (self.current_version() or 0) + 1
         target_dir = os.path.join(self.path, f"v={v}")
+        if self.zone_cols and not partition_by:
+            # range-cluster the rewrite on the primary zone column so each
+            # file owns a tight value range (the SORTKEY's physical
+            # meaning); partitioned layouts keep their directory layout and
+            # rely on stats within each partition
+            df = df.repartitionByRange(self.zone_files, F.col(self.zone_cols[0]))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target_dir)
         self._ensure_readable(target_dir, df)
+        if self.zone_cols:
+            self._write_zone_stats(target_dir, self._version_files(target_dir), None)
         if metadata:
             with open(os.path.join(target_dir, "_meta.json"), "w") as f:
                 json.dump(metadata, f)
@@ -156,6 +180,7 @@ class ParquetTargetTable:
         target_dir = os.path.join(self.path, f"v={v}")
         changed.write.mode("overwrite").partitionBy(partition_col).parquet(target_dir)
         self._ensure_readable(target_dir, changed)
+        new_files = self._version_files(target_dir) if self.zone_cols else []
         changed_names = {f"{partition_col}={val}" for val in changed_values}
         if prev is not None:
             prev_dir = os.path.join(self.path, f"v={prev}")
@@ -172,6 +197,16 @@ class ParquetTargetTable:
                 for fn in os.listdir(src):
                     if fn.endswith(".parquet"):
                         os.link(os.path.join(src, fn), os.path.join(dst, fn))
+        if self.zone_cols:
+            # stats rows: fresh for the rewritten partitions (O(batch)),
+            # carried for every hard-linked file (bytes unchanged)
+            carried = self._carried_zone_stats(
+                prev,
+                lambda s: F.substring_index(F.col("file"), "/", 1).isin(
+                    list(changed_names)
+                ),
+            )
+            self._write_zone_stats(target_dir, new_files, carried)
         if metadata:
             with open(os.path.join(target_dir, "_meta.json"), "w") as f:
                 json.dump(metadata, f)
@@ -180,6 +215,99 @@ class ParquetTargetTable:
             f.write(str(v))
         os.replace(tmp, self._current_file)  # atomic on POSIX
         return v
+
+    # --- zone-map stats (per-version, commit-atomic file skipping) --------
+
+    def _zones_dir(self, vdir: str) -> str:
+        # underscore prefix: invisible to Spark's data-file index, same
+        # convention as _meta.json / Delta's _delta_log
+        return os.path.join(vdir, "_zones")
+
+    @staticmethod
+    def _version_files(vdir: str) -> list[str]:
+        """All data files of a version (recursive — partitioned layouts
+        nest), excluding the _zones sidecar."""
+        out = []
+        for base, dirs, files in os.walk(vdir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            out += [
+                os.path.join(base, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        return out
+
+    def _zone_stats_of(self, files: list[str]) -> DataFrame:
+        """One column-pruned pass over ``files`` → one stats row per file
+        (relative path + min/max per zone column). Never lands on the
+        driver; the caller writes it straight back out."""
+        aggs = []
+        for c in self.zone_cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        rel = F.regexp_replace(F.input_file_name(), r"^.*/v=\d+/", "")
+        return (
+            self.spark.read.parquet(*files)
+            .select(rel.alias("file"), *self.zone_cols)
+            .groupBy("file")
+            .agg(*aggs)
+        )
+
+    def _write_zone_stats(self, vdir: str, new_files: list[str], carried: DataFrame | None) -> None:
+        """Persist the version's stats table: fresh rows for ``new_files``
+        (O(batch) on a delta commit) unioned with ``carried`` rows for
+        hard-linked files (their bytes — and so their stats — are
+        unchanged). Writes nothing when there is nothing to describe."""
+        stats = self._zone_stats_of(new_files) if new_files else None
+        if carried is not None:
+            stats = carried if stats is None else stats.unionByName(carried)
+        if stats is None:
+            return
+        stats.coalesce(1).write.mode("overwrite").parquet(self._zones_dir(vdir))
+
+    def _carried_zone_stats(self, prev: int | None, drop_pred) -> DataFrame | None:
+        """Previous version's stats minus the rows ``drop_pred`` marks as
+        rewritten (their files were not linked into the new version)."""
+        if prev is None:
+            return None
+        zdir = self._zones_dir(os.path.join(self.path, f"v={prev}"))
+        if not os.path.isdir(zdir):
+            return None
+        stats = self.spark.read.parquet(zdir)
+        return stats.filter(~drop_pred(stats))
+
+    def read_range(self, lo, hi, col: str | None = None, version: int | None = None) -> DataFrame:
+        """Rows with ``col`` (default: zone_cols[0]) in [lo, hi], scanning
+        only the current (or given) version's files whose zone overlaps —
+        the stats filter runs distributed and only surviving file PATHS
+        reach the driver. Falls back to a plain filtered scan when stats
+        are absent or the column untracked; correctness never depends on
+        the stats, only scheduling."""
+        col = col or (self.zone_cols[0] if self.zone_cols else None)
+        if col is None:
+            raise ValueError("read_range needs a column (no zone_cols declared)")
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.name} has no committed version")
+        vdir = os.path.join(self.path, f"v={v}")
+        pred = F.col(col).between(F.lit(lo), F.lit(hi))
+        zdir = self._zones_dir(vdir)
+        if not os.path.isdir(zdir):
+            return self.read(v).filter(pred)
+        stats = self.spark.read.parquet(zdir)
+        if f"min_{col}" not in stats.columns:
+            return self.read(v).filter(pred)
+        disjoint = (F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi))
+        keep = F.coalesce(~disjoint, F.lit(True))  # all-null stats: keep
+        files = [
+            os.path.join(vdir, r["file"])
+            for r in stats.filter(keep).select("file").collect()
+        ]
+        files = [f for f in files if os.path.exists(f)]
+        if not files:
+            return self.read(v).limit(0).filter(pred)
+        return (
+            self.spark.read.option("basePath", vdir).parquet(*files).filter(pred)
+        )
 
     def _ensure_readable(self, target_dir: str, df: DataFrame) -> None:
         """A PARTITIONED write of zero rows emits no parquet files at all
@@ -371,11 +499,20 @@ class BucketedTargetTable(ParquetTargetTable):
         buckets: int,
         keys: list[str],
         sort_keys: list[str] | None = None,
+        zone_cols: list[str] | None = None,
+        zone_split: int = 4,
     ):
-        super().__init__(spark, root, name)
+        # zone_cols on a BUCKETED target: the write range-partitions on
+        # (bucket_id, zone_col) into ~zone_split tasks per bucket — a range
+        # task's rows for any one bucket are a CONTIGUOUS zone run, so each
+        # output file (one per bucket per task) carries a tight zone even
+        # though buckets hash on the PK. This is exactly Redshift's
+        # DISTKEY + SORTKEY pair: hash placement, range-tight blocks.
+        super().__init__(spark, root, name, zone_cols=zone_cols)
         self.buckets = buckets
         self.keys = keys
         self.sort_keys = sort_keys or keys
+        self.zone_split = zone_split
 
     def bucket_of(self) -> F.Column:
         """The bucket id expression — identical to the writer's assignment
@@ -463,7 +600,17 @@ class BucketedTargetTable(ParquetTargetTable):
     def _write_bucketed(self, df: DataFrame, v: int, n_tasks: int | None = None) -> None:
         ident = self._table_ident(v)
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
-        if n_tasks is None:
+        if self.zone_cols:
+            # (bucket, zone) range layout: zone-tight files per bucket (see
+            # __init__). Task count scales with what's being written — the
+            # whole table on a full rewrite, the touched buckets on a delta.
+            base = n_tasks if n_tasks is not None else self.buckets
+            clustered = df.repartitionByRange(
+                max(base, 1) * self.zone_split,
+                self.bucket_of(),
+                F.col(self.zone_cols[0]),
+            )
+        elif n_tasks is None:
             # full rewrite: one task per bucket → one sorted file per bucket
             # (see sources/bucketed.py for the rationale)
             clustered = df.repartition(self.buckets, *[df[k] for k in self.keys])
@@ -511,6 +658,9 @@ class BucketedTargetTable(ParquetTargetTable):
             metadata = self.read_metadata()
         v = (self.current_version() or 0) + 1
         self._write_bucketed(df, v)
+        if self.zone_cols:
+            vdir = self._vdir(v)
+            self._write_zone_stats(vdir, self._version_files(vdir), None)
         return self._commit(v, metadata)
 
     def write_bucket_delta(
@@ -530,13 +680,25 @@ class BucketedTargetTable(ParquetTargetTable):
         prev = self.current_version()
         v = (prev or 0) + 1
         self._write_bucketed(changed, v, n_tasks=len(changed_buckets))
+        new_files = self._version_files(self._vdir(v)) if self.zone_cols else []
+        changed_set = set(changed_buckets)
         if prev is not None:
-            changed_set = set(changed_buckets)
             for b, files in self._bucket_files(prev).items():
                 if b in changed_set:
                     continue
                 for src in files:
                     os.link(src, os.path.join(self._vdir(v), os.path.basename(src)))
+        if self.zone_cols:
+            # stats rows only for the touched buckets' fresh files —
+            # O(batch), like the data commit; linked buckets carry their
+            # rows forward (the file name encodes the bucket id)
+            carried = self._carried_zone_stats(
+                prev,
+                lambda s: F.regexp_extract(F.col("file"), r"_(\d{5})\.", 1)
+                .cast("int")
+                .isin(list(changed_set)),
+            )
+            self._write_zone_stats(self._vdir(v), new_files, carried)
         return self._commit(v, metadata)
 
     def compact(self, target_files: int = 1, partition_by: list[str] | None = None) -> int:

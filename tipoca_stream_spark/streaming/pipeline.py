@@ -112,6 +112,11 @@ class CdcPipelineConfig:
     # co-location the reference gets from Redshift). Mutually exclusive
     # with hash_buckets.
     catalog_buckets: int | None = None
+    # SORTKEY analogue: maintain per-file min/max zone stats for these
+    # columns on every target commit (fresh rows only for touched buckets
+    # on delta commits — O(batch)); target.read_range then schedules only
+    # overlapping files for range predicates (sources/target.py zone maps)
+    zone_cols: list[str] | None = None
     # compact the target every N committed epochs (None = never): streaming
     # merges write one file set per epoch; long-lived targets need the
     # small-file rewrite or scan cost drifts upward
@@ -145,9 +150,12 @@ class CdcPipeline:
                 config.table,
                 buckets=config.catalog_buckets,
                 keys=config.primary_keys,
+                zone_cols=config.zone_cols,
             )
         else:
-            self.target = ParquetTargetTable(spark, config.target_root, config.table)
+            self.target = ParquetTargetTable(
+                spark, config.target_root, config.table, zone_cols=config.zone_cols
+            )
         self.metrics: list[dict] = []  # A1/A2 counters per epoch
         os.makedirs(config.checkpoint_dir, exist_ok=True)
 
