@@ -154,6 +154,56 @@ def main() -> None:
     finally:
         shutil.rmtree(bt_root, ignore_errors=True)
 
+    # - skew stress (round 5): one key owning ~10% of all rows through the
+    #   three shapes a hot key can break — the latest-wins merge (map-side
+    #   max_by combine), MinHash-LSH banding (hot-bucket cap), and the
+    #   co-occurrence group expansion (hot-group cap). These time the
+    #   CAPPED plans: presence proves the guards hold at this SF without a
+    #   straggler task; the caps' drop metrics are asserted in
+    #   tests/test_skew_stress.py.
+    from tipoca_stream_spark.operators.corpus_dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from tipoca_stream_spark.plans.analytics import cooccurrence_pairs
+    from tipoca_stream_spark.sources.tables import load_table
+
+    skewed_cdc = _events_as_cdc(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 10 == 0, F.lit(42)).otherwise(F.col("user_id")),
+    )
+    empty_t = spark.createDataFrame([], "user_id long, event_type string, value double")
+    extras["skew_cdc_merge_hot_key"] = best_of(
+        2, lambda: merge_into_target(empty_t, skewed_cdc, ["user_id"]).count()
+    )
+    boiler = "the quick brown fox jumps over the lazy dog again and again forever"
+    skew_docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(boiler)).otherwise(F.col("text")),
+    )
+
+    def skew_minhash() -> None:
+        bands = lsh_band_keys(
+            minhash_signatures(word_shingles(skew_docs, "text", "doc_id"), "doc_id"),
+            "doc_id",
+        )
+        lsh_candidate_pairs(bands, "doc_id", max_bucket_size=64).count()
+
+    extras["skew_minhash_hot_bucket"] = best_of(2, skew_minhash)
+    skew_li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(1)).otherwise(F.col("l_orderkey")),
+    )
+    extras["skew_cooccurrence_hot_group"] = best_of(
+        2,
+        lambda: cooccurrence_pairs(
+            skew_li, key_col="l_orderkey", item_col="l_partkey",
+            min_count=2, max_group_size=256,
+        ).count(),
+    )
+
     print(
         json.dumps(
             {
