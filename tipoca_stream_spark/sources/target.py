@@ -229,7 +229,12 @@ class ParquetTargetTable:
         nest), excluding the _zones sidecar."""
         out = []
         for base, dirs, files in os.walk(vdir):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            # prune hidden/sidecar dirs (_zones) but KEEP hive partition
+            # dirs — a partition column named _bucket makes dirs like
+            # "_bucket=3" that start with an underscore yet hold data
+            dirs[:] = [
+                d for d in dirs if "=" in d or not d.startswith(("_", "."))
+            ]
             out += [
                 os.path.join(base, f)
                 for f in files
