@@ -19,10 +19,16 @@ from tipoca_stream_spark.plans import QUERIES
 
 @pytest.fixture(scope="module")
 def ducksql(sf_dir):
+    import os
+
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata = one flat file per table; self-generated scale
+        # datasets (scripts/make_scale_dataset.py) = a directory of parts
+        path = f"{sf_dir}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
     return con
 
 

@@ -261,3 +261,38 @@ def test_cdc_pipeline_hash_buckets_zone_cols(spark, tmp_path):
         pipe.target.path, f"v={pipe.target.current_version()}", "_zones"
     )
     assert os.path.isdir(zdir)
+
+
+def test_delta_onto_pre_zone_target_stats_full_or_fallback(spark, tmp_path):
+    """A delta commit onto a version written BEFORE zone_cols existed must
+    not leave partial stats: either every file is statted, and read_range
+    stays exact."""
+    plain = BucketedTargetTable(
+        spark, str(tmp_path), "bt", buckets=4, keys=["user_id"]
+    )
+    plain.write(_frame_ev(spark, 2000))
+    # reopen WITH zone_cols and delta-commit one bucket
+    zoned = BucketedTargetTable(
+        spark, str(tmp_path), "bt", buckets=4, keys=["user_id"],
+        zone_cols=["ts"], zone_split=2,
+    )
+    batch = _frame_ev(spark, 10).withColumn("ts", F.col("ts") + F.lit(9_000_000_000))
+    touched = sorted(
+        r["b"] for r in batch.select(zoned.bucket_of().alias("b")).distinct().collect()
+    )
+    survivors = zoned.read().join(batch.select("user_id"), "user_id", "left_anti")
+    delta = survivors.unionByName(batch).filter(zoned.bucket_of().isin(touched))
+    zoned.write_bucket_delta(delta, touched)
+    # full-range read returns EVERY row (linked files must not be skipped)
+    lo, hi = 1_600_000_000_000, 1_800_000_000_000
+    got = zoned.read_range(lo, hi)
+    want = zoned.read().filter(F.col("ts").between(lo, hi)).count()
+    assert got.count() == want == 2000
+
+
+def _frame_ev(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("user_id"),
+        (F.lit(1_700_000_000_000) + F.col("id") * 1000).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )

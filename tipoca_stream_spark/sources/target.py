@@ -199,13 +199,18 @@ class ParquetTargetTable:
                         os.link(os.path.join(src, fn), os.path.join(dst, fn))
         if self.zone_cols:
             # stats rows: fresh for the rewritten partitions (O(batch)),
-            # carried for every hard-linked file (bytes unchanged)
+            # carried for every hard-linked file (bytes unchanged). If the
+            # previous version has no stats (target predates zone_cols),
+            # stat EVERY file once — partial stats would make read_range
+            # silently skip the linked files.
             carried = self._carried_zone_stats(
                 prev,
                 lambda s: F.substring_index(F.col("file"), "/", 1).isin(
                     list(changed_names)
                 ),
             )
+            if carried is None and prev is not None:
+                new_files = self._version_files(target_dir)
             self._write_zone_stats(target_dir, new_files, carried)
         if metadata:
             with open(os.path.join(target_dir, "_meta.json"), "w") as f:
@@ -300,6 +305,11 @@ class ParquetTargetTable:
             return self.read(v).filter(pred)
         stats = self.spark.read.parquet(zdir)
         if f"min_{col}" not in stats.columns:
+            return self.read(v).filter(pred)
+        # defensive coverage check: a file the stats table doesn't know
+        # about would be silently skipped — if counts disagree (partial
+        # sidecar, manual surgery), pruning is forfeited, never correctness
+        if stats.count() != len(self._version_files(vdir)):
             return self.read(v).filter(pred)
         disjoint = (F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi))
         keep = F.coalesce(~disjoint, F.lit(True))  # all-null stats: keep
@@ -696,13 +706,17 @@ class BucketedTargetTable(ParquetTargetTable):
         if self.zone_cols:
             # stats rows only for the touched buckets' fresh files —
             # O(batch), like the data commit; linked buckets carry their
-            # rows forward (the file name encodes the bucket id)
+            # rows forward (the file name encodes the bucket id). No prior
+            # stats to carry (target predates zone_cols) → stat every file
+            # once, or read_range would skip the linked ones.
             carried = self._carried_zone_stats(
                 prev,
                 lambda s: F.regexp_extract(F.col("file"), r"_(\d{5})\.", 1)
                 .cast("int")
                 .isin(list(changed_set)),
             )
+            if carried is None and prev is not None:
+                new_files = self._version_files(self._vdir(v))
             self._write_zone_stats(self._vdir(v), new_files, carried)
         return self._commit(v, metadata)
 
