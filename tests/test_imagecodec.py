@@ -1,0 +1,577 @@
+"""Round-trip tests for the pure-Python JPEG/GIF decoders.
+
+The encoders in this file are TEST ORACLES only: a minimal baseline JPEG
+encoder (FDCT + quantize + canonical-Huffman entropy code, T.81 Annex F)
+and a real GIF LZW encoder (variable code width, table overflow, optional
+mid-stream clears). Because JPEG is lossy, the JPEG tests compare the
+decoder's output against pixels reconstructed independently from the
+*quantized coefficients* (the information that actually survives
+encoding), making the expected value exact up to float rounding (tolerance
+1). GIF is lossless, so GIF round-trips assert exact equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tipoca_stream_spark.operators.imagecodec import (
+    _ZIGZAG,
+    decode_gif,
+    decode_jpeg,
+)
+
+
+# ---------------------------------------------------------------- JPEG ---
+
+def _basis():
+    x = np.arange(8)
+    u = np.arange(8)
+    a = 0.5 * np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+_A = _basis()
+
+# Arbitrary-but-valid quant tables (values 1..255); flat-ish luma, coarser
+# chroma, deterministic.
+_QT_LUMA = np.array([[6 + ((i + j) % 5) * 2 for j in range(8)] for i in range(8)])
+_QT_CHROMA = np.array([[10 + ((i * 3 + j) % 7) * 3 for j in range(8)] for i in range(8)])
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad 1s
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _magnitude_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _fixed_table(symbols):
+    """Canonical table with all codes the same length: counts + code map."""
+    syms = sorted(set(symbols))
+    length = max(2, (len(syms) + 1).bit_length())  # len(syms) < 2**length
+    counts = [0] * 16
+    counts[length - 1] = len(syms)
+    codes = {s: (length, i) for i, s in enumerate(syms)}
+    return counts, syms, codes
+
+
+def _zigzag_scan(block):
+    flat = block.reshape(64)
+    return [int(flat[_ZIGZAG[i]]) for i in range(64)]
+
+
+def _block_symbols(qblocks_per_comp, comp_classes):
+    """First pass: collect DC categories / AC run-size symbols per table."""
+    dc_syms = {0: [], 1: []}
+    ac_syms = {0: [], 1: []}
+    for ci, qblocks in enumerate(qblocks_per_comp):
+        tclass = comp_classes[ci]
+        pred = 0
+        for blk in qblocks:
+            zz = _zigzag_scan(blk)
+            diff = zz[0] - pred
+            pred = zz[0]
+            dc_syms[tclass].append(_category(diff))
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms[tclass].append(0xF0)
+                    run -= 16
+                ac_syms[tclass].append((run << 4) | _category(zz[k]))
+                run = 0
+            if run:
+                ac_syms[tclass].append(0x00)
+    return dc_syms, ac_syms
+
+
+def jpeg_encode(px, chroma_sub=(1, 1), restart_interval=0):
+    """Encode (h, w, 3) RGB or (h, w) grayscale as baseline JPEG.
+
+    Returns (jpeg_bytes, expected_pixels) where expected_pixels is the
+    reconstruction from the quantized coefficients (what a correct decoder
+    must produce, up to float rounding).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px - 128.0]
+        quants = [_QT_LUMA]
+        samp = [(1, 1)]
+        comp_classes = [0]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        sx, sy = chroma_sub
+        # chroma planes: box-mean downsample by (sy, sx)
+        def down(p):
+            hh = -(-h // sy) * sy
+            ww = -(-w // sx) * sx
+            padded = np.pad(p, ((0, hh - h), (0, ww - w)), mode="edge")
+            return padded.reshape(hh // sy, sy, ww // sx, sx).mean(axis=(1, 3))
+
+        planes = [y - 128.0, down(cb) - 128.0, down(cr) - 128.0]
+        quants = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+        samp = [(sx, sy), (1, 1), (1, 1)]
+        comp_classes = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # pad planes to the MCU grid (edge replication) and quantize blocks
+    qblocks_per_comp = []
+    for ci, plane in enumerate(planes):
+        hi, vi = samp[ci]
+        pw, ph = mcus_x * hi * 8, mcus_y * vi * 8
+        padded = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        qblocks = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0, x0 = (my * vi + by) * 8, (mx * hi + bx) * 8
+                        f = padded[y0 : y0 + 8, x0 : x0 + 8]
+                        coeffs = _A @ f @ _A.T
+                        qblocks.append(
+                            np.rint(coeffs / quants[ci]).astype(np.int64)
+                        )
+        qblocks_per_comp.append(qblocks)
+
+    # --- expected reconstruction from quantized coefficients ---
+    rec_planes = []
+    for ci, qblocks in enumerate(qblocks_per_comp):
+        hi, vi = samp[ci]
+        pw, ph = mcus_x * hi * 8, mcus_y * vi * 8
+        plane = np.zeros((ph, pw))
+        i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(vi):
+                    for bx in range(hi):
+                        deq = qblocks[i] * quants[ci]
+                        f = _A.T @ deq @ _A + 128.0
+                        y0, x0 = (my * vi + by) * 8, (mx * hi + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = f
+                        i += 1
+        plane = np.clip(np.rint(plane), 0, 255)
+        plane = np.repeat(plane, vmax // vi, axis=0)
+        plane = np.repeat(plane, hmax // hi, axis=1)
+        rec_planes.append(plane[:h, :w])
+    if gray:
+        expected = rec_planes[0][:, :, None].astype(np.uint8)
+    else:
+        yy = rec_planes[0]
+        cbb = rec_planes[1] - 128.0
+        crr = rec_planes[2] - 128.0
+        rr = yy + 1.402 * crr
+        gg = yy - 0.344136 * cbb - 0.714136 * crr
+        bb = yy + 1.772 * cbb
+        expected = np.clip(
+            np.rint(np.stack([rr, gg, bb], axis=-1)), 0, 255
+        ).astype(np.uint8)
+
+    # --- entropy coding ---
+    dc_syms, ac_syms = _block_symbols(qblocks_per_comp, comp_classes)
+    tables = {}  # (class, id) -> (counts, syms, codes)
+    for tid in set(comp_classes):
+        tables[(0, tid)] = _fixed_table(dc_syms[tid] or [0])
+        tables[(1, tid)] = _fixed_table(ac_syms[tid] or [0])
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    for tid, qtab in {0: _QT_LUMA, **({} if gray else {1: _QT_CHROMA})}.items():
+        flat = qtab.reshape(64)
+        zz = bytes(int(flat[_ZIGZAG[i]]) for i in range(64))
+        segment(0xDB, bytes([tid]) + zz)
+    ncomp = 1 if gray else 3
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if comp_classes[ci] == 0 else 1])
+    segment(0xC0, bytes(sof))
+    for (tclass, tid), (counts, syms, _) in sorted(tables.items()):
+        segment(0xC4, bytes([(tclass << 4) | tid] + counts + syms))
+    if restart_interval:
+        segment(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if comp_classes[ci] == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    segment(0xDA, bytes(sos))
+
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    blk_idx = [0] * ncomp
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()
+            out.extend(writer.out)
+            out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            writer = _BitWriter()
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            tid = 0 if comp_classes[ci] == 0 else 1
+            _, _, dc_codes = tables[(0, tid)]
+            _, _, ac_codes = tables[(1, tid)]
+            for _ in range(hi * vi):
+                zz = _zigzag_scan(qblocks_per_comp[ci][blk_idx[ci]])
+                blk_idx[ci] += 1
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                s = _category(diff)
+                length, code = dc_codes[s]
+                writer.write(code, length)
+                if s:
+                    writer.write(_magnitude_bits(diff, s), s)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = ac_codes[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    s = _category(zz[k])
+                    length, code = ac_codes[(run << 4) | s]
+                    writer.write(code, length)
+                    writer.write(_magnitude_bits(zz[k], s), s)
+                    run = 0
+                if run:
+                    length, code = ac_codes[0x00]
+                    writer.write(code, length)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out), expected
+
+
+def _gradient_rgb(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    base = (
+        np.arange(h)[:, None, None] * 5
+        + np.arange(w)[None, :, None] * 3
+        + np.arange(3)[None, None, :] * 40
+    )
+    noise = rng.integers(0, 24, size=(h, w, 3))
+    return ((base + noise) % 256).astype(np.uint8)
+
+
+def test_jpeg_grayscale_roundtrip_exact_vs_coefficients():
+    px = (np.add.outer(np.arange(16) * 7, np.arange(24) * 3) % 256).astype(
+        np.uint8
+    )
+    payload, expected = jpeg_encode(px)
+    out = decode_jpeg(payload)
+    assert out.shape == (16, 24, 1)
+    assert np.max(np.abs(out.astype(int) - expected.astype(int))) <= 1
+
+
+def test_jpeg_color_444_roundtrip():
+    px = _gradient_rgb(24, 17, seed=1)  # non-multiple-of-8 width → crop path
+    payload, expected = jpeg_encode(px, chroma_sub=(1, 1))
+    out = decode_jpeg(payload)
+    assert out.shape == (24, 17, 3)
+    assert np.max(np.abs(out.astype(int) - expected.astype(int))) <= 1
+
+
+def test_jpeg_color_420_subsampled_roundtrip():
+    px = _gradient_rgb(33, 46, seed=2)  # odd dims: padded MCU grid + crop
+    payload, expected = jpeg_encode(px, chroma_sub=(2, 2))
+    out = decode_jpeg(payload)
+    assert out.shape == (33, 46, 3)
+    assert np.max(np.abs(out.astype(int) - expected.astype(int))) <= 1
+
+
+def test_jpeg_restart_markers():
+    px = _gradient_rgb(32, 64, seed=3)
+    payload, expected = jpeg_encode(px, chroma_sub=(2, 2), restart_interval=2)
+    assert any(
+        payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7
+        for i in range(len(payload) - 1)
+    )
+    out = decode_jpeg(payload)
+    assert np.max(np.abs(out.astype(int) - expected.astype(int))) <= 1
+
+
+def test_jpeg_flat_color_decodes_to_flat():
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    payload, expected = jpeg_encode(px)
+    out = decode_jpeg(payload)
+    # flat image → DC-only blocks; every pixel identical
+    assert len(np.unique(out.reshape(-1, 3), axis=0)) == 1
+    assert np.max(np.abs(out.astype(int) - expected.astype(int))) <= 1
+
+
+def test_jpeg_not_a_jpeg_returns_none():
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_jpeg_progressive_gated_truncated_raises():
+    px = (np.zeros((8, 8)) + 100).astype(np.uint8)
+    payload, _ = jpeg_encode(px)
+    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError gate
+    prog = bytearray(payload)
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    # truncated stream: SOI+half the segments
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) // 3])
+
+
+def test_jpeg_decode_via_decode_image():
+    from tipoca_stream_spark.operators.multimodal import (
+        decode_image,
+        decode_image_header,
+    )
+
+    px = _gradient_rgb(16, 16, seed=4)
+    payload, expected = jpeg_encode(px)
+    assert decode_image_header(payload) == ("jpeg", 16, 16)
+    out = decode_image(payload)
+    assert np.max(np.abs(out.astype(int) - expected.astype(int))) <= 1
+
+
+# ----------------------------------------------------------------- GIF ---
+
+class _LSBWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int):
+        self.acc |= value << self.nbits
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self):
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _lzw_encode(indices, min_code_size, clear_every=None):
+    """Real GIF LZW encoder: dict growth, width growth mirrored to the
+    decoder's late-change convention, table-full behavior, optional
+    forced mid-stream CLEARs."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    writer = _LSBWriter()
+
+    def reset():
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, code_size = reset()
+    writer.write(clear, code_size)
+    w = ()
+    since_clear = 0
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        writer.write(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # decoder grows width one entry earlier than the encoder's
+            # own counter (its table lags by one): late-change rule
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = (k,)
+        since_clear += 1
+        if clear_every and since_clear >= clear_every:
+            writer.write(table[w], code_size)
+            writer.write(clear, code_size)
+            table, next_code, code_size = reset()
+            w = ()
+            since_clear = 0
+    if w:
+        writer.write(table[w], code_size)
+    writer.write(end, code_size)
+    writer.flush()
+    return bytes(writer.out)
+
+
+def gif_encode(
+    indices,
+    palette,
+    interlace=False,
+    clear_every=None,
+    local_table=False,
+    bg_index=0,
+):
+    """indices: (h, w) ints; palette: (n, 3) uint8. Returns GIF89a bytes."""
+    indices = np.asarray(indices)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = indices.shape
+    n = len(palette)
+    size_field = max(0, (n - 1).bit_length() - 1) if n > 1 else 0
+    table_n = 2 << size_field
+    if table_n < n:
+        size_field += 1
+        table_n = 2 << size_field
+    full = np.zeros((table_n, 3), dtype=np.uint8)
+    full[:n] = palette
+    mcs = max(2, size_field + 1)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gflags = (0x00 if local_table else 0x80) | size_field
+    out += bytes([gflags, bg_index, 0])
+    if not local_table:
+        out += full.tobytes()
+    # a comment extension, to exercise the skip path
+    out += bytes([0x21, 0xFE, 4]) + b"test" + bytes([0])
+    out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    iflags = (0x80 if local_table else 0) | (0x40 if interlace else 0) | (
+        size_field if local_table else 0
+    )
+    out += bytes([iflags])
+    if local_table:
+        out += full.tobytes()
+    rows = indices
+    if interlace:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, h, step))
+        rows = indices[order]
+    data = _lzw_encode([int(v) for v in rows.reshape(-1)], mcs, clear_every)
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def _palette(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+
+
+def test_gif_roundtrip_exact():
+    rng = np.random.default_rng(10)
+    pal = _palette(16, seed=10)
+    idx = rng.integers(0, 16, size=(40, 60))
+    out = decode_gif(gif_encode(idx, pal))
+    assert out.shape == (40, 60, 3)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_solid_color_kwkwk_case():
+    pal = _palette(4, seed=11)
+    idx = np.full((10, 10), 3)
+    out = decode_gif(gif_encode(idx, pal))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_code_width_growth_and_table_overflow():
+    # 256-color random image → width grows to 12 bits and the table fills
+    rng = np.random.default_rng(12)
+    pal = _palette(256, seed=12)
+    idx = rng.integers(0, 256, size=(80, 80))
+    out = decode_gif(gif_encode(idx, pal))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_mid_stream_clear():
+    rng = np.random.default_rng(13)
+    pal = _palette(8, seed=13)
+    idx = rng.integers(0, 8, size=(32, 32))
+    out = decode_gif(gif_encode(idx, pal, clear_every=100))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_interlaced():
+    rng = np.random.default_rng(14)
+    pal = _palette(32, seed=14)
+    idx = rng.integers(0, 32, size=(23, 17))  # odd height: uneven passes
+    out = decode_gif(gif_encode(idx, pal, interlace=True))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_local_color_table():
+    rng = np.random.default_rng(15)
+    pal = _palette(16, seed=15)
+    idx = rng.integers(0, 16, size=(12, 12))
+    out = decode_gif(gif_encode(idx, pal, local_table=True))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_not_a_gif_and_corrupt():
+    assert decode_gif(b"") is None
+    assert decode_gif(b"\xff\xd8\xff\xe0") is None
+    pal = _palette(4, seed=16)
+    idx = np.zeros((4, 4), dtype=int)
+    good = gif_encode(idx, pal)
+    with pytest.raises(ValueError):
+        decode_gif(good[:20])  # truncated after header
+
+
+def test_gif_decode_via_decode_image():
+    from tipoca_stream_spark.operators.multimodal import (
+        decode_image,
+        decode_image_header,
+    )
+
+    rng = np.random.default_rng(17)
+    pal = _palette(8, seed=17)
+    idx = rng.integers(0, 8, size=(9, 11))
+    payload = gif_encode(idx, pal)
+    assert decode_image_header(payload) == ("gif", 11, 9)
+    assert np.array_equal(decode_image(payload), pal[idx])

@@ -145,8 +145,9 @@ def test_metadata_query_prunes_payload(spark, tmp_path):
     assert not explain_has_exchange(scan)
 
 
-def test_pixel_decode_is_gated():
-    with pytest.raises(NotImplementedError):
+def test_pixel_decode_rejects_dataless_frame():
+    # header-only PNG frame (no IDAT) is corrupt, not merely unsupported
+    with pytest.raises(ValueError):
         mm.decode_image(mm.png_framed(2, 2))
 
 
@@ -401,7 +402,7 @@ def test_decode_png_multiple_idat_chunks():
     assert np.array_equal(mm.decode_png(payload), px)
 
 
-def test_decode_image_png_bmp_real_jpeg_gated():
+def test_decode_image_png_bmp_real_corrupt_jpeg_rejected():
     import numpy as np
     import pytest
 
@@ -419,7 +420,7 @@ def test_decode_image_png_bmp_real_jpeg_gated():
     # truncated-but-headered JPEG: header parses, pixel decode must raise
     jpeg = b"\xff\xd8\xff\xc0" + (9).to_bytes(2, "big") + bytes([8]) + (2).to_bytes(2, "big") + (3).to_bytes(2, "big") + b"\x01"
     assert mm.decode_image_header(jpeg) == ("jpeg", 3, 2)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         mm.decode_image(jpeg)
 
 

@@ -1,0 +1,573 @@
+"""Pure-Python/numpy entropy codecs for the two image formats that
+previously stayed gated in :mod:`multimodal`: baseline JPEG and GIF.
+
+Both are fully-specified public formats (ITU-T T.81 / CCITT for JPEG,
+the GIF89a specification for GIF) and need no external codec library:
+
+- ``decode_jpeg``: baseline sequential DCT JPEG (SOF0/SOF1) — marker walk,
+  DQT/DHT table parse, Huffman entropy decode with byte-destuffing and
+  restart-marker handling, dequantize + zigzag reorder, batched 8x8 IDCT
+  as one numpy einsum over all blocks, nearest-neighbor chroma upsample,
+  and BT.601 YCbCr->RGB. Progressive (SOF2), arithmetic-coded, 12-bit,
+  and hierarchical JPEGs raise NotImplementedError (honest gate: the
+  baseline process covers the overwhelming majority of real JPEGs).
+- ``decode_gif``: GIF87a/89a first frame — logical screen + color tables,
+  LZW decompression (variable code width, deferred clear, KwKwK case),
+  interlace reordering, composed onto the logical-screen canvas.
+
+Reference parity note: the reference system (practo/tipoca-stream) has no
+image pipeline at all — this module exists for the training-data-pipeline
+surface (multimodal columns), where decode runs inside Arrow-batched
+``mapInPandas`` (see multimodal.extract_features). The Huffman inner loop
+is per-bit Python and is the honest pure-Python floor; a production
+deployment would swap ``decode_jpeg`` for a codec library behind the same
+``mapInPandas`` plumbing without touching any Spark-side code.
+"""
+
+from __future__ import annotations
+
+# Zigzag scan order (T.81 Figure A.6): position i in the coded coefficient
+# stream maps to raster index _ZIGZAG[i] of the 8x8 block.
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_SOF_BASELINE = (0xC0, 0xC1)  # baseline / extended sequential, Huffman, 8-bit
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive DCT",
+    0xC3: "lossless sequential",
+    0xC5: "differential sequential",
+    0xC6: "differential progressive",
+    0xC7: "differential lossless",
+    0xC9: "arithmetic extended sequential",
+    0xCA: "arithmetic progressive",
+    0xCB: "arithmetic lossless",
+    0xCD: "differential arithmetic sequential",
+    0xCE: "differential arithmetic progressive",
+    0xCF: "differential arithmetic lossless",
+}
+
+
+def _idct_basis():
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8)
+    # A[u, x] = 0.5 * c(u) * cos((2x+1) u pi / 16); f = A.T @ F @ A
+    a = 0.5 * np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+def _build_huffman(counts, symbols):
+    """Canonical Huffman table per T.81 Annex C: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over a destuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                # Past the end: the final byte's padding bits are 1s
+                # (T.81 F.1.2.3); tolerate over-read during the last MCU.
+                return 1
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_symbol(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    # T.81 F.12: map an s-bit magnitude to its signed value.
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+def _split_entropy_segments(payload: bytes, pos: int):
+    """Destuff the entropy-coded data starting at ``pos``: returns
+    (segments, end_pos) where segments are the byte runs between restart
+    markers (RST0-7), each with 0xFF00 stuffing removed."""
+    segments = []
+    cur = bytearray()
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            pos += 1
+            break
+        m = payload[pos + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # restart marker
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or next real marker: end of scan
+            break
+    segments.append(bytes(cur))
+    return segments, pos
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JPEG -> (h, w, channels) uint8, or None if not a JPEG.
+
+    Raises NotImplementedError for non-baseline processes (progressive /
+    arithmetic / lossless / 12-bit) and ValueError for corrupt streams.
+    """
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+
+    qt = {}  # id -> raster-order int table (64,)
+    huff = {}  # (class, id) -> {(len, code): symbol}
+    frame = None  # (h, w, [(comp_id, hi, vi, tq)])
+    restart_interval = 0
+    scan = None  # ([(comp_index, dc_table, ac_table)], entropy_pos)
+
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    vals = list(body[i : i + 64])
+                    i += 64
+                else:
+                    vals = [
+                        int.from_bytes(body[i + 2 * k : i + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    i += 128
+                if len(vals) < 64:
+                    raise ValueError("truncated DQT")
+                raster = [0] * 64
+                for z, v in enumerate(vals):
+                    raster[_ZIGZAG[z]] = v
+                qt[tq] = raster
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1 : i + 17])
+                total = sum(counts)
+                symbols = list(body[i + 17 : i + 17 + total])
+                if len(symbols) < total:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _build_huffman(counts, symbols)
+                i += 17 + total
+        elif marker in _SOF_BASELINE:
+            precision = body[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG not supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG process not supported: {_SOF_UNSUPPORTED[marker]} "
+                "(baseline sequential only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            sel = []
+            comp_ids = [c[0] for c in frame[2]]
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s : 3 + 2 * s]
+                if cs not in comp_ids:
+                    raise ValueError("SOS references unknown component")
+                sel.append((comp_ids.index(cs), tables >> 4, tables & 0x0F))
+            scan = (sel, pos)
+            break
+        # else: APPn / COM / others — skipped via seg_len
+
+    if frame is None or scan is None:
+        raise ValueError("truncated JPEG: no frame/scan data")
+
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension JPEG frame")
+    sel, entropy_pos = scan
+    if len(sel) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, hi, vi, _ in comps:
+        if hi == 0 or vi == 0 or hmax % hi or vmax % vi:
+            raise ValueError("unsupported JPEG sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    segments, _ = _split_entropy_segments(payload, entropy_pos)
+    # blocks[i]: list of 64-int coefficient rows for component i, in MCU
+    # scan order (vi*hi blocks per MCU, row-major within the MCU).
+    blocks = [[] for _ in comps]
+    pred = [0] * len(comps)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            reader = _BitReader(segments[seg_idx])
+            pred = [0] * len(comps)
+        for ci, dc_id, ac_id in sel:
+            _, hi, vi, tq = comps[ci]
+            if tq not in qt:
+                raise ValueError("missing quantization table")
+            try:
+                dc_tab = huff[(0, dc_id)]
+                ac_tab = huff[(1, ac_id)]
+            except KeyError:
+                raise ValueError("missing Huffman table") from None
+            q = qt[tq]
+            for _ in range(hi * vi):
+                coef = [0] * 64
+                s = _decode_symbol(reader, dc_tab)
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                pred[ci] += diff
+                coef[0] = pred[ci] * q[0]
+                k = 0
+                while k < 63:
+                    rs = _decode_symbol(reader, ac_tab)
+                    r, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if r == 15:  # ZRL: skip 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r + 1
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz = _ZIGZAG[k]
+                    coef[zz] = _extend(reader.read_bits(size), size) * q[zz]
+                blocks[ci].append(coef)
+
+    a = _idct_basis()
+    out_planes = []
+    for ci, (_, hi, vi, _) in enumerate(comps):
+        arr = np.array(blocks[ci], dtype=np.float64).reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", a, arr, a) + 128.0
+        spatial = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+        # Reassemble MCU-ordered blocks into the component plane.
+        plane = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.uint8)
+        b = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[b]
+                        b += 1
+        # Nearest-neighbor upsample to full resolution, then crop.
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        out_planes.append(plane[:h, :w])
+
+    if len(out_planes) == 1:
+        return out_planes[0][:, :, None].copy()
+    if len(out_planes) == 3:
+        y = out_planes[0].astype(np.float64)
+        cb = out_planes[1].astype(np.float64) - 128.0
+        cr = out_planes[2].astype(np.float64) - 128.0
+        # BT.601 (JFIF) conversion.
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(
+        f"{len(out_planes)}-component JPEG (CMYK/YCCK) not supported"
+    )
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF LZW decode (LSB-first packed codes, variable width, clear /
+    end codes, KwKwK case). Returns the index stream as a list."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    next_code = end + 1
+    table = {i: (i,) for i in range(clear)}
+    out = []
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                code_size = min_code_size + 1
+                next_code = end + 1
+                table = {i: (i,) for i in range(clear)}
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError("GIF LZW: first code not in table")
+            elif code in table:
+                entry = table[code]
+                if next_code < 4096:
+                    table[next_code] = prev + (entry[0],)
+                    next_code += 1
+            elif code == next_code:  # KwKwK
+                entry = prev + (prev[0],)
+                if next_code < 4096:
+                    table[next_code] = entry
+                    next_code += 1
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            out.extend(entry)
+            if len(out) > max_pixels:
+                return out  # tolerate trailing junk past the raster
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF LZW encoder (LSB-first, variable width with the late-change
+    convention, stops growing the table at 4096 like the decoder). Used by
+    ``encode_gif_gray`` to produce real compressed payloads for the
+    pixel-roundtrip data plane; the decoder's independent spec-level tests
+    live in tests/test_imagecodec.py with a second encoder."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(value, width):
+        nonlocal acc, nbits
+        acc |= value << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the decoder's table lags one entry behind: grow late
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        w = (k,)
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_gray(px) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a GIF89a with a 256-entry
+    identity-gray global palette. Lossless; ``decode_gif`` round-trips it
+    exactly (each RGB channel equals the source gray value)."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    out += bytes(v for g in range(256) for v in (g, g, g))
+    out += bytes([0x2C, 0, 0, 0, 0])
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0])  # no LCT, not interlaced
+    data = _lzw_encode([int(v) for v in px.reshape(-1)], 8)
+    out += bytes([8])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a first frame -> (h, w, 3) uint8 RGB composed onto the
+    logical-screen canvas (background color outside the frame rect), or
+    None if the payload is not a GIF. Raises ValueError on corruption.
+    Handles global/local color tables, interlacing, and full LZW."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * size, offset=pos
+        ).reshape(size, 3)
+        pos += 3 * size
+    if sw == 0 or sh == 0:
+        raise ValueError("zero-dimension GIF screen")
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left = int.from_bytes(payload[pos : pos + 2], "little")
+        top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        iflags = payload[pos + 8]
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            size = 2 << (iflags & 0x07)
+            table = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * size, offset=pos
+            ).reshape(size, 3)
+            pos += 3 * size
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        if iw == 0 or ih == 0 or pos >= len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError("bad GIF LZW minimum code size")
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos]:
+            n = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        indices = _lzw_decode(bytes(lzw), min_code_size, iw * ih)
+        if len(indices) < iw * ih:
+            raise ValueError("GIF pixel data underrun")
+        idx = np.array(indices[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: rows stored in 4 passes
+            rows = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows.extend(range(start, ih, step))
+            deinterlaced = np.zeros_like(idx)
+            deinterlaced[rows] = idx
+            idx = deinterlaced
+        if int(idx.max()) >= len(table):
+            raise ValueError("GIF index exceeds color table")
+        frame = table[idx]  # (ih, iw, 3)
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        if gct is not None and bg_index < len(gct):
+            canvas[:, :] = gct[bg_index]
+        y1, x1 = min(top + ih, sh), min(left + iw, sw)
+        canvas[top:y1, left:x1] = frame[: y1 - top, : x1 - left]
+        return canvas
+    raise ValueError("truncated GIF: no trailer")

@@ -3,12 +3,14 @@ columns with typed metadata.
 
 Header decode is REAL: ``decode_image_header`` parses PNG IHDR, JPEG SOFn,
 GIF logical-screen, and BMP info headers in pure Python (no imaging
-library). Pixel decode is REAL for PNG (stdlib zlib inflate + per-row
-filter reversal, ``decode_png``) and uncompressed 24-bit BMP; only the
-entropy-coded formats (JPEG/GIF) and the resample/frame-extraction kernels
-for them need PIL/ffmpeg, which this container doesn't ship — each such
-path is a clearly-marked stand-in inside otherwise-real Arrow-batched
-``mapInPandas`` plumbing.
+library). Pixel decode is REAL for all four image formats: PNG (stdlib
+zlib inflate + per-row filter reversal, ``decode_png``), baseline JPEG
+(Huffman entropy decode + batched numpy IDCT, ``imagecodec.decode_jpeg``),
+GIF (LZW, ``imagecodec.decode_gif``), and uncompressed 24-bit BMP. Only
+non-baseline JPEG processes (progressive/arithmetic/12-bit) and the
+video frame-extraction kernels remain gated on PIL/ffmpeg, which this
+container doesn't ship — each such path is a clearly-marked stand-in
+inside otherwise-real Arrow-batched ``mapInPandas`` plumbing.
 
 Design for 100 TB of media: binary payloads ride in their own column so
 column pruning drops them when a query touches only metadata; decode work is
@@ -69,7 +71,8 @@ def decode_image_header(payload: bytes) -> tuple[str, int, int] | None:
       height = top-down rows → abs)
 
     Returns ``(format, width, height)``, or None for unrecognized bytes.
-    Full pixel decode (``decode_image``) still needs PIL and stays gated."""
+    Full pixel decode (``decode_image``) is also pure Python for all four
+    formats (see :mod:`imagecodec` for the JPEG/GIF entropy codecs)."""
     if len(payload) >= 24 and payload[:8] == PNG_SIG and payload[12:16] == b"IHDR":
         return (
             "png",
@@ -325,13 +328,24 @@ def png_encoded(pixels, color_type: int = 2) -> bytes:
 
 def decode_image(payload: bytes):
     """Full pixel decode to an (h, w, channels) uint8 array — pure
-    Python/numpy for the formats whose codecs need no external library:
-    PNG (stdlib zlib inflate + filter reversal, ``decode_png``) and
-    uncompressed 24-bit BMP. JPEG/GIF entropy coding genuinely requires a
-    codec library (PIL/opencv) and stays gated."""
+    Python/numpy for all four supported formats: PNG (stdlib zlib inflate
+    + filter reversal, ``decode_png``), baseline JPEG (Huffman + batched
+    numpy IDCT, ``imagecodec.decode_jpeg``), GIF (LZW,
+    ``imagecodec.decode_gif``), and uncompressed 24-bit BMP. Only
+    non-baseline JPEG processes (progressive/arithmetic/12-bit) remain
+    gated behind NotImplementedError; corrupt payloads of a recognized
+    format raise ValueError."""
     import numpy as np
 
+    from tipoca_stream_spark.operators.imagecodec import decode_gif, decode_jpeg
+
     px = decode_png(payload)
+    if px is not None:
+        return px
+    px = decode_jpeg(payload)
+    if px is not None:
+        return px
+    px = decode_gif(payload)
     if px is not None:
         return px
     if len(payload) >= 54 and payload[:2] == b"BM":
@@ -352,11 +366,90 @@ def decode_image(payload: bytes):
                 return px if flipped else px[::-1]  # bottom-up → top-down
     hdr = decode_image_header(payload)
     fmt = hdr[0] if hdr else "unrecognized"
-    raise NotImplementedError(
-        f"pixel decode for {fmt} requires an entropy codec (PIL/opencv), "
-        "not available in this container — PNG and 24-bit BMP decode in "
-        "pure Python; headers parse for PNG/JPEG/GIF/BMP"
+    raise ValueError(
+        f"cannot decode pixels for {fmt} payload: recognized formats are "
+        "PNG / baseline JPEG / GIF / 24-bit BMP (pure Python decoders); "
+        "this payload is corrupt, truncated, or an unsupported variant"
     )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("px_count", T.LongType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("px_min", T.IntegerType(), False),
+        T.StructField("px_max", T.IntegerType(), False),
+    ]
+)
+
+
+def pixel_roundtrip_stats(documents: DataFrame) -> DataFrame:
+    """Full encode→decode pixel round-trip in the data plane, exactly
+    oracle-checkable: derive a small grayscale raster deterministically
+    from (doc_id, text length), encode it as a REAL compressed payload
+    (PNG zlib / GIF LZW / 24-bit BMP, rotating by doc_id), decode it back
+    through ``decode_image`` (inflate + filter reversal / LZW / BMP), and
+    emit integer pixel statistics. Because all three codecs are lossless,
+    the stats are a pure function of (doc_id, n) that an external SQL
+    oracle recomputes without any image parsing — so the driver's DuckDB
+    gate verifies this entire Arrow-batched mapInPandas pipeline
+    end-to-end. (JPEG is exercised by spec-level unit tests instead; it is
+    lossy, so no exact SQL oracle exists for it.)
+
+    100 TB shape: one Arrow batch per task, per-image work is O(pixels),
+    no shuffle — embarrassingly parallel over document partitions."""
+    import pandas as pd  # noqa: F401 (documents the mapInPandas contract)
+
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n"),
+    ).filter(F.col("n") >= 1)
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from tipoca_stream_spark.operators.imagecodec import encode_gif_gray
+
+        for pdf in batches:
+            rows = []
+            for mid, n in zip(pdf["media_id"], pdf["n"]):
+                mid, n = int(mid), int(n)
+                w = min(1 + (n % 4), n)
+                h = max(1, min(6, n // w))
+                i = np.arange(w * h, dtype=np.int64)
+                px = ((mid * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w)
+                fmt = ("png", "gif", "bmp")[mid % 3]
+                if fmt == "png":
+                    payload = png_encoded(px[:, :, None], color_type=0)
+                elif fmt == "gif":
+                    payload = encode_gif_gray(px)
+                else:
+                    payload = bmp_framed(
+                        w, h, [[(int(v),) * 3 for v in row] for row in px]
+                    )
+                ch0 = decode_image(payload)[:, :, 0].astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        fmt,
+                        w,
+                        h,
+                        w * h,
+                        int(ch0.sum()),
+                        int(ch0.min()),
+                        int(ch0.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(stats, PIXEL_STATS_SCHEMA)
 
 
 def decode_audio_header(payload: bytes) -> tuple[str, int, int, int, int | None] | None:

@@ -407,9 +407,56 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Header decode is real (PNG IHDR parse of the adapter's PNG-framed
     payloads) and now oracle-verified: the DuckDB oracle rebuilds the exact
     payload blob and recomputes width/height/digest with byte arithmetic.
-    Only pixel-level kernels remain gated on PIL — see operators.multimodal."""
+    Pixel decode is pure Python for PNG/baseline-JPEG/GIF/BMP — see
+    operators.imagecodec; only non-baseline JPEG processes stay gated."""
     docs = _docs(spark, sf_dir)
     return mm.extract_features(mm.documents_as_media(docs))
+
+
+_PIXEL_ROUNDTRIP_ORACLE = """
+    WITH d AS (
+      SELECT doc_id::BIGINT AS media_id,
+             octet_length(encode(text))::BIGINT AS n
+      FROM documents
+      WHERE octet_length(encode(text)) >= 1
+    ), dims AS (
+      SELECT media_id, n,
+             least(1 + (n % 4), n) AS w,
+             greatest(1, least(6, n // least(1 + (n % 4), n))) AS h
+      FROM d
+    ), px AS (
+      SELECT media_id, w, h, ((media_id * 31 + t.i * 7) % 256) AS v
+      FROM dims, unnest(range(0, w * h)) AS t(i)
+    )
+    SELECT media_id,
+           CASE media_id % 3
+             WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp'
+           END AS fmt,
+           w::INTEGER AS width,
+           h::INTEGER AS height,
+           (w * h)::BIGINT AS px_count,
+           sum(v)::BIGINT AS px_sum,
+           min(v)::INTEGER AS px_min,
+           max(v)::INTEGER AS px_max
+    FROM px
+    GROUP BY media_id, w, h
+"""
+
+
+@query(
+    "multimodal_pixel_roundtrip",
+    _PIXEL_ROUNDTRIP_ORACLE,
+    survey_ref="training: multimodal columns (pixel decode)",
+)
+def multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode pixel round-trip through the pure-Python codecs (PNG
+    zlib, GIF LZW, 24-bit BMP — all lossless), Arrow-batched mapInPandas.
+    The DuckDB oracle recomputes the pixel statistics arithmetically from
+    (doc_id, text length) with no image parsing, so a bug anywhere in the
+    compress/decompress/filter/LZW path breaks the hash match. See
+    operators.imagecodec (JPEG has spec-level unit tests instead: lossy,
+    no exact SQL oracle)."""
+    return mm.pixel_roundtrip_stats(_docs(spark, sf_dir))
 
 
 # --- corpus quality gates / repetition / contamination ----------------------
