@@ -171,6 +171,16 @@ def test_new_families_stay_jvm_side(spark, name):
         assert node not in plan, f"{name}: {node} in plan"
 
 
+def test_bm25_take_ordered_and_jvm_side(spark):
+    # global top-k must be TakeOrderedAndProject (never a full sort) and
+    # the whole scoring pipeline stays JVM-side
+    plan = plan_of(spark, "text_bm25_retrieval")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
 def test_quantize_has_no_exchange(spark):
     # narrow projection: zero shuffles at any scale
     plan = plan_of(spark, "embed_quantize_int8")

@@ -266,6 +266,74 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Da
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    the Robertson-Sparck-Jones idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+    The workhorse of retrieval-based corpus construction (decontamination
+    lookups, dedup-by-query, retrieval-mix curation).
+
+    Plan at scale: the token explode feeds ONE (doc, term) aggregate;
+    document length is a second aggregate of the same exploded frame
+    (separate shuffle but same key — AQE coalesces); only tokens matching
+    the query survive into the tf table, so the per-term side is
+    |Q|-bounded and the (N, avgdl) totals are 1-row broadcasts. The final
+    top-k is an orderBy+limit → TakeOrderedAndProject, never a full sort.
+    Per-term scores are rounded to 6dp before summing and the sum rounded
+    again, so the (score, doc) order reproduces across engines.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    doclen = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
+    totals = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        tokens.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .join(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("dfreq") + 0.5)
+                    / (F.col("dfreq") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def bigram_pmi(
     df: DataFrame, text_col: str, id_col: str, min_count: int = 10, k: int = 20
 ) -> DataFrame:

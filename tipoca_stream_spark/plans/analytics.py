@@ -321,6 +321,77 @@ def events_moving_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_gapfill_locf",
+    """
+    WITH agg AS (
+      SELECT event_type, date_trunc('minute', ts) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+      FROM agg GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 1 MINUTE)) AS bucket
+      FROM bounds),
+    j AS (
+      SELECT g.event_type, g.bucket, a.n, a.val
+      FROM grid g LEFT JOIN agg a USING (event_type, bucket))
+    SELECT event_type, bucket,
+           coalesce(n, 0)::BIGINT AS n_events,
+           last_value(val IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_locf,
+           (n IS NULL) AS gap
+    FROM j
+    """,
+    survey_ref="training: hypertable gap-fill + last-observation-carried-forward",
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timescale-style time-bucket gap-fill with LOCF interpolation: build
+    the dense per-type minute grid between each type's observed bounds,
+    left-join the real bucket aggregates, and carry the last observed
+    bucket value forward across the gaps.
+
+    100 TB shape: the bucket aggregate is the only data-sized shuffle; the
+    grid is bounded by (types x buckets), never by event count, and is
+    generated from a per-type 1-row bounds table via sequence+explode. The
+    LOCF window partitions by type over grid-sized (not event-sized) rows.
+    Bucket sums ride DECIMAL so both engines agree bit-for-bit."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    agg = events.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("val"),
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(b0, b1, interval 1 minute)")).alias("bucket"),
+    )
+    j = grid.join(agg, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("val", ignorenulls=True).over(w).alias("val_locf"),
+        F.col("n").isNull().alias("gap"),
+    )
+
+
+@query(
     "dq_orders_fk_gate",
     """
     SELECT 'o_custkey_fk' AS rule, count(*)::bigint AS n_violations

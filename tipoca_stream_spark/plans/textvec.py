@@ -46,6 +46,42 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_top_terms(docs, "text", "doc_id", k=3)
 
 
+_BM25_TERMS = ("merge", "vector", "customer")
+
+
+@query(
+    "text_bm25_retrieval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    tot AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+           WHERE term IN {_BM25_TERMS!r} GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             round(ln((tot.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / tot.avgdl)),
+                   6) AS term_score
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), tot)
+    SELECT doc_id, round(sum(term_score), 6) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    survey_ref="training: BM25 retrieval (decontamination / retrieval-mix)",
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed query-term bag (k1=1.2, b=0.75).
+    Per-term scores rounded to 6dp pre-sum, sum re-rounded, doc_id
+    tiebreak — both engines produce the identical row set. Plan: explode →
+    two aggregates + |Q|-bounded broadcast joins + TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), k=10)
+
+
 @query(
     "text_bigram_pmi",
     """
