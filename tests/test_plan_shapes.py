@@ -171,6 +171,17 @@ def test_new_families_stay_jvm_side(spark, name):
         assert node not in plan, f"{name}: {node} in plan"
 
 
+def test_triangles_no_cartesian_jvm_side_take_ordered(spark):
+    # wedge + closing joins must both be equi-joins (hash/sort-merge),
+    # never a cartesian; top-20 is TakeOrderedAndProject; all JVM-side
+    plan = plan_of(spark, "graph_triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
 def test_bm25_take_ordered_and_jvm_side(spark):
     # global top-k must be TakeOrderedAndProject (never a full sort) and
     # the whole scoring pipeline stays JVM-side

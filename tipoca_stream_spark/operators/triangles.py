@@ -1,0 +1,92 @@
+"""Triangle counting — the fourth graph operator (after connected
+components, PageRank, and k-means-on-embeddings), used on data-derived
+graphs: co-purchase networks (clustering coefficient / community density),
+near-duplicate graphs (how clique-like is a template family), interaction
+graphs.
+
+The reference system has no graph operators (its dedup is PK latest-wins);
+this is a training-data-pipeline extension in the spirit of
+operators/components.py and operators/pagerank.py.
+
+Execution shape: the classic MapReduce triangle enumeration with
+DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii, "Counting Triangles and
+the Curse of the Last Reducer", WWW'11 — public literature). Orienting
+every edge from its lower-(degree, id) endpoint to the higher one bounds
+each node's out-degree by O(sqrt(m)) on any graph, so the wedge join
+(out-edges self-joined on their source) generates
+O(m^{3/2}) candidates instead of the O(Σ deg²) a hub node causes under
+naive id-ordering — at 10^10 edges with power-law hubs this is the
+difference between a bounded shuffle and the one reducer that never ends.
+The final existence check is one more equi-join against the oriented edge
+table. Three shuffles total, all on node keys, nothing node-cardinality is
+ever broadcast or collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node triangle counts for an undirected simple graph given as an
+    edge list (self-loops dropped, duplicate/reversed edges collapsed).
+
+    Returns (node, n_triangles) for every node in at least one triangle.
+    The result is orientation-independent — an oracle may verify it with
+    the naive id-ordered 3-way join; this implementation's degree ordering
+    changes only the physical work distribution, not the answer.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each edge from the lower (deg, id) endpoint to the higher;
+    # carry the out-endpoint's (deg, id) so wedge generation can order its
+    # two spokes without another degree join.
+    with_deg = (
+        e.join(deg.withColumnRenamed("node", "lo").withColumnRenamed("deg", "dlo"), "lo")
+        .join(deg.withColumnRenamed("node", "hi").withColumnRenamed("deg", "dhi"), "hi")
+    )
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("dv"),
+    )
+    # Wedges from the lowest-ordered vertex of each triangle: two out-edges
+    # (u→v1, u→v2) with (dv1, v1) < (dv2, v2); the closing edge v1→v2 is
+    # then oriented exactly that way, so one equi-join confirms it.
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    triangles = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    return (
+        triangles.select(
+            F.explode(F.array("u", "v1", "v2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tipoca_stream_spark.operators.pagerank import pagerank
+from tipoca_stream_spark.operators.triangles import triangle_counts
+from tipoca_stream_spark.plans.analytics import cooccurrence_pairs
 from tipoca_stream_spark.plans.registry import query
 from tipoca_stream_spark.sources.tables import load_table
 
@@ -78,3 +80,50 @@ def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.concat(F.lit("p"), F.shiftright("node", 1).cast("string")))
     )
     return ranks.select(node_str.alias("node"), F.round("pr", 6).alias("pagerank"))
+
+
+@query(
+    "graph_triangle_counts",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+    pernode AS (
+      SELECT node, count(*)::BIGINT AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY node)
+    SELECT node, n_triangles FROM pernode
+    ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+    survey_ref="training: graph triangle counting (community density)",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase graph
+    (parts sharing an order are adjacent). The oracle enumerates triangles
+    with the naive id-ordered 3-way join — correct but hub-quadratic; the
+    Spark operator uses degree-ordered orientation (operators/triangles.py)
+    which produces the IDENTICAL per-node counts while bounding the wedge
+    stage to O(m^1.5) on any degree distribution. Same semantics, the
+    100x-scale physical plan. Edges come from the same capped single-shuffle
+    group expansion as analytics_part_cooccurrence."""
+    edges = cooccurrence_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        key_col="l_orderkey",
+        item_col="l_partkey",
+        out_a="a",
+        out_b="b",
+        n_col="n_orders",
+        min_count=1,
+        max_group_size=256,
+        observation="triangle_edge_hot_group_drops",
+    )
+    counts = triangle_counts(edges, "a", "b")
+    return counts.orderBy(F.desc("n_triangles"), F.asc("node")).limit(20)
