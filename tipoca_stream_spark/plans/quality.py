@@ -38,6 +38,51 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_percentile",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95_exact,
+           (approx_quantile(o_totalprice, 0.5)
+              BETWEEN quantile_cont(o_totalprice, 0.48)
+                  AND quantile_cont(o_totalprice, 0.52))
+             AS p50_within_rank_band,
+           (approx_quantile(o_totalprice, 0.95)
+              BETWEEN quantile_cont(o_totalprice, 0.93)
+                  AND quantile_cont(o_totalprice, 0.97))
+             AS p95_within_rank_band
+    FROM orders GROUP BY o_orderstatus
+    """,
+    survey_ref="§2.5 approximate percentiles (sketch contract)",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-percentile surface, checked the same way as
+    agg_approx_distinct: the raw sketches differ by engine (Spark =
+    Greenwald-Khanna with rank error <= 1/accuracy; DuckDB = t-digest),
+    and both guarantee RANK accuracy, not value accuracy — a value-relative
+    envelope fails on small groups where adjacent order statistics are far
+    apart. So the shared contract is each engine's OWN estimate landing
+    between the exact interpolated quantiles at p±0.02 (a ±2% rank band —
+    Spark's GK at accuracy=10000 is ~1e-4 rank error, 200x inside). The
+    exact quantiles hash-match bit-for-bit as in agg_percentiles."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def pair(p: float, name: str):
+        exact = F.percentile("o_totalprice", F.lit(p))
+        approx = F.percentile_approx("o_totalprice", F.lit(p), F.lit(10000))
+        lo = F.percentile("o_totalprice", F.lit(p - 0.02))
+        hi = F.percentile("o_totalprice", F.lit(p + 0.02))
+        return [
+            F.round(exact, 6).alias(f"{name}_exact"),
+            ((approx >= lo) & (approx <= hi)).alias(f"{name}_within_rank_band"),
+        ]
+
+    return orders.groupBy("o_orderstatus").agg(
+        *(pair(0.5, "p50") + pair(0.95, "p95"))
+    )
+
+
+@query(
     "dedup_levenshtein_pairs",
     f"""
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
