@@ -478,3 +478,39 @@ def storage_zone_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_range(
         lo + datetime.timedelta(hours=1), lo + datetime.timedelta(hours=3)
     ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "storage_zorder_box_read",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 5 AND 20 AND value BETWEEN 10 AND 40
+    """,
+    survey_ref="W2 compound sortkey: Z-order layout, multi-column skipping",
+)
+def storage_zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle read (user_id range AND value range) served through a
+    Z-ordered layout (sources/zorder.py): Morton-curve clustering on the
+    quantized (user_id, value) pair makes every file a small 2-d
+    hyper-rectangle, so the per-file min/max stats prune on BOTH columns —
+    the lakehouse answer to the reference's compound SORTKEY, whose zones
+    skip poorly on the second key alone. The oracle is a plain filtered
+    scan: the curve changes scheduling, never the answer (two-dim pruning
+    is pinned in tests/test_zorder.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from tipoca_stream_spark.sources.zorder import ZOrderedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:zorder".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"zorder_{tag}")
+    t = ZOrderedTable(spark, root, cols=["user_id", "value"])
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(marker):
+        t.write(ev, n_files=16)
+    return t.read_box({"user_id": (5, 20), "value": (10.0, 40.0)}).select(
+        "event_id", "user_id", "event_type", "value"
+    )

@@ -114,5 +114,29 @@ class ZoneMappedTable:
         df = self.spark.read.option("basePath", self.path).parquet(*files)
         return df.filter(pred)
 
+    def read_box(self, ranges: dict) -> DataFrame:
+        """Rows inside a hyper-rectangle: ``ranges`` maps column → (lo, hi),
+        all conjunctive. A file is kept unless its zone provably misses the
+        box on ANY tracked dimension — so every tracked column contributes
+        skipping, which is where a Z-ordered layout (sources/zorder.py)
+        pays off: its files are small hyper-rectangles and the per-dim
+        prunes compose multiplicatively. Untracked columns only add to the
+        residual filter. Correctness never depends on the stats."""
+        stats = self._stats()
+        keep = F.lit(True)
+        pred = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            pred = pred & F.col(col).between(F.lit(lo), F.lit(hi))
+            if f"min_{col}" in stats.columns:
+                disjoint = (F.col(f"max_{col}") < F.lit(lo)) | (
+                    F.col(f"min_{col}") > F.lit(hi)
+                )
+                keep = keep & F.coalesce(~disjoint, F.lit(True))
+        files = [r["file"] for r in stats.filter(keep).select("file").collect()]
+        if not files:
+            return self.spark.read.parquet(self.path).limit(0)
+        df = self.spark.read.option("basePath", self.path).parquet(*files)
+        return df.filter(pred)
+
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
