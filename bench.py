@@ -203,6 +203,12 @@ def main() -> None:
             min_count=2, max_group_size=256,
         ).count(),
     )
+    # - graph_triangles (round 5): the degree-ordered wedge enumeration —
+    #   two self-joins over the co-purchase edge table; tracked so a
+    #   regression to a hub-quadratic plan shows up as a time cliff.
+    extras["graph_triangles"] = best_of(
+        2, lambda: QUERIES["graph_triangle_counts"].fn(spark, sf_dir).count()
+    )
 
     print(
         json.dumps(
