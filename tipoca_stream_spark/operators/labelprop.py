@@ -1,0 +1,77 @@
+"""Synchronous label propagation (community detection) on the DataFrame
+API — the companion to connected components (operators/components.py):
+components finds *reachability* clusters, LPA finds *densely connected*
+communities inside them, the standard cheap community detector for
+near-duplicate template families and co-purchase neighborhoods.
+
+The reference system has no graph operators; this is a training-data-
+pipeline extension like pagerank.py / triangles.py.
+
+Semantics (deterministic, SQL-expressible): every node starts labeled
+with its own id; each synchronous round, every node adopts the most
+frequent label among its neighbors, ties broken by smallest label;
+isolated nodes keep their label. A FIXED iteration count keeps the
+result reproducible and lets an external SQL oracle unroll the rounds as
+chained CTEs (graph.py does exactly that) — convergence-threshold
+variants belong in a driver loop around this.
+
+Execution shape per round: one keyed join (edges ⋈ labels on src) and two
+aggregates — (node, label) count, then a ``min_by`` argmax per node that
+rides the same shuffle key, combining map-side. Labels are checkpointed
+per round (lineage truncation, same discipline as components/pagerank).
+At 10^10 edges each round is one edge-sized shuffle plus node-sized
+aggregates; nothing node-cardinality touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3
+) -> DataFrame:
+    """Fixed-round synchronous LPA over an undirected edge list (pass each
+    edge once; both directions are generated here). Returns (node, label).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col(src) != F.col(dst)
+    )
+    sym = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        neigh = sym.join(
+            labels.select(
+                F.col("node").alias("b"), F.col("label").alias("nl")
+            ),
+            "b",
+        )
+        counts = neigh.groupBy(F.col("a").alias("node"), F.col("nl")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # argmax by (cnt desc, label asc): min_by over the struct
+        # (-cnt, label) — lexicographic struct ordering gives the
+        # deterministic winner in ONE reduce, no window sort
+        best = counts.groupBy("node").agg(
+            F.min_by(
+                "nl", F.struct((-F.col("cnt")).alias("neg"), F.col("nl"))
+            ).alias("new_label")
+        )
+        labels = (
+            nodes.join(labels, "node")
+            .join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

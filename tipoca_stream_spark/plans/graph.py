@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.labelprop import label_propagation
 from tipoca_stream_spark.operators.pagerank import pagerank
 from tipoca_stream_spark.operators.triangles import triangle_counts
 from tipoca_stream_spark.plans.analytics import cooccurrence_pairs
@@ -127,3 +128,65 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = triangle_counts(edges, "a", "b")
     return counts.orderBy(F.desc("n_triangles"), F.asc("node")).limit(20)
+
+
+LPA_ITERS = 3
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    """Unrolled synchronous label propagation over the co-purchase graph —
+    the same chained-CTE discipline as the PageRank oracle: one
+    (count + argmax + carry) CTE triple per round, argmax via
+    row_number ORDER BY cnt DESC, label ASC (the operator's min_by over
+    (-cnt, label) computes the identical winner in one reduce)."""
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b"
+        " FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)",
+        "sym AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs)",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"cnt{i} AS (SELECT s.a AS node, l.label AS nl, count(*) AS cnt"
+            f" FROM sym s JOIN l{i - 1} l ON l.node = s.b GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"best{i} AS (SELECT node, nl AS label FROM ("
+            f"SELECT node, nl, row_number() OVER (PARTITION BY node"
+            f" ORDER BY cnt DESC, nl ASC) AS rn FROM cnt{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT n.node, coalesce(b.label, p.label) AS label"
+            f" FROM nodes n JOIN l{i - 1} p ON p.node = n.node"
+            f" LEFT JOIN best{i} b ON b.node = n.node)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM l{iters}"
+
+
+@query(
+    "graph_label_propagation",
+    _lpa_oracle(),
+    survey_ref="training: community detection (synchronous LPA)",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities in the part co-purchase graph (edges = part pairs
+    sharing >= 2 orders, the same capped expansion as the co-occurrence
+    query) by fixed-round synchronous label propagation — components finds
+    reachability, LPA finds the densely-linked neighborhoods inside it.
+    Deterministic: most-frequent neighbor label, smallest-label tie-break,
+    3 rounds (operators/labelprop.py)."""
+    edges = cooccurrence_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        key_col="l_orderkey",
+        item_col="l_partkey",
+        out_a="a",
+        out_b="b",
+        n_col="n_orders",
+        min_count=2,
+        max_group_size=256,
+        observation="lpa_edge_hot_group_drops",
+    )
+    return label_propagation(edges, "a", "b", iters=LPA_ITERS)
