@@ -1,0 +1,70 @@
+"""Multi-source BFS: minimum hop distance from a seed set.
+
+The reference has no graph surface (its joins are CDC merge plumbing,
+`redshift.go:666-698`); hop distance is a training-data-pipeline
+extension — "how far is this document/part/user from a trusted seed
+set" drives contamination tracing and link-graph quality tiers.
+
+Level-synchronous frontier expansion on the DataFrame API:
+
+    frontier_0 = seeds                      (dist 0)
+    frontier_i = neighbors(frontier_{i-1}) \\ visited   (dist i)
+
+Each round is one keyed join (frontier against the edge table, which is
+persisted and reused every round so its scan+exchange happens once) plus
+one left-anti join against the visited set — both hash-partitioned
+shuffles on node id; nothing node-count-sized ever reaches the driver.
+Lineage is truncated per round with ``localCheckpoint`` (components.py
+discipline — on a real cluster, ``checkpoint`` with a checkpoint dir).
+
+Frontier size is bounded by the graph's neighborhood growth, not the
+input size; ``max_hops`` bounds the round count, so the whole plan is
+max_hops x (2 joins) — the standard Pregel-style BFS shape that survives
+any scale the edge shuffle itself survives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Return ``(node, dist)``: min hops from any seed, dist <= max_hops.
+
+    ``edges`` is directed (symmetrize upstream for undirected graphs);
+    ``seeds`` is a one-column node frame. Seeds not present in the edge
+    table still appear with dist 0 — the caller decides their meaning.
+    """
+    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    visited = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        neighbors = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            neighbors.join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if fresh.isEmpty():
+            break
+        visited = visited.union(fresh).localCheckpoint()
+        frontier = fresh.select("node")
+    edges.unpersist()
+    return visited

@@ -37,28 +37,6 @@ def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_grouping_sets",
-    """
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-    survey_ref="§2.5 grouping sets",
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # {df} binding registers an invocation-unique view — no session-global
-    # name to race on when two callers share a SparkSession.
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n
-        FROM {orders}
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """,
-        orders=load_table(spark, sf_dir, "orders"),
-    )
-
-
-@query(
     "window_rank_suite",
     """
     SELECT c_custkey,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.bfs import bfs_distances
 from tipoca_stream_spark.operators.labelprop import label_propagation
 from tipoca_stream_spark.operators.pagerank import pagerank
 from tipoca_stream_spark.operators.triangles import triangle_counts
@@ -190,3 +191,67 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         observation="lpa_edge_hot_group_drops",
     )
     return label_propagation(edges, "a", "b", iters=LPA_ITERS)
+
+
+BFS_HOPS = 4
+
+
+def _bfs_oracle(max_hops: int = BFS_HOPS) -> str:
+    """Unrolled level-synchronous BFS: one (expand + EXCEPT-visited +
+    union) CTE triple per hop — the exact frontier discipline of
+    operators/bfs.py, so distances match row-for-row."""
+    ctes = [
+        "le AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem)",
+        "edges AS (SELECT 's' || sk AS src, 'p' || pk AS dst FROM le"
+        " UNION ALL SELECT 'p' || pk, 's' || sk FROM le)",
+        "d0 AS (SELECT 's' || s_suppkey AS node, 0 AS dist"
+        " FROM supplier WHERE s_suppkey % 7 = 0)",
+        "f0 AS (SELECT node FROM d0)",
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"n{i} AS (SELECT DISTINCT e.dst AS node"
+            f" FROM edges e JOIN f{i - 1} f ON f.node = e.src)"
+        )
+        ctes.append(
+            f"f{i} AS (SELECT node FROM n{i} EXCEPT SELECT node FROM d{i - 1})"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT node, dist FROM d{i - 1}"
+            f" UNION ALL SELECT node, {i} AS dist FROM f{i})"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, dist FROM d{max_hops}"
+
+
+@query(
+    "graph_bfs_distances",
+    _bfs_oracle(),
+    survey_ref="training: seed-set hop distance (multi-source BFS)",
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min hop count from a deterministic seed-supplier set (s_suppkey
+    divisible by 7 — non-empty at every SF) over the supplier<->part
+    bipartite graph, <= 4 hops. Same long-id parity encoding as
+    PageRank (supplier 2k, part 2k+1; strings only at output) so every
+    frontier shuffle keys on an 8-byte long. Seed-set reachability is
+    the contamination-tracing primitive: 'how close is this item to a
+    trusted/banned seed'."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 7 == 0)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+    )
+    dist = bfs_distances(edges, seeds, max_hops=BFS_HOPS)
+    node_str = (
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("s"), F.shiftright("node", 1).cast("string")),
+        ).otherwise(F.concat(F.lit("p"), F.shiftright("node", 1).cast("string")))
+    )
+    return dist.select(node_str.alias("node"), "dist")
