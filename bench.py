@@ -209,6 +209,16 @@ def main() -> None:
     extras["graph_triangles"] = best_of(
         2, lambda: QUERIES["graph_triangle_counts"].fn(spark, sf_dir).count()
     )
+    # - heavy hitters (round 5): candidate-pruned exact frequent items — a
+    #   regression back to the full-cardinality groupBy shuffle shows here.
+    extras["agg_heavy_hitters"] = best_of(
+        2, lambda: QUERIES["agg_heavy_hitters"].fn(spark, sf_dir).count()
+    )
+    # - BFS: level-synchronous frontier expansion (4 hops, per-round
+    #   lineage truncation) — the reachability member of the iterative set.
+    extras["graph_bfs"] = best_of(
+        2, lambda: QUERIES["graph_bfs_distances"].fn(spark, sf_dir).count()
+    )
 
     print(
         json.dumps(

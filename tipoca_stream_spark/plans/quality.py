@@ -188,6 +188,93 @@ def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_L = 5  # duplicated-window width (words)
+
+
+@query(
+    "text_dup_spans",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+          FROM words, unnest(range(1, len(w) - {DUP_L - 2})) AS t(i)),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    hit AS (SELECT doc_id, pos, pos + {DUP_L - 1} AS e FROM g
+            WHERE gram IN (SELECT gram FROM dup)),
+    isl AS (SELECT doc_id, pos, e,
+                   CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                        THEN 1 ELSE 0 END AS flag
+            FROM hit),
+    isl2 AS (SELECT doc_id, pos, e,
+                    sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             FROM isl)
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(e) AS span_end,
+           max(e) - min(pos) + 1 AS span_words,
+           count(*) AS n_windows
+    FROM isl2 GROUP BY doc_id, island
+    """,
+    survey_ref="training: duplicated-span detection (substring-level dedup)",
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans per document: every {DUP_L}-word window
+    shared verbatim with another document, with overlapping/adjacent hit
+    windows merged into spans via gaps-and-islands (running-max window +
+    cumulative island ids). This is the span-level half of exact dedup —
+    doc-level dedup (dedup_exact) drops whole copies, this locates the
+    copied REGIONS inside otherwise-distinct docs (the shape of
+    suffix-array training-data dedup, re-expressed as n-gram windows so
+    it is one groupBy + one semi-join + two window passes instead of a
+    sequential suffix sort). Scale: the gram shuffle is the cost, keyed
+    on the gram text exactly like boilerplate detection; the window
+    passes run per-doc after a doc-keyed shuffle. No step is
+    driver-side and nothing is quadratic in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams_arr = F.expr(
+        f"CASE WHEN size(w) >= {DUP_L} THEN"
+        f" transform(sequence(1, size(w) - {DUP_L - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {DUP_L})))"
+        f" ELSE array() END"
+    )
+    g = words.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos0", "gram")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "gram"
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hit = g.join(dup, "gram", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + DUP_L - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = (
+        F.col("pos") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1
+    ).cast("int")
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hit.withColumn("flag", flag).withColumn(
+        "island", F.sum("flag").over(w_run)
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        F.max("e").alias("span_end"),
+        (F.max("e") - F.min("pos") + 1).alias("span_words"),
+        F.count("*").alias("n_windows"),
+    ).drop("island")
+
+
 @query(
     "mask_scrub_digits",
     """
