@@ -248,3 +248,41 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     plan = plan_of(spark, "text_unigram_logprob")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+THIRD_SESSION_JVM = [
+    "agg_corr_matrix",
+    "ml_linreg_by_group",
+    "events_anomaly_mad",
+    "text_dup_spans",
+    "graph_bfs_distances",
+    "similarity_pq_codes",
+]
+
+
+@pytest.mark.parametrize("name", THIRD_SESSION_JVM)
+def test_third_session_queries_stay_jvm_side(spark, name):
+    # (agg_heavy_hitters is the deliberate exception: its candidate pass
+    # IS an Arrow mapInPandas — its shape pin lives in
+    # test_heavyhitters_bfs.py asserting the broadcast semi-join verify)
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, f"{name}: {node} in plan"
+
+
+def test_pq_encode_has_no_exchange(spark):
+    # PQ encoding is a narrow projection (slice + zip_with + argmin
+    # chain): zero shuffles at any scale, like embed_quantize_int8
+    plan = plan_of(spark, "similarity_pq_codes")
+    assert "Exchange" not in plan
+
+
+def test_pq_adc_take_ordered_single_lut_broadcast(spark):
+    # ADC ranking must be TakeOrderedAndProject over a map-only scan; the
+    # only wide-to-narrow join is the broadcast of the 1-row query LUT
+    plan = plan_of(spark, "similarity_pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan

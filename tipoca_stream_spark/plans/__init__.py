@@ -25,5 +25,6 @@ from tipoca_stream_spark.plans import mix as _mix  # noqa: F401
 from tipoca_stream_spark.plans import analytics as _analytics  # noqa: F401
 from tipoca_stream_spark.plans import graph as _graph  # noqa: F401
 from tipoca_stream_spark.plans import mlstats as _mlstats  # noqa: F401
+from tipoca_stream_spark.plans import pq as _pq  # noqa: F401
 
 __all__ = ["QUERIES", "QueryDef", "query"]

@@ -1,0 +1,200 @@
+"""Product quantization (PQ) for ANN: per-subspace vector codes and
+asymmetric-distance (ADC) top-k search.
+
+Completes the similarity family's scale ladder: brute cosine (exact
+baseline) → LSH buckets / IVF cells (candidate confinement) → PQ (memory
+compression: a 64-dim float vector becomes M=4 one-byte codes, so a
+100 TB embedding corpus's search structure fits in a fraction of the
+footprint, and query-time distance is M table lookups instead of a
+64-dim dot product).
+
+Same oracle discipline as the IVF family (plans/extended.py): the
+codebooks are FIXED deterministic pseudo-random tables literal-embedded
+in the DuckDB SQL, so both engines quantize identically and the driver's
+value-hash gate checks the whole encode → LUT → ADC-rank pipeline
+exactly. (Training the codebooks is the kmeans_lloyd_update operator run
+per subspace — the Lloyd step is already oracle-checked; fixing the
+codebooks here isolates the PQ data plane from float-iteration drift.)
+
+Scale notes: encoding is one narrow JVM-side pass (slice + zip_with +
+argmin chain — no UDFs, no shuffle); the ADC scan is codes ⨝ broadcast
+1-row LUT, a map-only stage feeding TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.plans.registry import query
+from tipoca_stream_spark.plans.training import _embs
+
+DIM = 64
+M = 4  # subspaces
+SUB = DIM // M  # dims per subspace
+K = 8  # codes per subspace
+
+
+def _codebooks(seed: int = 11) -> list[list[list[float]]]:
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(SUB)] for _ in range(K)]
+        for _ in range(M)
+    ]
+
+
+CODEBOOKS = _codebooks()
+
+
+def _argmin_case(prefix: str) -> str:
+    whens = []
+    for i in range(K):
+        conds = [f"{prefix}{i} < {prefix}{j}" for j in range(i)] + [
+            f"{prefix}{i} <= {prefix}{j}" for j in range(i + 1, K)
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {i}")
+    return "CASE " + " ".join(whens) + " ELSE 0 END"
+
+
+def _sub_ctes(m: int, source_filter: str = "") -> list[str]:
+    """CTE pair computing d0..d{K-1} (squared L2 to each code word) for
+    subspace ``m`` — parallel-unnest of the slice against the literal
+    codebook rows, the _CENTROID_UNNESTS pattern from the IVF oracle."""
+    lo, hi = m * SUB + 1, (m + 1) * SUB
+    unnests = ",\n         ".join(
+        "unnest([" + ", ".join(repr(x) for x in CODEBOOKS[m][k_]) + f"]) AS c{k_}"
+        for k_ in range(K)
+    )
+    d2 = ", ".join(f"sum((x - c{k_}) * (x - c{k_})) AS d{k_}" for k_ in range(K))
+    return [
+        f"expl{m} AS (SELECT vec_id, unnest(embedding[{lo}:{hi}])::double AS x,\n"
+        f"         {unnests}\n  FROM embeddings{source_filter})",
+        f"dist{m} AS (SELECT vec_id, {d2} FROM expl{m} GROUP BY vec_id)",
+        f"code{m} AS (SELECT vec_id, ({_argmin_case('d')}) AS code FROM dist{m})",
+    ]
+
+
+PQ_CODES_SQL = (
+    "WITH "
+    + ",\n".join(cte for m in range(M) for cte in _sub_ctes(m))
+    + "\nSELECT c0.vec_id, "
+    + ", ".join(f"c{m}.code AS code_{m}" for m in range(M))
+    + "\nFROM code0 c0 "
+    + " ".join(f"JOIN code{m} c{m} ON c{m}.vec_id = c0.vec_id" for m in range(1, M))
+)
+
+
+def _sub_dists(m: int):
+    """Spark column d0..d{K-1}: squared L2 of the m-th slice to each code."""
+    sub = F.slice(F.col("embedding"), m * SUB + 1, SUB)
+    return [
+        F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(x) for x in CODEBOOKS[m][k_]]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"m{m}d{k_}")
+        for k_ in range(K)
+    ]
+
+
+def _argmin_col(names: list[str]):
+    best = F.lit(0)
+    best_d = F.col(names[0])
+    for i in range(1, len(names)):
+        cond = F.col(names[i]) < best_d
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_d = F.when(cond, F.col(names[i])).otherwise(best_d)
+    return best.cast("int")
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """(vec_id, code_0..code_{M-1}): per-subspace nearest code word.
+
+    One narrow projection — all M argmins evaluate in the same
+    whole-stage-codegen'd map stage; nothing shuffles."""
+    dist_cols = [d for m in range(M) for d in _sub_dists(m)]
+    wide = emb.select("vec_id", *dist_cols)
+    return wide.select(
+        "vec_id",
+        *[
+            _argmin_col([f"m{m}d{k_}" for k_ in range(K)]).alias(f"code_{m}")
+            for m in range(M)
+        ],
+    )
+
+
+@query("similarity_pq_codes", PQ_CODES_SQL, survey_ref="training: ANN PQ encoder")
+def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # load_table directly (not _embs' fan-out repartition): encoding is a
+    # pure projection, so parallelism should come from the input splits —
+    # zero Exchange at any scale (pinned in test_plan_shapes.py)
+    from tipoca_stream_spark.sources.tables import load_table
+
+    return pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+def _adc_sql() -> str:
+    ctes = [cte for m in range(M) for cte in _sub_ctes(m)]
+    # query-side LUT: the same per-subspace distances, restricted to vec 0
+    for m in range(M):
+        ctes.append(
+            f"qlut{m} AS (SELECT {', '.join(f'd{k_}' for k_ in range(K))}"
+            f" FROM dist{m} WHERE vec_id = 0)"
+        )
+        case = (
+            "CASE c.code "
+            + " ".join(f"WHEN {k_} THEN q.d{k_}" for k_ in range(K))
+            + " END"
+        )
+        ctes.append(
+            f"pm{m} AS (SELECT c.vec_id, {case} AS dm"
+            f" FROM code{m} c CROSS JOIN qlut{m} q)"
+        )
+    total = " + ".join(f"p{m}.dm" for m in range(M))
+    joins = " ".join(f"JOIN pm{m} p{m} ON p{m}.vec_id = p0.vec_id" for m in range(1, M))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT p0.vec_id, round({total}, 6) AS adc_d2"
+        + f"\nFROM pm0 p0 {joins}"
+        + "\nWHERE p0.vec_id <> 0"
+        + "\nORDER BY round(" + total + ", 6), p0.vec_id LIMIT 10"
+    )
+
+
+@query(
+    "similarity_pq_adc_topk",
+    _adc_sql(),
+    survey_ref="training: ANN PQ asymmetric-distance search",
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search: the query vector's squared distance to every code word
+    of every subspace (an M x K lookup table, one broadcast row) replaces
+    the full-dim distance — each corpus vector costs M lookups + adds on
+    its CODES, never touching the original floats. The scan side reads
+    only the code columns; ranking is TakeOrderedAndProject. At 100 TB
+    the codes table is ~1/64 the corpus bytes, and this plan never
+    shuffles anything wider than (vec_id, 4 ints)."""
+    emb = _embs(spark, sf_dir)
+    codes = pq_encode(emb)
+    qlut = emb.filter(F.col("vec_id") == 0).select(
+        *[d for m in range(M) for d in _sub_dists(m)]
+    )
+    adc = codes.crossJoin(F.broadcast(qlut))
+    dist = None
+    for m in range(M):
+        lut = F.array(*[F.col(f"m{m}d{k_}") for k_ in range(K)])
+        dm = F.element_at(lut, F.col(f"code_{m}") + 1)
+        dist = dm if dist is None else dist + dm
+    return (
+        adc.where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(dist, 6).alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(10)
+    )
