@@ -492,3 +492,42 @@ def storage_zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_box({"user_id": (5, 20), "value": (10.0, 40.0)}).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "storage_bloom_point_read",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+    """,
+    survey_ref="W2 point-lookup skipping: per-file Bloom sidecar",
+)
+def storage_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK point lookup served through a Bloom-indexed table
+    (sources/bloomindex.py): lineitem laid out by ship date (the range
+    access path), per-file Bloom words on l_orderkey built with one
+    explode + bit_or pass. The probe prunes to the files whose filter
+    covers all k probe bits — zone maps can't serve this (every file's
+    orderkey range spans the probe); the residual equality filter keeps
+    correctness independent of the index. Oracle = plain filtered scan;
+    pruning itself is pinned in tests/test_bloomindex.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from tipoca_stream_spark.sources.bloomindex import BloomIndexedTable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"bloom_li_{tag}")
+    t = BloomIndexedTable(
+        spark, root, key_col="l_orderkey", layout_col="l_shipdate",
+        m_bits=1 << 16, k=5,
+    )
+    if not os.path.exists(os.path.join(root, "_bloom")):
+        t.write(li, n_files=16)
+    key = li.agg(F.max("l_orderkey")).collect()[0][0]
+    return t.read_point(key).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
