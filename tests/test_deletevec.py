@@ -1,0 +1,93 @@
+"""DeletionVectorTable: merge-on-read deletes (sources/deletevec.py).
+
+Pins: reads equal a predicate-filtered plain scan after any sequence of
+delete batches; vectors accumulate across batches and versions commit
+atomically; deletes never rewrite data files (inode check); compaction
+folds the vector in without changing the answer; the anti-join
+broadcasts the vector."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.sources.deletevec import DeletionVectorTable
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = DeletionVectorTable(spark, str(tmp_path / "li"))
+    t.write(li, n_files=4)
+    return t, li
+
+
+def test_delete_then_read_matches_filtered_scan(spark, table):
+    t, li = table
+    n = t.delete_where(F.col("l_returnflag") == "R")
+    want = li.filter(F.col("l_returnflag") != "R")
+    assert n == li.filter(F.col("l_returnflag") == "R").count()
+    assert t.read().count() == want.count()
+    got = t.read().groupBy("l_returnflag").count().collect()
+    assert all(r["l_returnflag"] != "R" for r in got)
+
+
+def test_deletes_accumulate_across_batches(spark, table):
+    t, li = table
+    t.delete_where(F.col("l_returnflag") == "R")
+    t.delete_where((F.col("l_linestatus") == "F") & (F.col("l_quantity") > 45))
+    surviving = li.filter(
+        (F.col("l_returnflag") != "R")
+        & ~((F.col("l_linestatus") == "F") & (F.col("l_quantity") > 45))
+    )
+    assert t.read().count() == surviving.count()
+    # overlapping re-delete marks nothing new
+    assert t.delete_where(F.col("l_returnflag") == "R") == 0
+
+
+def test_delete_touches_no_data_file(spark, table):
+    t, _ = table
+    before = {f: os.stat(f).st_mtime_ns for f in glob.glob(t.path + "/part-*")}
+    t.delete_where(F.col("l_quantity") > 10)
+    after = {f: os.stat(f).st_mtime_ns for f in glob.glob(t.path + "/part-*")}
+    assert before == after, "delete_where must be metadata-only"
+
+
+def test_compact_preserves_answer_and_resets_vector(spark, table):
+    t, li = table
+    t.delete_where(F.col("l_returnflag") == "R")
+    want = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in t.read().select("l_orderkey", "l_linenumber").collect()
+    )
+    t.compact(n_files=2)
+    assert t.deleted_count() == 0
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in t.read().select("l_orderkey", "l_linenumber").collect()
+    )
+    assert got == want
+    assert len(glob.glob(t.path + "/part-*")) <= 2 + 1  # n_files (+_SUCCESS-safe glob slack)
+
+
+def test_read_plans_broadcast_anti_join(spark, table):
+    t, _ = table
+    t.delete_where(F.col("l_quantity") > 40)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t.read().explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_empty_vector_reads_everything(spark, table):
+    t, li = table
+    assert t.read().count() == li.count()
+    assert t.deleted_count() == 0

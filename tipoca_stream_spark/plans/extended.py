@@ -531,3 +531,44 @@ def storage_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_point(key).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
     )
+
+
+@query(
+    "storage_dv_read",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem
+    WHERE NOT (l_returnflag = 'R')
+      AND NOT (l_linestatus = 'F' AND l_quantity > 45)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ref="M4-family retroactive deletes: merge-on-read deletion vectors",
+)
+def storage_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a table carrying TWO accumulated deletion-vector
+    batches (sources/deletevec.py): returns deleted via a retention-style
+    sweep, then a second predicate delete — each one scan emitting
+    (file, row_index) hits, no data rewrite; the read anti-joins the
+    broadcast vector. The oracle is the equivalent NOT-filtered scan:
+    merge-on-read must be answer-identical to copy-on-write."""
+    import hashlib
+    import os
+    import tempfile
+
+    from tipoca_stream_spark.sources.deletevec import DeletionVectorTable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"dv_li_{tag}")
+    t = DeletionVectorTable(spark, root)
+    if not os.path.exists(root):
+        t.write(li, n_files=8)
+        t.delete_where(F.col("l_returnflag") == "R")
+        t.delete_where((F.col("l_linestatus") == "F") & (F.col("l_quantity") > 45))
+    return t.read().groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_cents"),
+    )

@@ -1,0 +1,131 @@
+"""Merge-on-read deletes: deletion vectors + compaction for parquet
+tables.
+
+The CDC target family (sources/target.py) is copy-on-write — a delete
+rewrites the touched bucket. That is the right trade when deletes arrive
+with the batch that owns the bucket anyway (the merge already rewrites
+it); it is the WRONG trade for sparse retroactive deletes — GDPR
+erasure, retention sweeps, corpus redactions — where rewriting a 1 GB
+file to drop 3 rows costs 9 orders of magnitude more IO than the
+deletes. Delta and Iceberg both grew deletion vectors for exactly this;
+this module is that feature, Spark-first:
+
+- **delete** (``delete_where``): one scan evaluates the predicate and
+  emits only ``(_metadata.file_path, _metadata.row_index)`` of the hit
+  rows — Spark's stable per-file row position, so the vector survives
+  any later scan order. The cumulative vector is written as a NEW
+  version under ``_dv/`` and committed with an atomic pointer flip
+  (``os.replace``), the same idempotent-commit discipline as the
+  versioned CDC target. Cost: O(matching rows), never a data rewrite.
+- **read**: data scan (with metadata columns) LEFT ANTI the current
+  vector on (file, row). The vector is deletes-sized — tiny relative to
+  data — so the anti-join plans as a broadcast; correctness never
+  depends on size, only the join strategy does.
+- **compact**: when the vector grows past taste, one rewrite folds it
+  into the files and resets the vector — merge-on-read's amortization
+  valve (Delta's OPTIMIZE). Write-to-temp, then swap: readers of the
+  old files are never mid-rewrite.
+
+At 100 TB: deletes are metadata-rate, reads pay one broadcast
+hash-probe per row, and compaction is a scheduled background rewrite —
+the standard lakehouse cost model.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DV_SCHEMA = "file string, row_idx long"
+
+
+class DeletionVectorTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    @property
+    def _dv_root(self) -> str:
+        return os.path.join(self.path, "_dv")
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self._dv_root, "_CURRENT")
+
+    def _current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _dv_path(self, version: int) -> str:
+        return os.path.join(self._dv_root, f"v{version:06d}")
+
+    def write(self, df: DataFrame, n_files: int = 8) -> None:
+        df.repartition(n_files).write.mode("overwrite").parquet(self.path)
+        if os.path.exists(self._dv_root):  # fresh table: no deletes yet
+            shutil.rmtree(self._dv_root)
+
+    def _dv(self) -> DataFrame | None:
+        v = self._current_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(self._dv_path(v))
+
+    def _with_pos(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.row_index").alias("row_idx"),
+            "*",
+        )
+
+    def delete_where(self, pred) -> int:
+        """Mark rows matching ``pred`` deleted; returns rows newly marked.
+        One scan emits (file, row) of the hits; the cumulative vector is
+        committed as a new version + atomic pointer flip. No data file is
+        touched."""
+        hits = self._with_pos().filter(pred).select("file", "row_idx")
+        prior = self._dv()
+        new = hits if prior is None else prior.union(hits).distinct()
+        v = (self._current_version() or 0) + 1
+        new.coalesce(1).write.mode("overwrite").parquet(self._dv_path(v))
+        n_new = self.spark.read.parquet(self._dv_path(v)).count() - (
+            prior.count() if prior is not None else 0
+        )
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)  # atomic commit
+        return n_new
+
+    def read(self) -> DataFrame:
+        dv = self._dv()
+        base = self._with_pos()
+        if dv is None:
+            return base.drop("file", "row_idx")
+        # deletes-sized right side: plans as a broadcast anti-join
+        return base.join(
+            F.broadcast(dv), on=["file", "row_idx"], how="left_anti"
+        ).drop("file", "row_idx")
+
+    def deleted_count(self) -> int:
+        dv = self._dv()
+        return 0 if dv is None else dv.count()
+
+    def compact(self, n_files: int = 8) -> None:
+        """Fold the vector into the data: rewrite surviving rows to a
+        temp dir, swap it in, reset the vector. Old files are fully
+        replaced only after the rewrite completes."""
+        tmp = self.path + "__compact_tmp"
+        self.read().repartition(n_files).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(os.path.join(self.path, "part-*")):
+            os.remove(f)
+        shutil.rmtree(self._dv_root, ignore_errors=True)
+        for f in glob.glob(os.path.join(tmp, "part-*")):
+            shutil.move(f, os.path.join(self.path, os.path.basename(f)))
+        shutil.rmtree(tmp, ignore_errors=True)
