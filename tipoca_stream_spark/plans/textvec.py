@@ -343,3 +343,53 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_scored"),
         )
     )
+
+
+_INDEX_BM25_TERMS = ("stream", "hash", "table")
+
+
+@query(
+    "text_index_bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    tot AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+           WHERE term IN {_INDEX_BM25_TERMS!r} GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             round(ln((tot.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / tot.avgdl)),
+                   6) AS term_score
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), tot)
+    SELECT doc_id, round(sum(term_score), 6) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    survey_ref="training: retrieval served off a persisted inverted index",
+)
+def text_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Okapi BM25 contract as text_bm25_retrieval, but served
+    off a PERSISTED inverted index (sources/invindex.py): postings
+    hash-partitioned + term-sorted (pushed ``term IN`` prunes files and
+    row groups), doclen and 1-row totals pre-aggregated at build. Query
+    cost tracks the query terms' document frequency, never corpus size —
+    the build is the one full pass. The oracle recomputes from the raw
+    corpus: index-served must equal scan-served."""
+    import hashlib
+    import os
+    import tempfile
+
+    from tipoca_stream_spark.sources.invindex import InvertedIndexTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"invindex_{tag}")
+    idx = InvertedIndexTable(spark, root)
+    if not idx.exists():
+        idx.build(docs, "text", "doc_id")
+    return idx.bm25_topk(list(_INDEX_BM25_TERMS), k=10)
