@@ -1,0 +1,64 @@
+"""k-core peeling: iteratively drop nodes of degree < k.
+
+The density sibling of the graph family — components finds reachability,
+LPA finds neighborhoods, triangles count local closure; the k-core is
+the maximal subgraph where every node keeps >= k neighbors, the standard
+"structurally supported" filter for near-dup cluster cores and link-farm
+pruning.
+
+Each round: one degree aggregate + two semi-joins restricting the edge
+table to surviving endpoints — all keyed shuffles on node id, lineage
+truncated per round (``localCheckpoint``, the components.py discipline).
+Peeling converges in at most O(n) rounds but in practice a handful; the
+fixed-round form exists so the registered query's DuckDB oracle can
+unroll the identical prefix (the graph-family convention — pagerank/LPA/
+BFS all pin fixpoint prefixes, not unbounded recursion). ``until_stable``
+runs to the true fixpoint for operator use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    until_stable: bool = False,
+) -> DataFrame:
+    """Return (node, deg): nodes surviving ``rounds`` peels (or the true
+    k-core with ``until_stable``) with their degree in the peeled graph.
+
+    ``edges`` must be symmetric (both directions present) — degree is
+    out-degree of the symmetrized table. Self-loops count like any edge;
+    drop them upstream if the semantics require."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    i = 0
+    while True:
+        i += 1
+        keep = _degrees(e).filter(F.col("deg") >= k).select("src")
+        pruned = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        if until_stable:
+            # converged when no node fell below k this round
+            if pruned.count() == e.count():
+                e = pruned
+                break
+            e = pruned
+        else:
+            e = pruned
+            if i >= rounds:
+                break
+    return _degrees(e).select(F.col("src").alias("node"), "deg")

@@ -255,3 +255,69 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.concat(F.lit("p"), F.shiftright("node", 1).cast("string")))
     )
     return dist.select(node_str.alias("node"), "dist")
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peeling: one (degree-keep + two-endpoint restrict) CTE
+    pair per round over the same co-purchase edge prefix as the LPA
+    oracle — the graph-family convention of pinning the fixpoint prefix."""
+    ctes = [
+        "lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b"
+        " FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)",
+        "e0 AS (SELECT a AS src, b AS dst FROM pairs"
+        " UNION SELECT b, a FROM pairs)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"keep{r} AS (SELECT src FROM e{r - 1}"
+            f" GROUP BY src HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"e{r} AS (SELECT e.src, e.dst FROM e{r - 1} e"
+            f" WHERE e.src IN (SELECT src FROM keep{r})"
+            f" AND e.dst IN (SELECT src FROM keep{r}))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src AS node, count(*) AS deg FROM e{rounds} GROUP BY src"
+    )
+
+
+@query(
+    "graph_kcore",
+    _kcore_oracle(),
+    survey_ref="training: k-core density filter (iterative peeling)",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 peeling rounds toward the 3-core of the part co-purchase graph
+    (same capped edge derivation as LPA): nodes surviving with their
+    peeled-graph degree. The core is the 'structurally supported' set —
+    near-dup cluster members held by >= k independent neighbors, the
+    filter that separates genuine template families from chance pair
+    hits. operators/kcore.py also runs to the true fixpoint
+    (until_stable); the registered form is fixed-round so the oracle
+    unrolls the identical prefix."""
+    from tipoca_stream_spark.operators.kcore import kcore
+
+    pairs = cooccurrence_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        key_col="l_orderkey",
+        item_col="l_partkey",
+        out_a="a",
+        out_b="b",
+        n_col="n_orders",
+        min_count=2,
+        max_group_size=256,
+        observation="kcore_edge_hot_group_drops",
+    )
+    edges = pairs.select("a", "b").union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    return kcore(edges, k=KCORE_K, src="a", dst="b", rounds=KCORE_ROUNDS)
