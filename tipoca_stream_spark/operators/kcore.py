@@ -44,7 +44,13 @@ def kcore(
     i = 0
     while True:
         i += 1
-        keep = _degrees(e).filter(F.col("deg") >= k).select("src")
+        # keep feeds BOTH semi-joins: without truncation the degree
+        # aggregate would be recomputed twice per round (it appears twice
+        # in the plan); the checkpoint materializes the (small) survivor
+        # list once
+        keep = (
+            _degrees(e).filter(F.col("deg") >= k).select("src").localCheckpoint()
+        )
         pruned = (
             e.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
