@@ -157,3 +157,49 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev / F.col("mad"), 4).alias("dev_ratio"),
         )
     )
+
+
+@query(
+    "agg_hll_sketch_rollup",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           TRUE AS merged_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    survey_ref="A3-family: re-aggregatable distinct sketches (HLL union rollup)",
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregation pattern exact distinct counts cannot do:
+    per-(type, day) HLL sketches (Datasketches, lgK=14 → ~0.8% rel
+    error) UNION-merged into per-type totals — at 100 TB the daily
+    sketch table is what you persist, and any rollup (weekly, all-time,
+    cross-type) is a merge of kilobyte sketches, never a re-scan.
+    Cross-engine contract in the agg_approx_distinct style: DuckDB has
+    no Datasketches, so the oracle pins the exact counts and day
+    cardinality and asserts the merged estimate lands within 5% of
+    exact (~6 sigma at lgK=14 — a sketch-plumbing bug, not noise, is
+    the only way to miss). Estimate bias of a merged union equals the
+    direct sketch's on the same key set: the union is lossless over
+    HLL registers."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_within_5pct"),
+    )
