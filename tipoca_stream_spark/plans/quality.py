@@ -191,6 +191,54 @@ def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_L = 5  # duplicated-window width (words)
 
 
+def dup_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Maximal cross-document duplicated spans (see text_dup_spans for
+    semantics) over any (id, text) frame — the reusable operator behind
+    the registered query; also driven by the Python-oracle property test
+    (tests/test_dup_spans_property.py)."""
+    from pyspark.sql.window import Window
+
+    words = docs.select(F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("w"))
+    grams_arr = F.expr(
+        f"CASE WHEN size(w) >= {DUP_L} THEN"
+        f" transform(sequence(1, size(w) - {DUP_L - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {DUP_L})))"
+        f" ELSE array() END"
+    )
+    g = words.select(
+        "doc_id", F.posexplode(grams_arr).alias("pos0", "gram")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "gram"
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hit = g.join(dup, "gram", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + DUP_L - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = (
+        F.col("pos") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1
+    ).cast("int")
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hit.withColumn("flag", flag).withColumn(
+        "island", F.sum("flag").over(w_run)
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        F.max("e").alias("span_end"),
+        (F.max("e") - F.min("pos") + 1).alias("span_words"),
+        F.count("*").alias("n_windows"),
+    ).drop("island")
+
+
 @query(
     "text_dup_spans",
     f"""
@@ -231,48 +279,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the gram text exactly like boilerplate detection; the window
     passes run per-doc after a doc-keyed shuffle. No step is
     driver-side and nothing is quadratic in corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
-
-    words = docs.select("doc_id", F.split("text", " ").alias("w"))
-    grams_arr = F.expr(
-        f"CASE WHEN size(w) >= {DUP_L} THEN"
-        f" transform(sequence(1, size(w) - {DUP_L - 1}),"
-        f" i -> concat_ws(' ', slice(w, i, {DUP_L})))"
-        f" ELSE array() END"
-    )
-    g = words.select(
-        "doc_id", F.posexplode(grams_arr).alias("pos0", "gram")
-    ).select(
-        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "gram"
-    )
-    dup = (
-        g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
-    )
-    hit = g.join(dup, "gram", "left_semi").select(
-        "doc_id", "pos", (F.col("pos") + DUP_L - 1).alias("e")
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flag = (
-        F.col("pos") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1
-    ).cast("int")
-    w_run = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hit.withColumn("flag", flag).withColumn(
-        "island", F.sum("flag").over(w_run)
-    )
-    return isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("span_start"),
-        F.max("e").alias("span_end"),
-        (F.max("e") - F.min("pos") + 1).alias("span_words"),
-        F.count("*").alias("n_windows"),
-    ).drop("island")
+    return dup_spans(load_table(spark, sf_dir, "documents"))
 
 
 @query(
