@@ -619,3 +619,54 @@ def analytics_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rev_d / F.sum("revenue").over(wr).cast("double"), 6).alias("share_of_region"),
         F.round(rev_d / F.sum("revenue").over(wt).cast("double"), 6).alias("share_of_total"),
     )
+
+
+@query(
+    "join_scd2_pointintime",
+    """
+    WITH dim AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE event_type <> 'purchase'),
+    hist AS (SELECT user_id, value, ts AS valid_from, next_ts AS valid_to
+             FROM dim WHERE op <> 'd'),
+    facts AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, h.value AS state_value
+    FROM facts f JOIN hist h ON h.user_id = f.user_id
+     AND f.ts >= h.valid_from AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    """,
+    survey_ref="CDC: point-in-time (temporal) join against SCD2 history",
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumption half of SCD2 (cdc_scd2_history is the production
+    half): each purchase fact joins the dimension version VALID AT ITS
+    TIMESTAMP — user state from the non-purchase changelog ('error'
+    closes intervals as the delete op), validity = [valid_from,
+    valid_to). Intervals per key are disjoint by construction, so every
+    fact lands in at most one version. Plan: equi-join keyed on user_id
+    with the interval containment as residual — one keyed shuffle each
+    side, never a range cross-product; the as-of variant
+    (asof_purchase_prior_view) is the nearest-event cousin, this is the
+    versioned-dimension lookup every warehouse star schema does."""
+    from tipoca_stream_spark.operators.scd2 import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    dim_changes = ev.filter(F.col("event_type") != "purchase").withColumn(
+        "op", F.when(F.col("event_type") == "error", "d").otherwise("u")
+    )
+    hist = scd2_history(
+        dim_changes, key_col="user_id", ts_col="ts", op_col="op",
+        value_cols=["value"], seq_col="event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    cond = (F.col("ts") >= F.col("valid_from")) & (
+        F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))
+    )
+    return (
+        facts.join(hist, "user_id")
+        .where(cond)
+        .select("event_id", "user_id", F.col("value").alias("state_value"))
+    )
