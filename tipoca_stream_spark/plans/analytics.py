@@ -670,3 +670,45 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .select("event_id", "user_id", F.col("value").alias("state_value"))
     )
+
+
+@query(
+    "events_new_vs_returning",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts)::date AS d FROM events),
+    first_seen AS (SELECT user_id, min(d) AS first_d FROM activity GROUP BY user_id)
+    SELECT a.d AS day,
+           sum(CASE WHEN a.d = f.first_d THEN 1 ELSE 0 END)::bigint AS n_new,
+           sum(CASE WHEN a.d > f.first_d THEN 1 ELSE 0 END)::bigint AS n_returning
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY a.d
+    """,
+    survey_ref="analytics: daily new vs returning actives (cumulative-distinct)",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day split of active users into first-ever-seen vs returning —
+    the cumulative-distinct problem: COUNT(DISTINCT) OVER a running
+    window doesn't exist in either engine, and the standard rewrite is
+    exactly this (dedupe to (user, day), min-day per user, classify each
+    active day against it). Two aggregates keyed on user_id + one keyed
+    join; at 100 TB the shuffles carry at most users x active-days rows,
+    never raw events. 'day' ships as a DATE (not the registry's
+    string-formatted timestamps: DATE compares exactly cross-engine)."""
+    events = load_table(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    first_seen = activity.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("d") > F.col("first_d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+    )
