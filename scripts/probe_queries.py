@@ -52,10 +52,10 @@ def main(names: list[str]) -> None:
     print(f"| query | {os.path.basename(small)} s | {os.path.basename(big)} s | ratio |")
     print("|---|---|---|---|")
     for name, d in res.items():
-        print(
-            f"| {name} | {d['small']:.3f} | {d['big']:.3f} |"
-            f" {d['big'] / d['small']:.1f}x |"
-        )
+        # a sub-millisecond small-side timing rounds to 0.0 — don't lose
+        # the whole run to a ZeroDivisionError at print time
+        ratio = f"{d['big'] / d['small']:.1f}x" if d["small"] > 0 else "n/a"
+        print(f"| {name} | {d['small']:.3f} | {d['big']:.3f} | {ratio} |")
     spark.stop()
 
 

@@ -46,10 +46,17 @@ def test_term_filter_pushes_into_postings_scan(spark, index):
 def test_totals_match_corpus(spark, index):
     idx, docs = index
     tot = spark.read.parquet(idx._totals).collect()[0]
-    n_docs_with_tokens = (
+    n_total_tokens = (
         docs.select(F.explode(F.split("text", " ")).alias("t"))
         .filter(F.col("t") != "")
         .count()
     )
-    assert tot["n_docs"] == float(docs.filter(F.length("text") > 0).count())
-    assert abs(tot["avgdl"] * tot["n_docs"] - n_docs_with_tokens) < 1e-6
+    # n_docs counts docs with >= 1 non-empty TOKEN (build's definition) —
+    # an all-spaces text has length > 0 but contributes no doc
+    n_docs_tokenized = (
+        docs.filter(
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")) > 0
+        ).count()
+    )
+    assert tot["n_docs"] == float(n_docs_tokenized)
+    assert abs(tot["avgdl"] * tot["n_docs"] - n_total_tokens) < 1e-6

@@ -41,6 +41,7 @@ def kcore(
     out-degree of the symmetrized table. Self-loops count like any edge;
     drop them upstream if the semantics require."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    prev_n = e.count() if until_stable else -1
     i = 0
     while True:
         i += 1
@@ -56,14 +57,14 @@ def kcore(
             .select("src", "dst")
             .localCheckpoint()
         )
+        e = pruned
         if until_stable:
-            # converged when no node fell below k this round
-            if pruned.count() == e.count():
-                e = pruned
+            # converged when no edge fell this round; prev_n carries the
+            # last count forward so each round costs ONE count job
+            n = pruned.count()
+            if n == prev_n:
                 break
-            e = pruned
-        else:
-            e = pruned
-            if i >= rounds:
-                break
+            prev_n = n
+        elif i >= rounds:
+            break
     return _degrees(e).select(F.col("src").alias("node"), "deg")

@@ -562,7 +562,10 @@ def storage_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"dv_li_{tag}")
     t = DeletionVectorTable(spark, root)
-    if not os.path.exists(root):
+    # build-complete sentinel = the LAST committed artifact (vector v2),
+    # not the root dir (which the first write step already creates): a
+    # crash mid-build can never leave a "complete" half-built table
+    if t._current_version() != 2:
         t.write(li, n_files=8)
         t.delete_where(F.col("l_returnflag") == "R")
         t.delete_where((F.col("l_linestatus") == "F") & (F.col("l_quantity") > 45))
