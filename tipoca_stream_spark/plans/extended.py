@@ -575,3 +575,42 @@ def storage_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("qty_cents"),
     )
+
+
+@query(
+    "similarity_ivf_recall",
+    f"""
+    WITH assign AS ({IVF_ASSIGN_SQL}),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    aexpl AS (SELECT e.vec_id, unnest(e.embedding)::double AS a, unnest(q.qe)::double AS b
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+    sims AS (SELECT vec_id, sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))) AS s
+             FROM aexpl GROUP BY vec_id),
+    exact10 AS (SELECT vec_id FROM sims ORDER BY round(s, 6) DESC, vec_id LIMIT 10),
+    qc AS (SELECT centroid_id FROM assign WHERE vec_id = 0),
+    ivf10 AS (SELECT s.vec_id FROM sims s
+              JOIN assign a ON a.vec_id = s.vec_id
+              JOIN qc ON a.centroid_id = qc.centroid_id
+              ORDER BY round(s.s, 6) DESC, s.vec_id LIMIT 10)
+    SELECT count(*)::bigint AS n_overlap,
+           round(count(*) / 10.0, 3) AS recall_at_10
+    FROM exact10 JOIN ivf10 USING (vec_id)
+    """,
+    survey_ref="training: ANN quality evaluation (recall@k of IVF vs exact)",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF cell-confined search against the brute-force
+    exact top-10 — the evaluation loop every ANN deployment runs before
+    trusting a speedup. Composes the two registered builders, so the
+    measured paths are EXACTLY the production ones (same rounding, same
+    tiebreaks); the oracle recomputes both sides in SQL. At 100 TB the
+    exact side runs on a sampled query set — the recall estimate needs
+    queries, not corpus, to be small."""
+    from tipoca_stream_spark.plans.training import similarity_cosine_topk
+
+    exact10 = similarity_cosine_topk(spark, sf_dir).select("vec_id")
+    ivf10 = similarity_ivf_topk(spark, sf_dir).select("vec_id")
+    return exact10.join(ivf10, "vec_id").agg(
+        F.count("*").cast("bigint").alias("n_overlap"),
+        F.round(F.count("*") / 10.0, 3).alias("recall_at_10"),
+    )
