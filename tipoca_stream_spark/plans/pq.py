@@ -198,3 +198,62 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_d2", "vec_id")
         .limit(10)
     )
+
+
+def _exact_l2_cte() -> str:
+    return """
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    l2expl AS (SELECT e.vec_id, unnest(e.embedding)::double AS a,
+                      unnest(q.qe)::double AS b
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+    l2 AS (SELECT vec_id, sum((a - b) * (a - b)) AS d
+           FROM l2expl GROUP BY vec_id),
+    exact10 AS (SELECT vec_id FROM l2 ORDER BY round(d, 6), vec_id LIMIT 10)
+    """
+
+
+@query(
+    "similarity_pq_recall",
+    "WITH "
+    + _exact_l2_cte().strip().rstrip()
+    + f""",
+    pq10 AS (SELECT vec_id FROM ({_adc_sql()}))
+    SELECT count(*)::bigint AS n_overlap,
+           round(count(*) / 10.0, 3) AS recall_at_10
+    FROM exact10 JOIN pq10 USING (vec_id)
+    """,
+    survey_ref="training: ANN quality evaluation (recall@k of PQ-ADC vs exact L2)",
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the ADC code-table ranking against the exact L2
+    top-10 — quantifies what the 64-to-4-byte compression costs in
+    ranking fidelity (the number an IVF+PQ deployment tunes M/K
+    against). Composes the registered ADC builder with an inline exact
+    L2 side; both engines recompute both paths."""
+    from tipoca_stream_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("_q"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact10 = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(d2, 6).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    pq10 = similarity_pq_adc_topk(spark, sf_dir).select("vec_id")
+    return exact10.join(pq10, "vec_id").agg(
+        F.count("*").cast("bigint").alias("n_overlap"),
+        F.round(F.count("*") / 10.0, 3).alias("recall_at_10"),
+    )
