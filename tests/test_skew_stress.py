@@ -107,3 +107,60 @@ def test_cooccurrence_hot_group_cap_engages_and_is_observed(spark):
     assert n >= 0
     assert obs.get["dropped_groups"] >= 1
     assert obs.get["dropped_items"] >= hot_items
+
+
+def test_dup_spans_universal_boilerplate_gram(spark):
+    """A 5-gram present in EVERY document (universal boilerplate) is the
+    dup-span hot key: all its position rows share one gram key. The
+    count-distinct dup pass must two-phase it (map-side partial sets)
+    and the per-doc island merge must stay doc-keyed — completes with
+    the correct per-doc span for every document."""
+    from tipoca_stream_spark.plans.quality import dup_spans
+
+    boiler = "one two three four five"
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b {boiler} u{i}c u{i}d") for i in range(2000)],
+        "doc_id long, text string",
+    ).repartition(16)
+    t0 = time.time()
+    rows = dup_spans(docs).collect()
+    assert time.time() - t0 < 120
+    assert len(rows) == 2000  # one span per doc: the planted block
+    assert all(
+        (r["span_start"], r["span_end"], r["n_windows"]) == (3, 7, 1) for r in rows
+    )
+
+
+def test_heavy_hitters_one_item_owns_half_the_rows(spark):
+    """One item = 50% of all rows: locally heavy in EVERY partition, so
+    the candidate pass emits it from each — candidates stay tiny and the
+    verify exchange carries (partitions x candidates) combined rows, not
+    the raw hot rows (map-side count combine)."""
+    from tipoca_stream_spark.operators.heavyhitters import heavy_hitters
+
+    n = 40000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("item")
+    ).repartition(16)
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", k=3).collect()}
+    # n/2 evens remapped to 7, plus the odd id=7 row itself
+    assert got == {7: n // 2 + 1}  # only the hot item clears n/3
+
+
+def test_bfs_hub_node_frontier(spark):
+    """A hub adjacent to every other node: the first expansion's frontier
+    is the whole graph. distinct() + anti-join keep the frontier a node
+    SET (never multiplied by hub degree), so hop 2 sees an empty
+    frontier and the loop exits early with all distances = 1."""
+    from tipoca_stream_spark.operators.bfs import bfs_distances
+
+    n = 5000
+    edges = spark.range(1, n).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    ).union(
+        spark.range(1, n).select(F.col("id").alias("src"), F.lit(0).alias("dst"))
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = bfs_distances(edges, seeds, max_hops=4)
+    by_dist = {r["dist"]: r["n"] for r in got.groupBy("dist").agg(F.count("*").alias("n")).collect()}
+    assert by_dist == {0: 1, 1: n - 1}
