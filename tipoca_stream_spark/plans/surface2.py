@@ -601,3 +601,36 @@ def scalar_trycast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("string").try_cast("double").alias("roundtrip_val"),
         F.coalesce(F.col("event_type").try_cast("bigint"), F.lit(-1)).alias("defaulted"),
     )
+
+
+@query(
+    "scalar_bitwise_suite",
+    """
+    SELECT c_custkey,
+           c_custkey & 255 AS b_and,
+           c_custkey | 4096 AS b_or,
+           xor(c_custkey, 1365) AS b_xor,
+           (c_custkey & 15) << 3 AS b_shl,
+           c_custkey >> 2 AS b_shr,
+           CAST(bit_count(c_custkey) AS INT) AS b_cnt
+    FROM customer
+    """,
+    survey_ref="§2.9 bitwise operators (mask/shift/popcount)",
+)
+def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: and/or/xor masks, shifts, popcount — the ops the
+    engine's own internals lean on (bloomindex.py's word/mask probes,
+    simhash's bit votes) exposed as user scalars. Pure codegen'd
+    expressions; DuckDB spells xor as a function (its ^ is exponent),
+    Spark as bitwiseXOR — same semantics on BIGINT lanes."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        "c_custkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+        F.shiftleft(k.bitwiseAND(F.lit(15)), 3).alias("b_shl"),
+        F.shiftright(k, 2).alias("b_shr"),
+        F.bit_count(k).cast("int").alias("b_cnt"),
+    )
