@@ -286,3 +286,14 @@ def test_pq_adc_take_ordered_single_lut_broadcast(spark):
     assert "CartesianProduct" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_ivfpq_take_ordered_broadcast_only(spark):
+    # the combined index must keep PQ's map-only ADC shape: broadcast
+    # cell-candidate + LUT joins, TakeOrderedAndProject ranking, no
+    # cartesian, all JVM-side
+    plan = plan_of(spark, "similarity_ivfpq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan

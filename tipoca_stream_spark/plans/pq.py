@@ -139,7 +139,10 @@ def similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(load_table(spark, sf_dir, "embeddings"))
 
 
-def _adc_sql() -> str:
+def _adc_parts() -> tuple[list[str], str, str]:
+    """(CTE list, summed-distance expr, pm-join chain) for the ADC score
+    of every corpus vector — shared by the plain ADC oracle and the
+    IVF+PQ composition."""
     ctes = [cte for m in range(M) for cte in _sub_ctes(m)]
     # query-side LUT: the same per-subspace distances, restricted to vec 0
     for m in range(M):
@@ -158,6 +161,11 @@ def _adc_sql() -> str:
         )
     total = " + ".join(f"p{m}.dm" for m in range(M))
     joins = " ".join(f"JOIN pm{m} p{m} ON p{m}.vec_id = p0.vec_id" for m in range(1, M))
+    return ctes, total, joins
+
+
+def _adc_sql() -> str:
+    ctes, total, joins = _adc_parts()
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -165,6 +173,25 @@ def _adc_sql() -> str:
         + f"\nFROM pm0 p0 {joins}"
         + "\nWHERE p0.vec_id <> 0"
         + "\nORDER BY round(" + total + ", 6), p0.vec_id LIMIT 10"
+    )
+
+
+def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlimited (vec_id, adc_d2) frame over all corpus vectors — the
+    shared Spark half of the ADC oracle parts above."""
+    emb = _embs(spark, sf_dir)
+    codes = pq_encode(emb)
+    qlut = emb.filter(F.col("vec_id") == 0).select(
+        *[d for m in range(M) for d in _sub_dists(m)]
+    )
+    adc = codes.crossJoin(F.broadcast(qlut))
+    dist = None
+    for m in range(M):
+        lut = F.array(*[F.col(f"m{m}d{k_}") for k_ in range(K)])
+        dm = F.element_at(lut, F.col(f"code_{m}") + 1)
+        dist = dm if dist is None else dist + dm
+    return adc.where(F.col("vec_id") != 0).select(
+        "vec_id", F.round(dist, 6).alias("adc_d2")
     )
 
 
@@ -181,23 +208,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the code columns; ranking is TakeOrderedAndProject. At 100 TB
     the codes table is ~1/64 the corpus bytes, and this plan never
     shuffles anything wider than (vec_id, 4 ints)."""
-    emb = _embs(spark, sf_dir)
-    codes = pq_encode(emb)
-    qlut = emb.filter(F.col("vec_id") == 0).select(
-        *[d for m in range(M) for d in _sub_dists(m)]
-    )
-    adc = codes.crossJoin(F.broadcast(qlut))
-    dist = None
-    for m in range(M):
-        lut = F.array(*[F.col(f"m{m}d{k_}") for k_ in range(K)])
-        dm = F.element_at(lut, F.col(f"code_{m}") + 1)
-        dist = dm if dist is None else dist + dm
-    return (
-        adc.where(F.col("vec_id") != 0)
-        .select("vec_id", F.round(dist, 6).alias("adc_d2"))
-        .orderBy("adc_d2", "vec_id")
-        .limit(10)
-    )
+    return _adc_scored(spark, sf_dir).orderBy("adc_d2", "vec_id").limit(10)
 
 
 def _exact_l2_cte() -> str:
@@ -256,4 +267,55 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact10.join(pq10, "vec_id").agg(
         F.count("*").cast("bigint").alias("n_overlap"),
         F.round(F.count("*") / 10.0, 3).alias("recall_at_10"),
+    )
+
+
+def _ivfpq_sql() -> str:
+    from tipoca_stream_spark.plans.extended import IVF_ASSIGN_SQL
+
+    ctes, total, joins = _adc_parts()
+    return (
+        f"WITH assign AS ({IVF_ASSIGN_SQL}),\n"
+        + "qcell AS (SELECT centroid_id FROM assign WHERE vec_id = 0),\n"
+        + ",\n".join(ctes)
+        + f",\nadc AS (SELECT p0.vec_id, round({total}, 6) AS adc_d2"
+        + f" FROM pm0 p0 {joins} WHERE p0.vec_id <> 0)\n"
+        + "SELECT adc.vec_id, adc.adc_d2 FROM adc\n"
+        + "JOIN assign a ON a.vec_id = adc.vec_id\n"
+        + "JOIN qcell ON a.centroid_id = qcell.centroid_id\n"
+        + "ORDER BY adc.adc_d2, adc.vec_id LIMIT 10"
+    )
+
+
+@query(
+    "similarity_ivfpq_topk",
+    _ivfpq_sql(),
+    survey_ref="training: ANN IVF+PQ (cell-confined ADC, the FAISS-style pipeline)",
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined index large ANN deployments actually run: the IVF
+    coarse quantizer confines candidates to the query's cell (the scan
+    touches ~1/n_cells of the corpus), and PQ's ADC table ranks inside
+    it (each candidate costs M lookups on its 4-byte code, never a
+    64-float distance). At 100 TB: cell id is the partition key, codes
+    are the payload — one partition of a table 1/64th the corpus bytes.
+    Composes the registered IVF assignment and the shared ADC scorer;
+    the oracle composes their SQL the same way."""
+    from tipoca_stream_spark.plans.extended import ivf_assign
+
+    emb = _embs(spark, sf_dir)
+    assign = ivf_assign(emb)
+    qcell = assign.where(F.col("vec_id") == 0).select(
+        F.col("centroid_id").alias("_qc")
+    )
+    cands = (
+        assign.join(F.broadcast(qcell), F.col("centroid_id") == F.col("_qc"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    return (
+        _adc_scored(spark, sf_dir)
+        .join(cands, "vec_id")
+        .orderBy("adc_d2", "vec_id")
+        .limit(10)
     )
