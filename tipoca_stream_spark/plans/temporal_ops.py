@@ -160,3 +160,101 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "asof_nearest_view",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, event_id AS vid FROM events WHERE event_type = 'view'),
+    t AS (
+      SELECT user_id, ts, CAST(NULL AS BIGINT) AS vid, event_id, 0 AS is_v FROM p
+      UNION ALL
+      SELECT user_id, ts, vid, NULL, 1 FROM v),
+    marked AS (
+      SELECT user_id, ts, event_id, is_v,
+             last_value(CASE WHEN is_v = 1 THEN vid END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_vid,
+             last_value(CASE WHEN is_v = 1 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+             first_value(CASE WHEN is_v = 1 THEN vid END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_vid,
+             first_value(CASE WHEN is_v = 1 THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+      FROM t)
+    SELECT event_id, user_id,
+           CASE WHEN back_us IS NULL THEN fwd_vid
+                WHEN fwd_us IS NULL THEN back_vid
+                WHEN epoch_us(ts) - back_us <= fwd_us - epoch_us(ts) THEN back_vid
+                ELSE fwd_vid END AS nearest_vid,
+           CASE WHEN back_us IS NULL THEN fwd_us - epoch_us(ts)
+                WHEN fwd_us IS NULL THEN epoch_us(ts) - back_us
+                WHEN epoch_us(ts) - back_us <= fwd_us - epoch_us(ts)
+                     THEN epoch_us(ts) - back_us
+                ELSE fwd_us - epoch_us(ts) END AS nearest_diff_us
+    FROM marked WHERE is_v = 0
+    """,
+    survey_ref="custom op: nearest-in-time as-of join (bidirectional)",
+)
+def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase aligned to its NEAREST view in time, either
+    direction — the sensor-alignment flavor of as-of (backward-only
+    as-of is asof_purchase_prior_view). Same union-tag + window
+    composition: one shuffle on the group key, a running last (backward)
+    plus a running first (forward), then an arithmetic pick; ties at
+    zero distance resolve backward BY CONSTRUCTION (views sort before
+    purchases at equal ts, so the backward window sees a diff-0
+    candidate that always wins) — deterministic in both engines without
+    a range join anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("bigint").alias("vid"),
+        "event_id", F.lit(0).alias("is_v"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("vid"),
+        F.lit(None).cast("long").alias("event_id"), F.lit(1).alias("is_v"),
+    )
+    t = p.unionByName(v)
+    order = [F.col("ts"), F.col("is_v").desc()]
+    w_back = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    view_vid = F.when(F.col("is_v") == 1, F.col("vid"))
+    view_us = F.when(F.col("is_v") == 1, F.unix_micros("ts"))
+    marked = t.select(
+        "user_id", "ts", "event_id", "is_v",
+        F.last(view_vid, ignorenulls=True).over(w_back).alias("back_vid"),
+        F.last(view_us, ignorenulls=True).over(w_back).alias("back_us"),
+        F.first(view_vid, ignorenulls=True).over(w_fwd).alias("fwd_vid"),
+        F.first(view_us, ignorenulls=True).over(w_fwd).alias("fwd_us"),
+    )
+    us = F.unix_micros("ts")
+    back_d = us - F.col("back_us")
+    fwd_d = F.col("fwd_us") - us
+    nearest_vid = (
+        F.when(F.col("back_us").isNull(), F.col("fwd_vid"))
+        .when(F.col("fwd_us").isNull(), F.col("back_vid"))
+        .when(back_d <= fwd_d, F.col("back_vid"))
+        .otherwise(F.col("fwd_vid"))
+    )
+    nearest_d = (
+        F.when(F.col("back_us").isNull(), fwd_d)
+        .when(F.col("fwd_us").isNull(), back_d)
+        .when(back_d <= fwd_d, back_d)
+        .otherwise(fwd_d)
+    )
+    return marked.where(F.col("is_v") == 0).select(
+        "event_id", "user_id",
+        nearest_vid.alias("nearest_vid"),
+        nearest_d.alias("nearest_diff_us"),
+    )
