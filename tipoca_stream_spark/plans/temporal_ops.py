@@ -258,3 +258,38 @@ def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest_vid.alias("nearest_vid"),
         nearest_d.alias("nearest_diff_us"),
     )
+
+
+@query(
+    "window_rolling_median",
+    """
+    SELECT user_id, event_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS med11
+    FROM events
+    """,
+    survey_ref="§2.7 rolling exact median (order-statistic window)",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over the last 11 events per user — the
+    robust-smoothing window mean can't provide. Spark refuses median()
+    with a frame, so the frame's values are collected (BOUNDED: 11 rows,
+    O(1) per row at any scale), sorted JVM-side, and interpolated with
+    the same (n odd -> middle, n even -> mean of middles) rule DuckDB's
+    windowed median applies — null values are skipped by collect_list
+    exactly as median skips them."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2
+    med = F.when(n == 0, F.lit(None)).when(n % 2 == 1, odd).otherwise(even)
+    return ev.select(
+        "user_id", "event_id", F.round(med, 6).alias("med11")
+    )
