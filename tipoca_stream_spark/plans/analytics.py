@@ -712,3 +712,40 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, count(*) AS n,
+           round(count(*)::double / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    survey_ref="analytics: behavior transition matrix (first-order Markov)",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (previous event type -> next event type) pair, the count and the
+    row-normalized probability. One lag window per user + one k^2-key
+    aggregate + a k-key normalizing window — funnels tell you whether a
+    fixed path happens, this tells you where every path goes. The heavy
+    shuffle is the user-keyed lag; everything after is tiny (k=5
+    types)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = ordered.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    w_norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_norm), 6).alias("p"),
+    )

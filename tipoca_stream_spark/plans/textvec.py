@@ -393,3 +393,47 @@ def text_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not idx.exists():
         idx.build(docs, "text", "doc_id")
     return idx.bm25_topk(list(_INDEX_BM25_TERMS), k=10)
+
+
+@query(
+    "text_zipf_slope",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS c FROM toks WHERE term <> '' GROUP BY term),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank FROM counts)
+    SELECT round(regr_slope(ln(c::double), ln(rank::double)), 6) AS zipf_slope,
+           round(regr_r2(ln(c::double), ln(rank::double)), 6) AS fit_r2,
+           count(*) AS n_terms
+    FROM ranked WHERE rank <= 1000
+    """,
+    survey_ref="training: corpus Zipf-law fit (vocabulary health check)",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) ~ ln(rank) over the top-1000
+    vocabulary — natural text sits near -1; a synthetic or
+    template-heavy corpus drifts flat (boilerplate) or steep (tiny
+    vocabulary), so this one number is a cheap corpus-health gate.
+    Composes the vocab ranking with the regr_* aggregates; the rank
+    window is a single top-1000-bounded sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 1000
+    )
+    ln_c = F.log(F.col("c").cast("double"))
+    ln_r = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(ln_c, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_c, ln_r), 6).alias("fit_r2"),
+        F.count("*").alias("n_terms"),
+    )
