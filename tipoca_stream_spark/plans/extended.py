@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from tipoca_stream_spark.operators import similarity as sim
 from tipoca_stream_spark.plans.registry import query
-from tipoca_stream_spark.plans.training import _embs
+from tipoca_stream_spark.plans.training import _COSINE_CTE as _COSINE_CTE_REF, _embs
 from tipoca_stream_spark.sources.tables import load_table
 
 
@@ -579,13 +579,9 @@ def storage_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_ivf_recall",
-    f"""
-    WITH assign AS ({IVF_ASSIGN_SQL}),
-    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    aexpl AS (SELECT e.vec_id, unnest(e.embedding)::double AS a, unnest(q.qe)::double AS b
-              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
-    sims AS (SELECT vec_id, sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))) AS s
-             FROM aexpl GROUP BY vec_id),
+    _COSINE_CTE_REF.format(qid=0)
+    + f""",
+    assign AS ({IVF_ASSIGN_SQL}),
     exact10 AS (SELECT vec_id FROM sims ORDER BY round(s, 6) DESC, vec_id LIMIT 10),
     qc AS (SELECT centroid_id FROM assign WHERE vec_id = 0),
     ivf10 AS (SELECT s.vec_id FROM sims s

@@ -226,7 +226,7 @@ def _exact_l2_cte() -> str:
 @query(
     "similarity_pq_recall",
     "WITH "
-    + _exact_l2_cte().strip().rstrip()
+    + _exact_l2_cte().strip()
     + f""",
     pq10 AS (SELECT vec_id FROM ({_adc_sql()}))
     SELECT count(*)::bigint AS n_overlap,
@@ -304,7 +304,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tipoca_stream_spark.plans.extended import ivf_assign
 
     emb = _embs(spark, sf_dir)
-    assign = ivf_assign(emb)
+    assign = ivf_assign(emb).persist()  # reused by query-cell + candidate sides
     qcell = assign.where(F.col("vec_id") == 0).select(
         F.col("centroid_id").alias("_qc")
     )
@@ -313,9 +313,21 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != 0)
         .select("vec_id")
     )
+    # confine BEFORE scoring: only the query cell's codes get LUT-scored
+    # (the 1/n_cells claim holds in the physical plan, not just the join
+    # order) — semi-join the codes down, then score
+    codes = pq_encode(emb).join(cands, "vec_id", "left_semi")
+    qlut = emb.filter(F.col("vec_id") == 0).select(
+        *[d for m in range(M) for d in _sub_dists(m)]
+    )
+    adc = codes.crossJoin(F.broadcast(qlut))
+    dist = None
+    for m in range(M):
+        lut = F.array(*[F.col(f"m{m}d{k_}") for k_ in range(K)])
+        dm = F.element_at(lut, F.col(f"code_{m}") + 1)
+        dist = dm if dist is None else dist + dm
     return (
-        _adc_scored(spark, sf_dir)
-        .join(cands, "vec_id")
+        adc.select("vec_id", F.round(dist, 6).alias("adc_d2"))
         .orderBy("adc_d2", "vec_id")
         .limit(10)
     )

@@ -174,16 +174,16 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked AS (
       SELECT user_id, ts, event_id, is_v,
              last_value(CASE WHEN is_v = 1 THEN vid END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC
+               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC, vid NULLS LAST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_vid,
              last_value(CASE WHEN is_v = 1 THEN epoch_us(ts) END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC
+               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC, vid NULLS LAST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
              first_value(CASE WHEN is_v = 1 THEN vid END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC
+               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC, vid NULLS LAST
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_vid,
              first_value(CASE WHEN is_v = 1 THEN epoch_us(ts) END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC
+               OVER (PARTITION BY user_id ORDER BY ts, is_v DESC, vid NULLS LAST
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
       FROM t)
     SELECT event_id, user_id,
@@ -220,7 +220,12 @@ def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"), F.lit(1).alias("is_v"),
     )
     t = p.unionByName(v)
-    order = [F.col("ts"), F.col("is_v").desc()]
+    # vid tiebreak: among views sharing a (user_id, ts) the window's
+    # last/first must be deterministic (the repo-wide (ts, event_id)
+    # rule); vid is NULL only on purchase rows, which is_v already
+    # separates — NULLS LAST spelled out so both engines' null placement
+    # agrees regardless
+    order = [F.col("ts"), F.col("is_v").desc(), F.col("vid").asc_nulls_last()]
     w_back = (
         Window.partitionBy("user_id").orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
