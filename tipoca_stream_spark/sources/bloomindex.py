@@ -38,6 +38,81 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def probe_structs(m_bits: int, k: int) -> list:
+    """k (word_idx, mask) struct columns over a key column named ``k`` —
+    the ONE definition of the probe hash, used by both the build and the
+    lookup so they can never disagree. shiftleft takes a column argument
+    in SQL (only the Python wrapper restricts it to a literal), hence the
+    expr for the mask."""
+    out = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(m_bits))
+        out.append(
+            F.struct(
+                F.shiftright(pos, 6).cast("long").alias("word_idx"),
+                F.expr(
+                    f"shiftleft(1L, cast(pmod(xxhash64(k, {i}), {m_bits})"
+                    f" & 63 AS INT))"
+                ).alias("mask"),
+            )
+        )
+    return out
+
+
+def fold_words(rows: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """(file, k) rows → sparse (file, word_idx, word) Bloom words via one
+    explode + bit_or aggregate. Executor-side throughout; the caller
+    writes the result straight back out."""
+    return (
+        rows.select("file", F.explode(F.array(*probe_structs(m_bits, k))).alias("p"))
+        .select("file", "p.word_idx", "p.mask")
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def probe_word_masks(
+    spark: SparkSession, value, key_type, m_bits: int, k: int
+) -> dict[int, int]:
+    """The lookup value's probe (word_idx → OR-ed mask) map, computed BY
+    THE ENGINE (a 1-row job through the identical expression builder — no
+    Python re-hash to drift from the JVM's xxhash64). xxhash64 is
+    TYPE-sensitive (hashing 14999 as INT != as BIGINT): the probe literal
+    must carry the key column's exact type or no build bit would match."""
+    probe_rows = (
+        spark.range(1)
+        .select(F.lit(value).cast(key_type).alias("k"))
+        .select(F.explode(F.array(*probe_structs(m_bits, k))).alias("p"))
+        .select("p.word_idx", "p.mask")
+        .collect()
+    )
+    merged: dict[int, int] = {}
+    for r in probe_rows:  # two probes can land in one word: OR the masks
+        merged[r["word_idx"]] = merged.get(r["word_idx"], 0) | r["mask"]
+    return merged
+
+
+def covering_files(stats: DataFrame, merged: dict[int, int]) -> list:
+    """Files whose Bloom words cover EVERY probed mask — the candidate
+    set (true file(s) + ~FP-rate of the rest). Only qualifying PATHS
+    reach the driver (bounded metadata read)."""
+    match = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("word_idx") == F.lit(wi))
+            & (F.col("word").bitwiseAND(F.lit(mask)) == F.lit(mask))
+            for wi, mask in merged.items()
+        ],
+    )
+    cand = (
+        stats.filter(match)
+        .groupBy("file")
+        .agg(F.count("*").alias("n_ok"))
+        .filter(F.col("n_ok") == F.lit(len(merged)))
+    )
+    return [r["file"] for r in cand.select("file").collect()]
+
+
 class BloomIndexedTable:
     """``key_col`` is the point-lookup column; ``layout_col`` (optional)
     range-clusters the files for some OTHER access path — the realistic
@@ -68,26 +143,6 @@ class BloomIndexedTable:
         # same convention as zonemap's _zones
         return os.path.join(self.path, "_bloom")
 
-    def _probe_structs(self) -> list:
-        """k (word_idx, mask) struct columns over a key column named
-        ``k`` — the ONE definition of the probe hash, used by both the
-        build and the lookup so they can never disagree. shiftleft takes a
-        column argument in SQL (only the Python wrapper restricts it to a
-        literal), hence the expr for the mask."""
-        out = []
-        for i in range(self.k):
-            pos = F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(self.m_bits))
-            out.append(
-                F.struct(
-                    F.shiftright(pos, 6).cast("long").alias("word_idx"),
-                    F.expr(
-                        f"shiftleft(1L, cast(pmod(xxhash64(k, {i}), {self.m_bits})"
-                        f" & 63 AS INT))"
-                    ).alias("mask"),
-                )
-            )
-        return out
-
     def write(self, df: DataFrame, n_files: int = 8) -> None:
         """Lay out the data (range-clustered on ``layout_col`` when
         given), then fold every key's probe bits into per-(file, word)
@@ -105,10 +160,7 @@ class BloomIndexedTable:
             .where(F.col("k").isNotNull())
         )
         (
-            rows.select("file", F.explode(F.array(*self._probe_structs())).alias("p"))
-            .select("file", "p.word_idx", "p.mask")
-            .groupBy("file", "word_idx")
-            .agg(F.bit_or("mask").alias("word"))
+            fold_words(rows, self.m_bits, self.k)
             # one row per (file, non-zero word): ≤ m/64 per file, ~1 KB
             .coalesce(1)
             .write.mode("overwrite")
@@ -122,36 +174,9 @@ class BloomIndexedTable:
         """Files that may contain ``value``: every probed word must cover
         its mask. Probe positions come from a 1-row engine job; only
         qualifying PATHS reach the driver (bounded metadata read)."""
-        # xxhash64 is TYPE-sensitive (hashing 14999 as INT != as BIGINT):
-        # the probe literal must carry the key column's exact type or no
-        # build bit would ever match
         key_type = self.read().schema[self.key_col].dataType
-        probe_rows = (
-            self.spark.range(1)
-            .select(F.lit(value).cast(key_type).alias("k"))
-            .select(F.explode(F.array(*self._probe_structs())).alias("p"))
-            .select("p.word_idx", "p.mask")
-            .collect()
-        )
-        merged: dict[int, int] = {}
-        for r in probe_rows:  # two probes can land in one word: OR the masks
-            merged[r["word_idx"]] = merged.get(r["word_idx"], 0) | r["mask"]
-        match = reduce(
-            lambda a, b: a | b,
-            [
-                (F.col("word_idx") == F.lit(wi))
-                & (F.col("word").bitwiseAND(F.lit(mask)) == F.lit(mask))
-                for wi, mask in merged.items()
-            ],
-        )
-        cand = (
-            self._stats()
-            .filter(match)
-            .groupBy("file")
-            .agg(F.count("*").alias("n_ok"))
-            .filter(F.col("n_ok") == F.lit(len(merged)))
-        )
-        return [r["file"] for r in cand.select("file").collect()]
+        merged = probe_word_masks(self.spark, value, key_type, self.m_bits, self.k)
+        return covering_files(self._stats(), merged)
 
     def read_point(self, value) -> DataFrame:
         """Rows with key == value, scanning only bloom-qualifying files.

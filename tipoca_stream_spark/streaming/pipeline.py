@@ -208,9 +208,19 @@ class CdcPipeline:
         """foreachBatch body: M1-M6 + schema evolution + epoch guard."""
         if epoch_id in self._merged_epochs():
             return  # replayed epoch — merge already committed (T4)
+        # multi-writer guard: remember the version this merge derives from;
+        # the commit is a CAS against it. If another pipeline (a second
+        # supervisor mis-pointed at the same target — the reference's O2
+        # scenario run wrong) commits in between, this epoch fails with
+        # ConcurrentWriteError instead of silently dropping that commit,
+        # and checkpoint replay re-merges from the winner's version (T4).
+        base_version = self.target.current_version()
         # one materialization serves the counters AND the merge — without it
         # the batch source is scanned once for counts and again for the merge
         batch_df = batch_df.persist()
+        # unpersist must target THIS frame: schema-evolution epochs rebind
+        # batch_df to a derived plan, whose unpersist would be a no-op
+        persisted_batch = batch_df
         counts = batch_event_counts(batch_df)
         self.metrics.append({"epoch": epoch_id, **counts})
         if sum(counts.values()) == 0:
@@ -270,6 +280,29 @@ class CdcPipeline:
             )
 
         persisted: list[DataFrame] = []
+        try:
+            self._merge_and_commit(
+                batch_df, epoch_id, current, counts, persisted, base_version, delta_buckets
+            )
+        finally:
+            # don't leak cache across micro-batches — including when the
+            # commit fails (ConcurrentWriteError) and the epoch will replay
+            for df in persisted + [persisted_batch]:
+                df.unpersist()
+
+    def _merge_and_commit(
+        self, batch_df, epoch_id, current, counts, persisted, base_version, delta_buckets
+    ) -> None:
+        nb = self.config.hash_buckets
+        cb = self.config.catalog_buckets
+        n_buckets = nb or cb
+        bucket_expr = (
+            F.pmod(
+                F.hash(*[F.col(k) for k in self.config.primary_keys]), F.lit(n_buckets)
+            )
+            if n_buckets
+            else None
+        )
         if self.config.store_offsets:
             merged = merge_with_offsets(
                 current, batch_df, self.config.primary_keys, persist_registry=persisted
@@ -281,17 +314,25 @@ class CdcPipeline:
         merged_epochs = sorted(self._merged_epochs() | {epoch_id})
         if cb and delta_buckets is not None:
             self.target.write_bucket_delta(
-                merged, delta_buckets, metadata={"merged_epochs": merged_epochs}
+                merged,
+                delta_buckets,
+                metadata={"merged_epochs": merged_epochs},
+                expected_base=base_version,
             )
         elif cb:
             # bootstrap or schema-evolution epoch: full bucketed rewrite
-            self.target.write(merged, metadata={"merged_epochs": merged_epochs})
+            self.target.write(
+                merged,
+                metadata={"merged_epochs": merged_epochs},
+                expected_base=base_version,
+            )
         elif nb and delta_buckets is not None:
             self.target.write_partition_delta(
                 merged.withColumn("_bucket", bucket_expr),
                 "_bucket",
                 delta_buckets,
                 metadata={"merged_epochs": merged_epochs},
+                expected_base=base_version,
             )
         elif nb:
             # bootstrap or schema-evolution epoch: full bucketed rewrite
@@ -299,20 +340,20 @@ class CdcPipeline:
                 merged.withColumn("_bucket", bucket_expr),
                 partition_by=["_bucket"],
                 metadata={"merged_epochs": merged_epochs},
+                expected_base=base_version,
             )
         else:
             self.target.write(
                 merged,
                 partition_by=self.config.partition_by,
                 metadata={"merged_epochs": merged_epochs},
+                expected_base=base_version,
             )
         n_merged = len(merged_epochs)
         if self.config.compact_every and n_merged % self.config.compact_every == 0:
             self.target.compact(
                 partition_by=["_bucket"] if nb else self.config.partition_by
             )
-        for df in persisted + [batch_df]:  # don't leak cache across micro-batches
-            df.unpersist()
 
     def start(self, raw_stream: DataFrame, trigger_available_now: bool = True):
         """Wire transform + foreachBatch and start the query."""
