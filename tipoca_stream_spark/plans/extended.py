@@ -610,3 +610,43 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_overlap"),
         F.round(F.count("*") / 10.0, 3).alias("recall_at_10"),
     )
+
+
+@query(
+    "storage_routed_point_read",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey = (SELECT max(l_partkey) FROM lineitem)
+    """,
+    survey_ref="W2 index-aware routing: route_read picks bloom/bucket/zones/scan",
+)
+def storage_routed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a SECONDARY column served through the target's
+    query router (sources/target.py route_read, round 6): lineitem lands
+    in a catalog-bucketed versioned target (DISTKEY = l_orderkey) with a
+    delta-maintained Bloom sidecar on l_partkey; the router classifies
+    the equality predicate, picks the Bloom path (bucket pruning can't
+    serve a non-key column — the reference's DISTKEY-miss case), and the
+    residual filter keeps the answer index-independent. Oracle = plain
+    filtered scan; route choice + file pruning are pinned in
+    tests/test_route_read.py, this query gates the ANSWER."""
+    import hashlib
+    import os
+    import tempfile
+
+    from tipoca_stream_spark.sources.target import BucketedTargetTable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:routed".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"routed_li_{tag}")
+    t = BucketedTargetTable(
+        spark, root, "lineitem_routed", buckets=8, keys=["l_orderkey"],
+        bloom_col="l_partkey",
+    )
+    if not t.exists():
+        t.write(li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+    key = li.agg(F.max("l_partkey")).collect()[0][0]
+    routed = t.route_read(eq=("l_partkey", key))
+    assert routed.route == "bloom"  # the router must actually take the index
+    return routed.df.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")

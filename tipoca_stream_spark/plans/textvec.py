@@ -437,3 +437,90 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(ln_c, ln_r), 6).alias("fit_r2"),
         F.count("*").alias("n_terms"),
     )
+
+
+_INC_TERMS = ("updatedterm", "vector", "merge")
+
+
+@query(
+    "text_index_bm25_incremental",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' updatedterm' ELSE text END AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs2),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    tot AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+           WHERE term IN {_INC_TERMS!r} GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             round(ln((tot.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / tot.avgdl)),
+                   6) AS term_score
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), tot)
+    SELECT doc_id, round(sum(term_score), 6) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    survey_ref="training: inverted index DELTA-maintained through CDC commits",
+)
+def text_index_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served off the CDC target's posting sidecar AFTER a
+    bucket-delta commit (sources/target.py round 6): the corpus lands in
+    a bucketed versioned target with ``text_col`` declared, then every
+    10th document is updated (text gains one token) via
+    ``write_bucket_delta`` — which re-tokenizes ONLY the touched buckets
+    and hard-links every other bucket's posting files under the same
+    atomic version flip as the data. The oracle recomputes BM25 from the
+    CASE-transformed corpus: the incrementally-maintained index must
+    score exactly like a fresh full build (same Okapi contract, 6-dp
+    round-before-sum). This is the refresh-cost gap VERDICT r5 named —
+    an index that rides the commit instead of a nightly rebuild."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tipoca_stream_spark.sources.target import BucketedTargetTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:incidx".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"incidx_{tag}")
+    t = BucketedTargetTable(
+        spark, root, "docs_idx", buckets=8, keys=["doc_id"],
+        text_col="text", text_id_col="doc_id",
+    )
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        # a half-finished build (v1 only) must not serve stale scores:
+        # rebuild from scratch, then drop the marker
+        shutil.rmtree(root, ignore_errors=True)
+        t = BucketedTargetTable(
+            spark, root, "docs_idx", buckets=8, keys=["doc_id"],
+            text_col="text", text_id_col="doc_id",
+        )
+        base = docs.select("doc_id", "text")
+        t.write(base)
+        final = base.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" updatedterm"))
+            ).otherwise(F.col("text")),
+        )
+        touched = sorted(
+            r["b"]
+            for r in base.filter(F.col("doc_id") % 10 == 0)
+            .select(t.bucket_of().alias("b"))
+            .distinct()
+            .collect()
+        )
+        t.write_bucket_delta(final.filter(t.bucket_of().isin(touched)), touched)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return t.bm25_topk(list(_INC_TERMS), k=10)

@@ -377,41 +377,53 @@ class ParquetTargetTable:
     def _carried_zone_stats(self, prev: int | None, drop_pred) -> DataFrame | None:
         return self._carried_sidecar(prev, "_zones", drop_pred)
 
-    def read_range(self, lo, hi, col: str | None = None, version: int | None = None) -> DataFrame:
-        """Rows with ``col`` (default: zone_cols[0]) in [lo, hi], scanning
-        only the current (or given) version's files whose zone overlaps —
-        the stats filter runs distributed and only surviving file PATHS
-        reach the driver. Falls back to a plain filtered scan when stats
-        are absent or the column untracked; correctness never depends on
-        the stats, only scheduling."""
+    def range_files(self, lo, hi, col: str | None = None, version: int | None = None) -> list[str] | None:
+        """Zone-qualifying file paths for ``col BETWEEN lo AND hi`` on the
+        current (or given) version, or None when the stats can't serve the
+        predicate (absent sidecar, untracked column, partial coverage) —
+        the caller falls back to a plain filtered scan. The stats filter
+        runs distributed; only surviving PATHS reach the driver."""
         col = col or (self.zone_cols[0] if self.zone_cols else None)
         if col is None:
-            raise ValueError("read_range needs a column (no zone_cols declared)")
+            raise ValueError("range read needs a column (no zone_cols declared)")
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.name} has no committed version")
         vdir = os.path.join(self.path, f"v={v}")
-        pred = F.col(col).between(F.lit(lo), F.lit(hi))
         zdir = self._zones_dir(vdir)
         if not os.path.isdir(zdir):
-            return self.read(v).filter(pred)
+            return None
         stats = self.spark.read.parquet(zdir)
         if f"min_{col}" not in stats.columns:
-            return self.read(v).filter(pred)
+            return None
         # defensive coverage check: a file the stats table doesn't know
         # about would be silently skipped — if counts disagree (partial
         # sidecar, manual surgery), pruning is forfeited, never correctness
         if stats.count() != len(self._version_files(vdir)):
-            return self.read(v).filter(pred)
+            return None
         disjoint = (F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi))
         keep = F.coalesce(~disjoint, F.lit(True))  # all-null stats: keep
         files = [
             os.path.join(vdir, r["file"])
             for r in stats.filter(keep).select("file").collect()
         ]
-        files = [f for f in files if os.path.exists(f)]
+        return [f for f in files if os.path.exists(f)]
+
+    def read_range(self, lo, hi, col: str | None = None, version: int | None = None) -> DataFrame:
+        """Rows with ``col`` (default: zone_cols[0]) in [lo, hi], scanning
+        only the current (or given) version's files whose zone overlaps.
+        Falls back to a plain filtered scan when stats are absent or the
+        column untracked; correctness never depends on the stats, only
+        scheduling."""
+        col = col or (self.zone_cols[0] if self.zone_cols else None)
+        v = version if version is not None else self.current_version()
+        pred = F.col(col).between(F.lit(lo), F.lit(hi)) if col else None
+        files = self.range_files(lo, hi, col, version)
+        if files is None:
+            return self.read(v).filter(pred)
         if not files:
             return self.read(v).limit(0).filter(pred)
+        vdir = os.path.join(self.path, f"v={v if v is not None else self.current_version()}")
         return (
             self.spark.read.option("basePath", vdir).parquet(*files).filter(pred)
         )
@@ -571,6 +583,21 @@ class ParquetTargetTable:
 
 # Spark bucketed-write file naming: part-<task>-<uuid>_<bucketid>.c000...
 _BUCKET_FILE_RE = re.compile(r"_(\d{5})\.")
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class RoutedRead:
+    """A routed read's result + the evidence of its scheduling: which
+    serving path won and how many files it put on the scan, against the
+    version's total. ``df`` is always answer-identical across routes."""
+
+    df: DataFrame
+    route: str  # bloom | bucket | zones | inverted_index | scan
+    n_files: int
+    total_files: int
 
 
 class BucketedTargetTable(ParquetTargetTable):
@@ -1107,11 +1134,18 @@ class BucketedTargetTable(ParquetTargetTable):
         tf = self.spark.read.parquet(self._text_dir(vdir)).filter(
             F.col("term").isin(list(query_terms))
         )
-        dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
         totals = self.spark.read.parquet(self._text_summary_dir(vdir)).agg(
             F.sum("n_docs").cast("double").alias("n_docs"),
             (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
         )
+        return self._bm25_score(tf, totals, k1, b, k)
+
+    def _bm25_score(self, tf: DataFrame, totals: DataFrame, k1: float, b: float, k: int) -> DataFrame:
+        """Okapi scoring over (doc_id, term, tf, dl) posting rows + a
+        1-row broadcast totals frame — the ONE scoring definition, shared
+        by the index-served and scan-served paths so routing can never
+        change an answer."""
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
         scored = (
             tf.join(F.broadcast(dfreq), "term")
             .join(F.broadcast(totals))
@@ -1138,6 +1172,93 @@ class BucketedTargetTable(ParquetTargetTable):
             .orderBy(F.col("bm25").desc(), F.col("doc_id"))
             .limit(k)
         )
+
+    def route_read(
+        self,
+        eq: tuple | None = None,
+        between: tuple | None = None,
+        terms: list[str] | None = None,
+        k: int = 10,
+    ) -> "RoutedRead":
+        """Index-aware read routing: pick the cheapest serving path for a
+        predicate from the CURRENT version's committed sidecars, falling
+        back to a filtered scan whenever no index applies — the answer is
+        identical either way (every index path carries its residual
+        filter), only the files scheduled differ. Exactly one predicate
+        class per call:
+
+        - ``eq=(col, value)``: per-file Bloom words when ``col`` is the
+          indexed column; bucket pruning when it is the (single) primary
+          key (murmur3 placement — the DISTKEY route); else scan.
+        - ``between=(col, lo, hi)``: zone-map file skipping when the
+          version carries stats for ``col`` (the SORTKEY route); else scan.
+        - ``terms=[...]``: BM25 top-k off the posting sidecar when
+          present; else the same scoring over a full tokenize of the
+          current version (decontamination-sweep mode).
+
+        Returns the DataFrame plus the route taken and the file counts, so
+        callers (and tests) can see the pruning, not just trust it."""
+        if sum(x is not None for x in (eq, between, terms)) != 1:
+            raise ValueError("route_read takes exactly one of eq/between/terms")
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.name} has no committed version")
+        vdir = self._vdir(v)
+        total = len(self._version_files(vdir))
+        if terms is not None:
+            if self.text_col is None:
+                raise ValueError("terms routing needs text_col declared on the target")
+            if self._sidecar_ready(vdir, "_text"):
+                tdir = self._text_dir(vdir)
+                n = sum(
+                    1
+                    for _, _, fs in os.walk(tdir)
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+                return RoutedRead(self.bm25_topk(terms, k=k), "inverted_index", n, total)
+            # scan fallback: same scoring over a fresh tokenize pass;
+            # totals come from the UNFILTERED doc lengths, the term filter
+            # applies only to the scored postings (as in the index path)
+            postings, summary = self._text_tables(self.read(v))
+            totals = summary.agg(
+                F.sum("n_docs").cast("double").alias("n_docs"),
+                (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+            )
+            tf = postings.filter(F.col("term").isin(list(terms)))
+            return RoutedRead(self._bm25_score(tf, totals, 1.2, 0.75, k), "scan", total, total)
+        if eq is not None:
+            col, value = eq
+            pred = F.col(col) == F.lit(value)
+            files = self.point_files(value, col) if col == self.bloom_col else None
+            if files is not None:
+                if not files:
+                    return RoutedRead(self.read(v).limit(0).filter(pred), "bloom", 0, total)
+                df = (
+                    self.spark.read.schema(self._version_schema(vdir))
+                    .parquet(*files)
+                    .filter(pred)
+                )
+                return RoutedRead(df, "bloom", len(files), total)
+            if [col] == self.keys:
+                key_type = self._version_schema(vdir)[col].dataType
+                bucket = self.spark.range(1).select(
+                    F.pmod(
+                        F.hash(F.lit(value).cast(key_type)), F.lit(self.buckets)
+                    ).alias("b")
+                ).collect()[0]["b"]
+                n = len(self._bucket_files(v).get(bucket, []))
+                return RoutedRead(self.read_buckets([bucket]).filter(pred), "bucket", n, total)
+            return RoutedRead(self.read(v).filter(pred), "scan", total, total)
+        col, lo, hi = between
+        pred = F.col(col).between(F.lit(lo), F.lit(hi))
+        files = self.range_files(lo, hi, col) if col in self.zone_cols else None
+        if files is None:
+            return RoutedRead(self.read(v).filter(pred), "scan", total, total)
+        if not files:
+            return RoutedRead(self.read(v).limit(0).filter(pred), "zones", 0, total)
+        df = self.spark.read.option("basePath", vdir).parquet(*files).filter(pred)
+        return RoutedRead(df, "zones", len(files), total)
 
     def compact(self, target_files: int = 1, partition_by: list[str] | None = None) -> int:
         """Bucketed rewrite IS compaction: one file per bucket."""
