@@ -200,7 +200,11 @@ def decode_envelope(
     if fmt == "avro":
         if registry is None:
             raise ValueError("fmt='avro' needs a SchemaRegistry")
-        if registry.client is not None:
+        if registry.client is not None and not df.isStreaming:
+            # (a streaming frame can't run the driver prepass — the
+            # pipeline routes transform through foreachBatch so decode
+            # always sees batch frames; a direct caller on a streaming
+            # frame still decodes ids already in the registry cache)
             # the reference batcher consults the registry client for every
             # unknown claimed id (serializer.go:54-61 → schemaregistry.go:
             # 115-138). Same move, batch-shaped: one cheap driver-side pass

@@ -44,9 +44,27 @@ _DV_SCHEMA = "file string, row_idx long"
 
 
 class DeletionVectorTable:
-    def __init__(self, spark: SparkSession, path: str):
+    """``auto_compact_threshold``: when set, ``delete_where`` folds the
+    vector into the data (``compact``) as soon as the cumulative deleted
+    count reaches the threshold — merge-on-read's amortization valve run
+    as policy instead of by hand (Delta's OPTIMIZE trigger). Bounds read
+    amplification: the broadcast anti-join's right side never exceeds the
+    threshold, and the data file count returns to ``n_files`` at each
+    fold, so a long delete soak's read cost stays flat (pinned in
+    tests/test_soak.py)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        auto_compact_threshold: int | None = None,
+        n_files: int = 8,
+    ):
         self.spark = spark
         self.path = path
+        self.auto_compact_threshold = auto_compact_threshold
+        self.n_files = n_files
+        self.compactions = 0  # policy observability for tests/ops
 
     @property
     def _dv_root(self) -> str:
@@ -94,13 +112,27 @@ class DeletionVectorTable:
         new = hits if prior is None else prior.union(hits).distinct()
         v = (self._current_version() or 0) + 1
         new.coalesce(1).write.mode("overwrite").parquet(self._dv_path(v))
-        n_new = self.spark.read.parquet(self._dv_path(v)).count() - (
-            prior.count() if prior is not None else 0
-        )
+        total = self.spark.read.parquet(self._dv_path(v)).count()
+        n_new = total - (prior.count() if prior is not None else 0)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer)  # atomic commit
+        # vector versions are cumulative — superseded ones serve no reader
+        # after the flip; keep one for in-flight scans, drop the rest so a
+        # long delete soak's metadata stays O(1) files
+        victims = sorted(
+            d for d in os.listdir(self._dv_root)
+            if d.startswith("v") and d != f"v{v:06d}" and d != f"v{v - 1:06d}"
+        )
+        for d in victims:
+            shutil.rmtree(os.path.join(self._dv_root, d), ignore_errors=True)
+        if (
+            self.auto_compact_threshold is not None
+            and total >= self.auto_compact_threshold
+        ):
+            self.compact(self.n_files)
+            self.compactions += 1
         return n_new
 
     def read(self) -> DataFrame:

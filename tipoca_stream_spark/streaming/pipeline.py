@@ -356,12 +356,21 @@ class CdcPipeline:
             )
 
     def start(self, raw_stream: DataFrame, trigger_available_now: bool = True):
-        """Wire transform + foreachBatch and start the query."""
-        rows = self.transform(raw_stream)
+        """Wire transform + foreachBatch and start the query.
+
+        The transform runs INSIDE foreachBatch, on each micro-batch as a
+        batch frame — not on the streaming frame. Semantically identical
+        (checkpoint offsets track the raw source either way), but it lets
+        the decode's driver-side registry prepass (a distinct-wire-id
+        collect resolving unknown schema ids over HTTP) run per
+        micro-batch: a streaming frame cannot be collected, so hanging
+        the transform off the stream would silently forfeit the registry
+        fallback that the reference's serializer provides on every batch
+        (serializer.go:54-61)."""
         writer = (
-            rows.writeStream.outputMode("append")
+            raw_stream.writeStream.outputMode("append")
             .option("checkpointLocation", os.path.join(self.config.checkpoint_dir, "spark"))
-            .foreachBatch(self.merge_batch)
+            .foreachBatch(lambda bdf, eid: self.merge_batch(self.transform(bdf), eid))
         )
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
