@@ -154,6 +154,44 @@ def main() -> None:
     finally:
         shutil.rmtree(bt_root, ignore_errors=True)
 
+    # - index-sidecar refresh (round 6): a bucket-delta commit on a
+    #   text+bloom-indexed target re-tokenizes and re-hashes ONLY the
+    #   touched buckets and hard-links every other bucket's posting files;
+    #   the full rebuild is timed beside it so O(batch)-vs-O(table) is a
+    #   measured ratio, not a claim. The update touches 3 keys -> <=3 of
+    #   32 buckets.
+    from tipoca_stream_spark.sources.tables import load_table as _lt
+
+    idx_root = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        docs = _lt(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+        it = BucketedTargetTable(
+            spark, idx_root, "bench_docs_idx", buckets=32, keys=["doc_id"],
+            bloom_col="n_chars", text_col="text", text_id_col="doc_id",
+        )
+        it.write(docs)  # bootstrap, untimed
+        final = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id").isin([0, 1, 2]), F.concat("text", F.lit(" reindexed"))
+            ).otherwise(F.col("text")),
+        )
+        touched = sorted(
+            r["b"]
+            for r in docs.filter(F.col("doc_id").isin([0, 1, 2]))
+            .select(it.bucket_of().alias("b"))
+            .distinct()
+            .collect()
+        )
+        changed = final.filter(it.bucket_of().isin(touched))
+
+        extras["index_delta_refresh"] = best_of(
+            2, lambda: it.write_bucket_delta(changed, touched)
+        )
+        extras["index_full_rebuild"] = best_of(2, lambda: it.write(final))
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+
     # - skew stress (round 5): one key owning ~10% of all rows through the
     #   three shapes a hot key can break — the latest-wins merge (map-side
     #   max_by combine), MinHash-LSH banding (hot-bucket cap), and the

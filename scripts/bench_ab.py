@@ -1,0 +1,99 @@
+"""Quiet-host A/B of two checkouts over the HEADLINE bench (VERDICT r5
+worklist #2: settle the +14% drift between BENCH_r04 and BENCH_r05).
+
+Runs scripts/bench_once.py alternately against side A and side B, N
+rounds each, STRICTLY interleaved (A B A B ...) so slow host drift hits
+both sides equally; reports per-query and total min-of-N for each side
+plus the B/A ratio. Each round is a fresh process/JVM — nothing carries
+between sides.
+
+Usage: python scripts/bench_ab.py --a .worktrees/r4close --b . [--rounds 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_once(side_dir: str, sf_dir: str) -> dict[str, float]:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.abspath(side_dir)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench_once.py")],
+        cwd=os.path.abspath(side_dir),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_ONCE "):
+            return json.loads(line[len("BENCH_ONCE "):])
+    raise RuntimeError(
+        f"no BENCH_ONCE line from {side_dir}\nstdout:{proc.stdout[-2000:]}"
+        f"\nstderr:{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--a", required=True, help="baseline checkout dir")
+    ap.add_argument("--b", required=True, help="candidate checkout dir")
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+
+    runs: dict[str, list[dict[str, float]]] = {"a": [], "b": []}
+    for i in range(args.rounds):
+        for tag, side in (("a", args.a), ("b", args.b)):
+            r = run_once(side, args.sf_dir)
+            runs[tag].append(r)
+            print(
+                f"[ab] round {i + 1}/{args.rounds} side={tag} "
+                f"total={round(sum(r.values()), 2)}s",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    names = sorted(runs["a"][0])
+    mins = {
+        tag: {n: min(r[n] for r in rs) for n in names} for tag, rs in runs.items()
+    }
+    result = {
+        "rounds": args.rounds,
+        "sf_dir": args.sf_dir,
+        "a_total": round(sum(mins["a"].values()), 3),
+        "b_total": round(sum(mins["b"].values()), 3),
+        "per_query": {
+            n: {
+                "a": mins["a"][n],
+                "b": mins["b"][n],
+                "ratio": round(mins["b"][n] / mins["a"][n], 3) if mins["a"][n] else None,
+            }
+            for n in names
+        },
+    }
+    result["total_ratio"] = round(result["b_total"] / result["a_total"], 3)
+    print(json.dumps(result))
+    print("\n| query | A (s) | B (s) | B/A |")
+    print("|---|---|---|---|")
+    for n in names:
+        p = result["per_query"][n]
+        print(f"| {n} | {p['a']:.3f} | {p['b']:.3f} | {p['ratio']:.2f} |")
+    print(
+        f"| **total** | {result['a_total']:.3f} | {result['b_total']:.3f} "
+        f"| {result['total_ratio']:.2f} |"
+    )
+
+
+if __name__ == "__main__":
+    main()

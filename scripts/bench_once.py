@@ -1,0 +1,56 @@
+"""One timed pass over the 18 HEADLINE bench queries — the unit of the
+quiet-host A/B (scripts/bench_ab.py). Imports tipoca_stream_spark from
+$PYTHONPATH/cwd, so the SAME script measures any checkout; prints one
+tagged JSON line. Single-shot per query by design: the orchestrator
+interleaves whole processes and takes min-of-N across them, which also
+randomizes JVM/JIT state across sides instead of pinning it to one."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "cdc_merge_lww",
+    "m2_dedupe_latest",
+    "mask_pipeline",
+    "agg_pricing_summary",
+    "agg_cube_lineitem",
+    "join_revenue_by_nation",
+    "window_topk_orders_per_customer",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_lsh_buckets",
+    "similarity_ivf_topk",
+    "topk_unshipped_revenue",
+    "window_rank_suite",
+    "text_quality_scores",
+    "text_fingerprint",
+    "events_windowed_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from tipoca_stream_spark.plans import QUERIES
+    from tipoca_stream_spark.session import get_spark
+
+    spark = get_spark("bench_ab_once")
+    # same warmup discipline as bench.py: JVM/codegen + parquet footers
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for warm in ("m2_dedupe_latest", "agg_pricing_summary"):
+        QUERIES[warm].fn(spark, sf_dir).count()
+
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    print("BENCH_ONCE " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
