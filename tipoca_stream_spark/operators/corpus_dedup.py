@@ -216,6 +216,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup detection: max-containment
+    ``|A∩B| / min(|A|, |B|)`` over DISTINCT word n-gram shingle sets,
+    for pairs within a group.
+
+    Jaccard under-scores subsumption — a 50-shingle excerpt fully inside
+    a 500-shingle document scores J = 50/500 = 0.1 and slips every
+    Jaccard gate, yet for training-data hygiene the excerpt IS a
+    duplicate (quotes, boilerplate wrappers, doc-inside-doc). Dividing by
+    the SMALLER set instead scores that pair 1.0. Same scale shape as
+    ngram_jaccard_pairs: inverted-index self-join keyed on (group,
+    shingle) with the df-1 singleton prune; ``group_col`` bounds
+    candidates the way an LSH band would at 100 TB. Shingles (not word
+    sets) keep the signal order-sensitive on small-vocabulary corpora."""
+    sh = word_shingles(df.select(F.col(id_col), F.col(group_col), F.col(text_col)),
+                       text_col, id_col, n=shingle_n)
+    sh = (
+        sh.join(df.select(F.col(id_col), F.col(group_col).alias("grp")), id_col)
+        .select(F.col(id_col), "grp", "shingle")
+        .distinct()
+    )
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    paired = (
+        sh.groupBy("grp", "shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("grp", "shingle")
+    )
+    sh = sh.join(paired, ["grp", "shingle"])
+    a = sh.select(F.col(id_col).alias("id_a"), "grp", "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "grp", "shingle")
+    common = (
+        a.join(b, ["grp", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common").cast("double") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str,

@@ -117,6 +117,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.ngram_jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH wlist AS (SELECT doc_id, source, string_split(text, ' ') AS wl FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source, wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] AS s
+           FROM wlist, unnest(range(1, len(wl) - 1)) AS t(i)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(common::double / least(ca.n, cb.n), 6) AS containment
+    FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+    WHERE round(common::double / least(ca.n, cb.n), 6) >= {CONTAINMENT_THRESHOLD}
+    """,
+    survey_ref="training: asymmetric containment dedup (excerpt/subsumption)",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-containment |A∩B|/min(|A|,|B|) over distinct 3-gram shingle
+    sets (operators/corpus_dedup.containment_pairs): catches the
+    excerpt-inside-document duplicates Jaccard structurally under-scores
+    (a quote fully contained in a 10× larger doc has J ≈ 0.1 but
+    containment 1.0) — the subsumption gate a training-data pipeline
+    needs beside the symmetric near-dup family. Same scale shape as
+    ngram_jaccard: group-scoped inverted-index self-join + df-1 prune."""
+    docs = _docs(spark, sf_dir)
+    return cd.containment_pairs(docs, "text", "doc_id", "source", CONTAINMENT_THRESHOLD)
+
+
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 32
