@@ -105,6 +105,12 @@ class IncrementalDeduper:
         exact_dedup_groups / lsh_candidate_pairs first) — this operator
         answers only "is it already in the corpus"."""
         sig_new = self._signatures(docs, text_col, id_col).persist()
+        # CAS base: the index version this screen read — two pipelines
+        # ingesting concurrently would otherwise silently drop one side's
+        # accepted signatures (the classic lost-update); with the guard the
+        # loser raises ConcurrentWriteError and retries against the new
+        # index (same protocol as the CDC target, sources/target.py)
+        base = self.index.current_version()
         if self.index.exists():
             pairs = self.matches(sig_new, id_col).persist()
             flagged = pairs.select(F.col("new_id").alias(id_col)).distinct()
@@ -117,6 +123,6 @@ class IncrementalDeduper:
                 [], f"new_id {id_type}, corpus_id {id_type}, est_jaccard double"
             )
             accepted, new_index = docs, sig_new
-        self.index.write(new_index)
+        self.index.write(new_index, expected_base=base)
         sig_new.unpersist()
         return accepted, pairs

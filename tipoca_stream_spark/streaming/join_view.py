@@ -94,13 +94,14 @@ class MaterializedJoin:
         touched = delta_keys.select(
             F.col(delta_keys.columns[0]).alias(self.join_key)
         ).distinct()
+        base = self.view.current_version()  # CAS base (see rollup.merge_batch)
         if not self.view.exists():
             out = self.full_join()
             if self.n_buckets:
                 out = out.withColumn("_bucket", self._bucket(self.join_key))
-                self.view.write(out, partition_by=["_bucket"], metadata=meta)
+                self.view.write(out, partition_by=["_bucket"], metadata=meta, expected_base=base)
             else:
-                self.view.write(out, metadata=meta)
+                self.view.write(out, metadata=meta, expected_base=base)
             return
         if self.n_buckets:
             # rebuild only the touched hash buckets from the base tables
@@ -112,7 +113,9 @@ class MaterializedJoin:
             lf = self.left.read().filter(self._bucket(self.join_key).isin(buckets))
             rf = self.right.read().filter(self._bucket(self.join_key).isin(buckets))
             rebuilt = lf.join(rf, self.join_key).withColumn("_bucket", self._bucket(self.join_key))
-            self.view.write_partition_delta(rebuilt, "_bucket", buckets, metadata=meta)
+            self.view.write_partition_delta(
+                rebuilt, "_bucket", buckets, metadata=meta, expected_base=base
+            )
             return
         recomputed = (
             self.left.read()
@@ -123,4 +126,4 @@ class MaterializedJoin:
             )
         )
         untouched = self.view.read().join(F.broadcast(touched), self.join_key, "left_anti")
-        self.view.write(untouched.unionByName(recomputed), metadata=meta)
+        self.view.write(untouched.unionByName(recomputed), metadata=meta, expected_base=base)

@@ -81,15 +81,19 @@ class ContinuousRollup:
         epochs = self._merged_epochs()
         if epoch_id in epochs:
             return  # replayed epoch: already committed with a prior version
+        # CAS base: the version this merge derives from — a concurrent
+        # writer's commit fails this epoch for checkpoint replay instead
+        # of being silently overwritten (same guard as CdcPipeline)
+        base = self.target.current_version()
         meta = {"rollup_epochs": sorted(epochs | {int(epoch_id)})}
         p = self.partials(batch_df)
         if not self.target.exists():
             out = p
             if self.partition_by_day:
                 out = out.withColumn("bucket_date", F.to_date("bucket_start"))
-                self.target.write(out, partition_by=["bucket_date"], metadata=meta)
+                self.target.write(out, partition_by=["bucket_date"], metadata=meta, expected_base=base)
             else:
-                self.target.write(out, metadata=meta)
+                self.target.write(out, metadata=meta, expected_base=base)
             return
         if self.partition_by_day:
             # partition-delta commit: READ only the touched dates (partition
@@ -107,7 +111,9 @@ class ContinuousRollup:
                 .agg(F.sum("n").alias("n"), F.sum("sum_v").cast("decimal(18,6)").alias("sum_v"))
                 .withColumn("bucket_date", F.to_date("bucket_start"))
             )
-            self.target.write_partition_delta(merged, "bucket_date", dates, metadata=meta)
+            self.target.write_partition_delta(
+                merged, "bucket_date", dates, metadata=meta, expected_base=base
+            )
             return
         tgt = self.target.read()
         touched = p.select("bucket_start").distinct()
@@ -118,7 +124,7 @@ class ContinuousRollup:
             .groupBy("bucket_start", *self.keys)
             .agg(F.sum("n").alias("n"), F.sum("sum_v").cast("decimal(18,6)").alias("sum_v"))
         )
-        self.target.write(untouched.unionByName(merged), metadata=meta)
+        self.target.write(untouched.unionByName(merged), metadata=meta, expected_base=base)
 
     def run_batch(self, df: DataFrame, epoch_id: int = 0) -> None:
         """Drive one micro-batch outside a streaming query (tests, backfill)."""
