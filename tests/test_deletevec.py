@@ -131,3 +131,41 @@ def test_auto_compact_soak_bounds_read_amplification(spark, tmp_path):
     assert peak <= 6
     survivors = {r["id"] for r in t.read().select("id").collect()}
     assert survivors == set(range(3000)) - deleted
+
+
+def test_concurrent_delete_cannot_resurrect_rows(spark, tmp_path):
+    """Two deleters racing on one table: the loser raises instead of
+    flipping to a vector missing the winner's rows (which would silently
+    RESURRECT erased records); its retry converges with BOTH delete sets
+    applied."""
+    from tipoca_stream_spark.sources.target import ConcurrentWriteError
+
+    t = DeletionVectorTable(spark, str(tmp_path / "race"))
+    t.write(spark.range(100), n_files=2)
+    other = DeletionVectorTable(spark, str(tmp_path / "race"))
+
+    # simulate the interleave deterministically: this deleter captures its
+    # base (None — no deletes yet), then the other side commits, then this
+    # delete reaches its CAS with the stale base and must lose
+    orig = DeletionVectorTable._current_version
+    calls = {"n": 0}
+
+    def stale_base_then_real(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # first call = base capture; the winner commits NOW
+            other.delete_where(F.col("id") < 10)
+            return orig(self) and None  # the base as read before the race
+        return orig(self)
+
+    DeletionVectorTable._current_version = stale_base_then_real
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t.delete_where(F.col("id") >= 90)
+    finally:
+        DeletionVectorTable._current_version = orig
+
+    # winner's deletes intact (no resurrection), loser's retry converges
+    assert {r["id"] for r in t.read().collect()} == set(range(10, 100))
+    t.delete_where(F.col("id") >= 90)
+    assert {r["id"] for r in t.read().collect()} == set(range(10, 90))

@@ -337,3 +337,68 @@ def test_sidecars_survive_compaction(spark, tmp_path):
     got = sorted(r["doc_id"] for r in t.read_point(14).collect())
     assert got == [5]
     assert t.bm25_topk(["stream"], k=10).count() > 0
+
+
+def test_bloom_params_persisted_with_sidecar(spark, tmp_path):
+    """A reader constructed with DIFFERENT bloom params than the writer
+    must still find present keys: the probe runs in the bit-space the
+    sidecar persists, never the instance config's (review finding: a
+    param drift would otherwise be a silent false-negative, worse than
+    the zones' forfeit-pruning failure mode)."""
+    w = BucketedTargetTable(
+        spark, str(tmp_path), "docs", buckets=4, keys=["doc_id"],
+        bloom_col="part", bloom_m_bits=1 << 12, bloom_k=3,
+        text_col="text", text_id_col="doc_id",
+    )
+    w.write(docs_df(spark))
+    r = make_target(spark, tmp_path)  # defaults: m_bits=1<<16, k=5
+    assert sorted(x["doc_id"] for x in r.read_point(14).collect()) == [5]
+    # and a delta commit through the differently-configured handle keeps
+    # the sidecar in ONE bit-space (sticky params carried forward)
+    apply_delta(spark, r, DOCS, [1])
+    import json as _json
+    import os as _os
+
+    v = r.current_version()
+    with open(_os.path.join(r._vdir(v), "_bloom", "_params.json")) as f:
+        assert _json.load(f) == {"m_bits": 1 << 12, "k": 3}
+    assert sorted(x["doc_id"] for x in r.read_point(14).collect()) == [5]
+
+
+def test_compaction_loses_cas_race_cleanly(spark, tmp_path):
+    """compact() commits CAS against the version it rewrites — a commit
+    landing mid-compaction wins and is NOT silently overwritten."""
+    t = ParquetTargetTable(spark, str(tmp_path), "tbl3")
+    t.write(spark.range(10).withColumn("x", F.col("id")))
+    other = ParquetTargetTable(spark, str(tmp_path), "tbl3")
+
+    orig_write = t.write
+
+    def racing_write(df, partition_by=None, metadata=None, expected_base=None, **kw):
+        # the foreign commit lands after compact() read its base but
+        # before its own commit
+        other.write(other.read().withColumn("x", F.col("x") + 100))
+        return orig_write(
+            df, partition_by=partition_by, metadata=metadata,
+            expected_base=expected_base, **kw
+        )
+
+    t.write = racing_write
+    with pytest.raises(Exception) as ei:
+        t.compact()
+    assert "ConcurrentWriteError" in type(ei.value).__name__
+    # the foreign commit survived
+    assert other.read().agg(F.sum("x")).collect()[0][0] == sum(range(10)) + 1000
+
+
+def test_stale_claim_only_burns_a_number(spark, tmp_path):
+    """A crashed writer's leftover claim marker must not block later
+    commits — the next writer takes the next number."""
+    import os as _os
+
+    t = ParquetTargetTable(spark, str(tmp_path), "tbl4")
+    t.write(spark.range(5))  # v1
+    _os.mkdir(t._claim_marker(2))  # simulate a crashed writer holding v2
+    v = t.write(spark.range(6))
+    assert v == 3  # skipped the claimed number
+    assert t.read().count() == 6

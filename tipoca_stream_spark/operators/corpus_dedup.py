@@ -40,14 +40,22 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Explode word-level n-gram shingles: (id, shingle).
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, carry: list[str] | None = None
+) -> DataFrame:
+    """Explode word-level n-gram shingles: (id, *carry, shingle).
 
     The split is materialized as its own projection first: repeating the
     ``split()`` expression inside the transform lambda defeats common-
     subexpression elimination (disabled across higher-order functions) and
-    turns shingling into O(words²) re-tokenization per document."""
-    arr = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    turns shingling into O(words²) re-tokenization per document.
+    ``carry`` columns ride through the projection — callers that need doc
+    metadata beside each shingle (e.g. a group key) get it for free
+    instead of re-joining the corpus-sized shingle frame back to docs."""
+    carry = carry or []
+    arr = df.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.split(F.col(text_col), " ").alias("_w")
+    )
     w = F.col("_w")
     # guard short docs: sequence(0, negative) produces a DESCENDING sequence
     # in Spark (auto step -1), not an empty one → element_at out-of-bounds
@@ -58,7 +66,9 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return arr.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+    return arr.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.explode(shingle).alias("shingle")
+    )
 
 
 def minhash_signatures(
@@ -237,11 +247,9 @@ def containment_pairs(
     shingle) with the df-1 singleton prune; ``group_col`` bounds
     candidates the way an LSH band would at 100 TB. Shingles (not word
     sets) keep the signal order-sensitive on small-vocabulary corpora."""
-    sh = word_shingles(df.select(F.col(id_col), F.col(group_col), F.col(text_col)),
-                       text_col, id_col, n=shingle_n)
     sh = (
-        sh.join(df.select(F.col(id_col), F.col(group_col).alias("grp")), id_col)
-        .select(F.col(id_col), "grp", "shingle")
+        word_shingles(df, text_col, id_col, n=shingle_n, carry=[group_col])
+        .select(F.col(id_col), F.col(group_col).alias("grp"), "shingle")
         .distinct()
     )
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

@@ -111,18 +111,28 @@ class IncrementalDeduper:
         # loser raises ConcurrentWriteError and retries against the new
         # index (same protocol as the CDC target, sources/target.py)
         base = self.index.current_version()
-        if self.index.exists():
-            pairs = self.matches(sig_new, id_col).persist()
-            flagged = pairs.select(F.col("new_id").alias(id_col)).distinct()
-            accepted = docs.join(flagged, id_col, "left_anti")
-            accepted_sigs = sig_new.join(flagged, id_col, "left_anti")
-            new_index = self.index.read().unionByName(accepted_sigs)
-        else:
-            id_type = docs.schema[id_col].dataType.simpleString()
-            pairs = self.spark.createDataFrame(
-                [], f"new_id {id_type}, corpus_id {id_type}, est_jaccard double"
-            )
-            accepted, new_index = docs, sig_new
-        self.index.write(new_index, expected_base=base)
-        sig_new.unpersist()
+        try:
+            if self.index.exists():
+                pairs = self.matches(sig_new, id_col).persist()
+                flagged = pairs.select(F.col("new_id").alias(id_col)).distinct()
+                accepted = docs.join(flagged, id_col, "left_anti")
+                accepted_sigs = sig_new.join(flagged, id_col, "left_anti")
+                new_index = self.index.read().unionByName(accepted_sigs)
+            else:
+                id_type = docs.schema[id_col].dataType.simpleString()
+                pairs = self.spark.createDataFrame(
+                    [], f"new_id {id_type}, corpus_id {id_type}, est_jaccard double"
+                )
+                accepted, new_index = docs, sig_new
+            self.index.write(new_index, expected_base=base)
+        except BaseException:
+            # pairs is returned to the caller on success; on a failed
+            # commit nobody will ever unpersist it but us
+            if "pairs" in locals():
+                pairs.unpersist()
+            raise
+        finally:
+            # the advertised retry path (ConcurrentWriteError) must not
+            # strand a persisted signature frame per attempt
+            sig_new.unpersist()
         return accepted, pairs

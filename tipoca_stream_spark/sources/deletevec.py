@@ -84,6 +84,16 @@ class DeletionVectorTable:
     def _dv_path(self, version: int) -> str:
         return os.path.join(self._dv_root, f"v{version:06d}")
 
+    def _release_claim(self, v: int) -> None:
+        try:
+            os.rmdir(os.path.join(self._dv_root, f"_claim_v{v:06d}"))
+        except OSError:
+            pass
+
+    def _abort_staged(self, v: int) -> None:
+        shutil.rmtree(self._dv_path(v), ignore_errors=True)
+        self._release_claim(v)
+
     def write(self, df: DataFrame, n_files: int = 8) -> None:
         df.repartition(n_files).write.mode("overwrite").parquet(self.path)
         if os.path.exists(self._dv_root):  # fresh table: no deletes yet
@@ -105,19 +115,70 @@ class DeletionVectorTable:
     def delete_where(self, pred) -> int:
         """Mark rows matching ``pred`` deleted; returns rows newly marked.
         One scan emits (file, row) of the hits; the cumulative vector is
-        committed as a new version + atomic pointer flip. No data file is
-        touched."""
+        committed as a new version + CAS pointer flip. No data file is
+        touched.
+
+        The commit is the same claim-marker + compare-and-swap protocol as
+        the versioned CDC target (sources/target.py): two concurrent
+        deleters (a GDPR sweep racing a retention job) must not both flip
+        to vectors that each lack the other's rows — that silently
+        RESURRECTS erased records, the one failure mode a deletion store
+        cannot have. The loser raises ConcurrentWriteError with its staged
+        vector removed; a retry re-reads the winner's cumulative vector
+        and converges."""
+        import time
+
+        from tipoca_stream_spark.sources.target import ConcurrentWriteError
+
+        base = self._current_version()
         hits = self._with_pos().filter(pred).select("file", "row_idx")
         prior = self._dv()
         new = hits if prior is None else prior.union(hits).distinct()
-        v = (self._current_version() or 0) + 1
+        os.makedirs(self._dv_root, exist_ok=True)
+        # claim a version number via atomic mkdir on a marker Spark never
+        # touches (overwrite deletes+recreates its own target dir)
+        v = (base or 0) + 1
+        while True:
+            if os.path.isdir(self._dv_path(v)):
+                v += 1
+                continue
+            try:
+                os.mkdir(os.path.join(self._dv_root, f"_claim_v{v:06d}"))
+                break
+            except FileExistsError:
+                v += 1
         new.coalesce(1).write.mode("overwrite").parquet(self._dv_path(v))
         total = self.spark.read.parquet(self._dv_path(v)).count()
         n_new = total - (prior.count() if prior is not None else 0)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer)  # atomic commit
+
+        lock = self._pointer + ".lock"
+        fd = None
+        deadline = time.monotonic() + 30.0
+        while fd is None:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    self._abort_staged(v)
+                    raise TimeoutError(f"delete-vector commit lock {lock} held >30s")
+                time.sleep(0.02)
+        try:
+            if self._current_version() != base:
+                self._abort_staged(v)
+                raise ConcurrentWriteError(
+                    f"deletion vector at {self.path}: pointer moved from "
+                    f"{base!r} to {self._current_version()!r} while this delete "
+                    f"staged v{v:06d}; staged vector removed — retry the delete "
+                    "against the current cumulative vector"
+                )
+            tmp = self._pointer + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._pointer)  # atomic commit
+            self._release_claim(v)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
         # vector versions are cumulative — superseded ones serve no reader
         # after the flip; keep one for in-flight scans, drop the rest so a
         # long delete soak's metadata stays O(1) files

@@ -32,6 +32,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def okapi_score(
+    tf: DataFrame, totals: DataFrame, k1: float, b: float, k: int
+) -> DataFrame:
+    """THE Okapi BM25 scoring definition — the one copy every serving
+    path shares (this standalone index, the CDC target's posting sidecar,
+    and its scan fallback), so "index-served ≡ scan-served" can never
+    drift on a constant or rounding tweak. ``tf``: (doc_id, term, tf, dl)
+    posting rows (term-filtered by the caller); ``totals``: one row
+    (n_docs, avgdl), broadcast. Same 6-dp round-before-sum as the DuckDB
+    oracles."""
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("dfreq") + 0.5)
+                    / (F.col("dfreq") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 class InvertedIndexTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -94,33 +130,9 @@ class InvertedIndexTable:
         tf = self.spark.read.parquet(self._postings).filter(
             F.col("term").isin(list(query_terms))
         )
-        dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+        # this layout normalizes dl into doclen/ (the target sidecar
+        # denormalizes it into the posting rows) — join it in, then score
+        # through the ONE shared Okapi definition
         doclen = self.spark.read.parquet(self._doclen)
         totals = self.spark.read.parquet(self._totals)
-        scored = (
-            tf.join(F.broadcast(dfreq), "term")
-            .join(doclen, "doc_id")
-            .join(F.broadcast(totals))
-            .select(
-                "doc_id",
-                F.round(
-                    F.log(
-                        (F.col("n_docs") - F.col("dfreq") + 0.5)
-                        / (F.col("dfreq") + 0.5)
-                        + 1.0
-                    )
-                    * (F.col("tf") * (k1 + 1))
-                    / (
-                        F.col("tf")
-                        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                    ),
-                    6,
-                ).alias("term_score"),
-            )
-        )
-        return (
-            scored.groupBy("doc_id")
-            .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
-            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
-            .limit(k)
-        )
+        return okapi_score(tf.join(doclen, "doc_id"), totals, k1, b, k)

@@ -90,22 +90,43 @@ class ParquetTargetTable:
 
     # --- commit protocol: unique version claim + CAS pointer flip --------
 
+    def _claim_marker(self, v: int) -> str:
+        # underscore prefix: invisible to Spark and to versions()
+        return os.path.join(self.path, f"_claim_v={v}")
+
     def _claim_version(self) -> int:
-        """Allocate a version number by atomically creating its directory
-        (``os.mkdir`` is the local-FS conditional PUT). Two concurrent
-        writers can never stage into the same directory — the loser of
-        the mkdir race takes the next number — so a concurrent write can
-        lose the COMMIT race (ConcurrentWriteError) but can never clobber
-        another writer's staged data. Version numbers are increasing, not
-        necessarily dense; an aborted writer's orphan directory is removed
-        on its failure path."""
+        """Allocate a version number by atomically creating a CLAIM MARKER
+        directory (``os.mkdir`` is the local-FS conditional PUT). Two
+        concurrent writers can never stage into the same version — the
+        loser of the mkdir race takes the next number — so a concurrent
+        write can lose the COMMIT race (ConcurrentWriteError) but can
+        never clobber another writer's staged data.
+
+        The marker is a SEPARATE ``_claim_v=<n>`` directory, not the
+        version directory itself: Spark's ``mode("overwrite")`` deletes
+        and recreates its target directory at job start, so a claim held
+        by the version directory would evaporate mid-write and a second
+        writer could re-claim the same number (and its CAS-losing abort
+        would then delete the winner's committed files). The marker is
+        never touched by Spark; it is released on commit and on abort. A
+        writer that crashes holding a claim only burns that number —
+        version numbers are increasing, not necessarily dense."""
         v = (self.current_version() or 0) + 1
         while True:
+            if os.path.exists(os.path.join(self.path, f"v={v}")):
+                v += 1
+                continue
             try:
-                os.mkdir(os.path.join(self.path, f"v={v}"))
+                os.mkdir(self._claim_marker(v))
                 return v
             except FileExistsError:
                 v += 1
+
+    def _release_claim(self, v: int) -> None:
+        try:
+            os.rmdir(self._claim_marker(v))
+        except OSError:
+            pass
 
     def _flip(self, v: int, expected_base=_NO_CAS) -> int:
         """The commit point: write the pointer file atomically. With
@@ -127,10 +148,13 @@ class ParquetTargetTable:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 if time.monotonic() > deadline:
+                    # abort: a staged-but-never-committed directory must not
+                    # survive to be mistaken for a retained version
+                    self._abort_version(v)
                     raise TimeoutError(
                         f"commit lock {lock} held for >30s — stale lock from a "
                         "crashed writer? remove it manually after verifying no "
-                        "writer is live"
+                        "writer is live; this write's staged version was removed"
                     )
                 time.sleep(0.02)
         try:
@@ -146,18 +170,20 @@ class ParquetTargetTable:
             with open(tmp, "w") as f:
                 f.write(str(v))
             os.replace(tmp, self._current_file)  # atomic on POSIX
+            self._release_claim(v)
         finally:
             os.close(fd)
             os.unlink(lock)
         return v
 
     def _abort_version(self, v: int) -> None:
-        """Remove a staged, never-committed version directory. Hard links
-        into it only unlink names — files survive through the committed
-        versions that also link them."""
+        """Remove a staged, never-committed version directory and release
+        its claim. Hard links into it only unlink names — files survive
+        through the committed versions that also link them."""
         import shutil
 
         shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
+        self._release_claim(v)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Current version, or any still-retained version (time travel —
@@ -548,13 +574,20 @@ class ParquetTargetTable:
         Partitioned: hash-``repartition`` on the partition columns so each
         task owns whole partition values and writes one file per value —
         ``coalesce(1)`` here would funnel the entire table through a
-        single task, which is exactly the 100 TB mistake."""
-        df = self.read()
+        single task, which is exactly the 100 TB mistake.
+
+        Always commits with CAS against the version it rewrites: a
+        compaction is table-sized, so it is the LONGEST window in which a
+        concurrent writer's commit could land — an unconditional flip here
+        would silently overwrite it. On ConcurrentWriteError just skip;
+        compaction is maintenance and can run again later."""
+        base = self.current_version()
+        df = self.read(base)
         if partition_by:
             df = df.repartition(*[F.col(c) for c in partition_by])
         else:
             df = df.coalesce(target_files)
-        return self.write(df, partition_by=partition_by)
+        return self.write(df, partition_by=partition_by, expected_base=base)
 
     def swap_from(self, other: "ParquetTargetTable") -> None:
         """D7 release: make this table's current version point at the
@@ -914,6 +947,13 @@ class BucketedTargetTable(ParquetTargetTable):
                 out.append(f)
         return out
 
+    def _bloom_params(self, vdir: str) -> dict | None:
+        try:
+            with open(os.path.join(self._bloom_dir(vdir), "_params.json")) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
     def _write_bloom_sidecar(
         self, v: int, prev: int | None, changed_buckets: list[int] | None
     ) -> None:
@@ -930,6 +970,14 @@ class BucketedTargetTable(ParquetTargetTable):
                 .cast("int")
                 .isin(list(changed)),
             )
+        # sticky params: carried rows were folded in the PREVIOUS sidecar's
+        # bit-space — fresh rows must use the same one or the sidecar would
+        # mix spaces. Full rewrites (no carry) adopt the instance config.
+        m_bits, k = self.bloom_m_bits, self.bloom_k
+        if carried is not None and prev is not None:
+            pp = self._bloom_params(os.path.join(self.path, f"v={prev}"))
+            if pp:
+                m_bits, k = pp["m_bits"], pp["k"]
         all_files = self._version_files(vdir)
         if changed is not None and carried is None and prev is not None:
             # target predates bloom_col: hash EVERY file once, or lookups
@@ -947,13 +995,22 @@ class BucketedTargetTable(ParquetTargetTable):
                 .select(rel.alias("file"), F.col(self.bloom_col).alias("k"))
                 .where(F.col("k").isNotNull())
             )
-            rows = fold_words(rows, self.bloom_m_bits, self.bloom_k)
+            rows = fold_words(rows, m_bits, k)
         stats = rows
         if carried is not None:
             stats = carried if stats is None else stats.unionByName(carried)
         if stats is None:
             return
-        stats.coalesce(1).write.mode("overwrite").parquet(self._bloom_dir(vdir))
+        bdir = self._bloom_dir(vdir)
+        stats.coalesce(1).write.mode("overwrite").parquet(bdir)
+        # persist the probe parameters WITH the words they describe: a
+        # reader constructed with different (m_bits, k) would otherwise
+        # probe the wrong bit-space and silently return zero rows for
+        # present keys — a false-negative path, worse than the zones'
+        # forfeit-pruning failure mode. Underscore name: invisible to the
+        # parquet scan.
+        with open(os.path.join(bdir, "_params.json"), "w") as f:
+            json.dump({"m_bits": m_bits, "k": k}, f)
 
     def _tokenize(self, df: DataFrame) -> DataFrame:
         """(b, doc_id, term) rows — repo-wide tokenization convention
@@ -1066,8 +1123,12 @@ class BucketedTargetTable(ParquetTargetTable):
         if col != self.bloom_col or not self._sidecar_ready(vdir, "_bloom"):
             return None
         key_type = self._version_schema(vdir)[col].dataType
+        # probe in the BIT-SPACE THE SIDECAR WAS BUILT IN (persisted with
+        # it) — a reader constructed with different (m_bits, k) must not
+        # silently probe the wrong space and miss present keys
+        pp = self._bloom_params(vdir) or {"m_bits": self.bloom_m_bits, "k": self.bloom_k}
         merged = probe_word_masks(
-            self.spark, value, key_type, self.bloom_m_bits, self.bloom_k
+            self.spark, value, key_type, pp["m_bits"], pp["k"]
         )
         stats = self.spark.read.parquet(self._bloom_dir(vdir))
         rel = covering_files(stats, merged)
@@ -1080,32 +1141,12 @@ class BucketedTargetTable(ParquetTargetTable):
         Bloom-pruned scan for the indexed column, bucket-pruned read for
         the primary key, filtered scan otherwise. The residual equality
         filter keeps correctness index-independent (false positives are
-        harmless; the index only schedules)."""
+        harmless; the index only schedules). Thin wrapper over
+        ``route_read`` — one routing implementation, not two."""
         col = col or self.bloom_col
         if col is None:
             raise ValueError("read_point needs a column (no bloom_col declared)")
-        pred = F.col(col) == F.lit(value)
-        files = self.point_files(value, col)
-        if files is not None:
-            if not files:
-                return self.read().limit(0).filter(pred)
-            v = self.current_version()
-            return (
-                self.spark.read.schema(self._version_schema(self._vdir(v)))
-                .parquet(*files)
-                .filter(pred)
-            )
-        if [col] == self.keys:
-            # murmur3 is TYPE-sensitive: the probe literal must carry the
-            # key column's exact type or it hashes into the wrong bucket
-            key_type = self.read().schema[col].dataType
-            bucket = self.spark.range(1).select(
-                F.pmod(
-                    F.hash(F.lit(value).cast(key_type)), F.lit(self.buckets)
-                ).alias("b")
-            ).collect()[0]["b"]
-            return self.read_buckets([bucket]).filter(pred)
-        return self.read().filter(pred)
+        return self.route_read(eq=(col, value)).df
 
     def bm25_topk(
         self,
@@ -1131,46 +1172,23 @@ class BucketedTargetTable(ParquetTargetTable):
                 f"table {self.name} v={v} has no text sidecar (text_col not "
                 "declared at write time) — query via a scan instead"
             )
+        from tipoca_stream_spark.sources.invindex import okapi_score
+
         tf = self.spark.read.parquet(self._text_dir(vdir)).filter(
             F.col("term").isin(list(query_terms))
         )
-        totals = self.spark.read.parquet(self._text_summary_dir(vdir)).agg(
+        totals = self._totals_from_summary(
+            self.spark.read.parquet(self._text_summary_dir(vdir))
+        )
+        return okapi_score(tf, totals, k1, b, k)
+
+    @staticmethod
+    def _totals_from_summary(summary: DataFrame) -> DataFrame:
+        """(n_docs, avgdl) 1-row frame from per-bucket summary rows —
+        shared by the index-served and scan-served BM25 paths."""
+        return summary.agg(
             F.sum("n_docs").cast("double").alias("n_docs"),
             (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
-        )
-        return self._bm25_score(tf, totals, k1, b, k)
-
-    def _bm25_score(self, tf: DataFrame, totals: DataFrame, k1: float, b: float, k: int) -> DataFrame:
-        """Okapi scoring over (doc_id, term, tf, dl) posting rows + a
-        1-row broadcast totals frame — the ONE scoring definition, shared
-        by the index-served and scan-served paths so routing can never
-        change an answer."""
-        dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
-        scored = (
-            tf.join(F.broadcast(dfreq), "term")
-            .join(F.broadcast(totals))
-            .select(
-                "doc_id",
-                F.round(
-                    F.log(
-                        (F.col("n_docs") - F.col("dfreq") + 0.5)
-                        / (F.col("dfreq") + 0.5)
-                        + 1.0
-                    )
-                    * (F.col("tf") * (k1 + 1))
-                    / (
-                        F.col("tf")
-                        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                    ),
-                    6,
-                ).alias("term_score"),
-            )
-        )
-        return (
-            scored.groupBy("doc_id")
-            .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
-            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
-            .limit(k)
         )
 
     def route_read(
@@ -1220,13 +1238,12 @@ class BucketedTargetTable(ParquetTargetTable):
             # scan fallback: same scoring over a fresh tokenize pass;
             # totals come from the UNFILTERED doc lengths, the term filter
             # applies only to the scored postings (as in the index path)
+            from tipoca_stream_spark.sources.invindex import okapi_score
+
             postings, summary = self._text_tables(self.read(v))
-            totals = summary.agg(
-                F.sum("n_docs").cast("double").alias("n_docs"),
-                (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
-            )
+            totals = self._totals_from_summary(summary)
             tf = postings.filter(F.col("term").isin(list(terms)))
-            return RoutedRead(self._bm25_score(tf, totals, 1.2, 0.75, k), "scan", total, total)
+            return RoutedRead(okapi_score(tf, totals, 1.2, 0.75, k), "scan", total, total)
         if eq is not None:
             col, value = eq
             pred = F.col(col) == F.lit(value)
@@ -1261,8 +1278,10 @@ class BucketedTargetTable(ParquetTargetTable):
         return RoutedRead(df, "zones", len(files), total)
 
     def compact(self, target_files: int = 1, partition_by: list[str] | None = None) -> int:
-        """Bucketed rewrite IS compaction: one file per bucket."""
-        return self.write(self.read())
+        """Bucketed rewrite IS compaction: one file per bucket. CAS
+        against the version being rewritten (see base class)."""
+        base = self.current_version()
+        return self.write(self.read(base), expected_base=base)
 
     def vacuum(self, keep: int = 2) -> list[int]:
         victims = super().vacuum(keep)

@@ -351,9 +351,17 @@ class CdcPipeline:
             )
         n_merged = len(merged_epochs)
         if self.config.compact_every and n_merged % self.config.compact_every == 0:
-            self.target.compact(
-                partition_by=["_bucket"] if nb else self.config.partition_by
-            )
+            from tipoca_stream_spark.sources.target import ConcurrentWriteError
+
+            try:
+                self.target.compact(
+                    partition_by=["_bucket"] if nb else self.config.partition_by
+                )
+            except ConcurrentWriteError:
+                # the merge above committed fine; losing the COMPACTION
+                # race to a concurrent writer is not an epoch failure —
+                # maintenance just runs again at a later trigger
+                pass
 
     def start(self, raw_stream: DataFrame, trigger_available_now: bool = True):
         """Wire transform + foreachBatch and start the query.
@@ -367,10 +375,18 @@ class CdcPipeline:
         the transform off the stream would silently forfeit the registry
         fallback that the reference's serializer provides on every batch
         (serializer.go:54-61)."""
+        def process(bdf: DataFrame, eid: int) -> None:
+            # replay guard BEFORE the transform: a replayed epoch must not
+            # pay the decode's registry prepass (distinct scan + possible
+            # HTTP) just to be skipped inside merge_batch
+            if eid in self._merged_epochs():
+                return
+            self.merge_batch(self.transform(bdf), eid)
+
         writer = (
             raw_stream.writeStream.outputMode("append")
             .option("checkpointLocation", os.path.join(self.config.checkpoint_dir, "spark"))
-            .foreachBatch(lambda bdf, eid: self.merge_batch(self.transform(bdf), eid))
+            .foreachBatch(process)
         )
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
