@@ -112,13 +112,13 @@ def _block_symbols(qblocks_per_comp, comp_classes):
     return dc_syms, ac_syms
 
 
-def jpeg_encode(px, chroma_sub=(1, 1), restart_interval=0):
-    """Encode (h, w, 3) RGB or (h, w) grayscale as baseline JPEG.
+def _quantize_and_expect(px, chroma_sub=(1, 1)):
+    """Shared front half of the JPEG encoders: color transform,
+    subsample, MCU padding, quantization — plus the reconstruction a
+    correct decoder must produce from those quantized coefficients.
 
-    Returns (jpeg_bytes, expected_pixels) where expected_pixels is the
-    reconstruction from the quantized coefficients (what a correct decoder
-    must produce, up to float rounding).
-    """
+    Returns (qblocks_per_comp [MCU order], quants, samp, comp_classes,
+    (hmax, vmax, mcus_x, mcus_y), gray, expected)."""
     px = np.asarray(px, dtype=np.float64)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -205,6 +205,35 @@ def jpeg_encode(px, chroma_sub=(1, 1), restart_interval=0):
         expected = np.clip(
             np.rint(np.stack([rr, gg, bb], axis=-1)), 0, 255
         ).astype(np.uint8)
+    return (
+        qblocks_per_comp,
+        quants,
+        samp,
+        comp_classes,
+        (hmax, vmax, mcus_x, mcus_y),
+        gray,
+        expected,
+    )
+
+
+def jpeg_encode(px, chroma_sub=(1, 1), restart_interval=0):
+    """Encode (h, w, 3) RGB or (h, w) grayscale as baseline JPEG.
+
+    Returns (jpeg_bytes, expected_pixels) where expected_pixels is the
+    reconstruction from the quantized coefficients (what a correct decoder
+    must produce, up to float rounding).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape[:2]
+    (
+        qblocks_per_comp,
+        quants,
+        samp,
+        comp_classes,
+        (hmax, vmax, mcus_x, mcus_y),
+        gray,
+        expected,
+    ) = _quantize_and_expect(px, chroma_sub)
 
     # --- entropy coding ---
     dc_syms, ac_syms = _block_symbols(qblocks_per_comp, comp_classes)
@@ -353,15 +382,17 @@ def test_jpeg_not_a_jpeg_returns_none():
     assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
 
 
-def test_jpeg_progressive_gated_truncated_raises():
+def test_jpeg_unsupported_process_gated_truncated_raises():
     px = (np.zeros((8, 8)) + 100).astype(np.uint8)
     payload, _ = jpeg_encode(px)
-    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError gate
-    prog = bytearray(payload)
-    i = prog.index(b"\xff\xc0")
-    prog[i + 1] = 0xC2
+    # flip SOF0 -> arithmetic progressive (0xCA): honest gate — only the
+    # arithmetic/lossless/hierarchical processes remain unimplemented
+    # (Huffman progressive decodes fully as of round 6)
+    arith = bytearray(payload)
+    i = arith.index(b"\xff\xc0")
+    arith[i + 1] = 0xCA
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(arith))
     # truncated stream: SOI+half the segments
     with pytest.raises(ValueError):
         decode_jpeg(payload[: len(payload) // 3])
@@ -575,3 +606,301 @@ def test_gif_decode_via_decode_image():
     payload = gif_encode(idx, pal)
     assert decode_image_header(payload) == ("gif", 11, 9)
     assert np.array_equal(decode_image(payload), pal[idx])
+
+
+# ----------------------------------------------------- progressive JPEG ---
+
+
+def jpeg_encode_progressive(px, chroma_sub=(1, 1), dc_al=1, band_split=6, ac_al=1):
+    """Encode as progressive JPEG (SOF2) exercising the full Annex G
+    feature set: an interleaved DC first scan at point transform
+    ``dc_al``, DC refinement scans down to Al=0 (raw bits), per-component
+    AC spectral-selection first scans ([1, band_split-1] and
+    [band_split, 63]) at point transform ``ac_al``, and AC refinement
+    scans down to Al=0 (newly-significant coefficients, buffered
+    correction bits, EOB runs — the libjpeg emission order, which is what
+    every decoder interoperates with). Same quantized coefficients as the
+    baseline encoder, so ``expected`` is identical: a correct progressive
+    decoder must reproduce the baseline reconstruction exactly.
+
+    Returns (jpeg_bytes, expected_pixels)."""
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape[:2]
+    (
+        qblocks,
+        quants,
+        samp,
+        comp_classes,
+        (hmax, vmax, mcus_x, mcus_y),
+        gray,
+        expected,
+    ) = _quantize_and_expect(px, chroma_sub)
+    ncomp = 1 if gray else 3
+
+    # MCU-ordered block lists -> per-component (gb_h, gb_w) grids
+    grids = []
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        grid = [[None] * (mcus_x * hi) for _ in range(mcus_y * vi)]
+        i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        grid[my * vi + byi][mx * hi + bxi] = qblocks[ci][i]
+                        i += 1
+        grids.append(grid)
+    # non-interleaved scan dims (T.81 A.2.2): whole blocks of the
+    # component's own sampled size
+    nonint = []
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        comp_h = -(-h * vi // vmax)
+        comp_w = -(-w * hi // hmax)
+        nonint.append((-(-comp_h // 8), -(-comp_w // 8)))
+
+    def band_coefs(ci, by, bx, ss, se):
+        blk = grids[ci][by][bx].reshape(64)
+        return [int(blk[_ZIGZAG[k]]) for k in range(ss, se + 1)]
+
+    # --- per-scan event generation: ("sym", tkey, s) | ("bits", v, n) ---
+
+    def ev_dc_first(al):
+        events, pred = [], [0] * ncomp
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    tk = ("dc", comp_classes[ci])
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            v = int(grids[ci][my * vi + byi][mx * hi + bxi].reshape(64)[0]) >> al
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            s = _category(diff)
+                            events.append(("sym", tk, s))
+                            if s:
+                                events.append(("bits", _magnitude_bits(diff, s), s))
+        return events
+
+    def ev_dc_refine(al):
+        events = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            v = int(grids[ci][my * vi + byi][mx * hi + bxi].reshape(64)[0])
+                            events.append(("bits", (v >> al) & 1, 1))
+        return events
+
+    def ev_ac_first(ci, ss, se, al):
+        events = []
+        tk = ("ac", comp_classes[ci])
+        state = {"eob": 0}
+
+        def flush_eob():
+            if state["eob"]:
+                nb = state["eob"].bit_length() - 1
+                events.append(("sym", tk, nb << 4))
+                if nb:
+                    events.append(("bits", state["eob"] - (1 << nb), nb))
+                state["eob"] = 0
+
+        nb_h, nb_w = nonint[ci]
+        for by in range(nb_h):
+            for bx in range(nb_w):
+                coefs = band_coefs(ci, by, bx, ss, se)
+                vals = [
+                    (abs(c) >> al) * (1 if c >= 0 else -1) for c in coefs
+                ]
+                if not any(vals):
+                    state["eob"] += 1
+                    if state["eob"] == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for v in vals:
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        events.append(("sym", tk, 0xF0))
+                        r -= 16
+                    s = _category(v)
+                    events.append(("sym", tk, (r << 4) | s))
+                    events.append(("bits", _magnitude_bits(v, s), s))
+                    r = 0
+                if r:
+                    state["eob"] += 1
+                    if state["eob"] == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return events
+
+    def ev_ac_refine(ci, ss, se, al):
+        events = []
+        tk = ("ac", comp_classes[ci])
+        state = {"eob": 0, "bbuf": []}
+
+        def flush_eob():
+            if state["eob"]:
+                nb = state["eob"].bit_length() - 1
+                events.append(("sym", tk, nb << 4))
+                if nb:
+                    events.append(("bits", state["eob"] - (1 << nb), nb))
+                for b in state["bbuf"]:
+                    events.append(("bits", b, 1))
+                state["eob"] = 0
+                state["bbuf"] = []
+
+        nb_h, nb_w = nonint[ci]
+        for by in range(nb_h):
+            for bx in range(nb_w):
+                coefs = band_coefs(ci, by, bx, ss, se)
+                absv = [abs(c) >> al for c in coefs]
+                eobpos = -1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eobpos = i
+                r, br = 0, []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eobpos:
+                        flush_eob()
+                        events.append(("sym", tk, 0xF0))
+                        for b in br:
+                            events.append(("bits", b, 1))
+                        br = []
+                        r -= 16
+                    if a > 1:
+                        br.append(a & 1)  # correction bit for an old coef
+                        continue
+                    flush_eob()
+                    events.append(("sym", tk, (r << 4) | 1))
+                    events.append(("bits", 1 if coefs[i] >= 0 else 0, 1))
+                    for b in br:
+                        events.append(("bits", b, 1))
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    state["eob"] += 1
+                    state["bbuf"].extend(br)
+                    if state["eob"] == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return events
+
+    # --- scan plan ---
+    scans = []  # (events, sos_components [(comp, dc_id, ac_id)], ss, se, ah, al)
+    all_comps = list(range(ncomp))
+    scans.append((ev_dc_first(dc_al), all_comps, 0, 0, 0, dc_al))
+    for al in range(dc_al - 1, -1, -1):
+        scans.append((ev_dc_refine(al), all_comps, 0, 0, al + 1, al))
+    for ci in range(ncomp):
+        scans.append((ev_ac_first(ci, 1, band_split - 1, ac_al), [ci], 1, band_split - 1, 0, ac_al))
+        scans.append((ev_ac_first(ci, band_split, 63, ac_al), [ci], band_split, 63, 0, ac_al))
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            scans.append((ev_ac_refine(ci, 1, 63, al), [ci], 1, 63, al + 1, al))
+
+    # --- assembly ---
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    for tid, qtab in {0: _QT_LUMA, **({} if gray else {1: _QT_CHROMA})}.items():
+        flat = qtab.reshape(64)
+        segment(0xDB, bytes([tid]) + bytes(int(flat[_ZIGZAG[i]]) for i in range(64)))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, comp_classes[ci]])
+    segment(0xC2, bytes(sof))
+
+    for events, comps_in_scan, ss, se, ah, al in scans:
+        # per-scan tables from this scan's own symbols (DHT redefinition)
+        syms_by_key: dict = {}
+        for ev in events:
+            if ev[0] == "sym":
+                syms_by_key.setdefault(ev[1], []).append(ev[2])
+        tables = {}
+        for (kind, cls), syms in syms_by_key.items():
+            tables[(kind, cls)] = _fixed_table(syms)
+            tclass = 0 if kind == "dc" else 1
+            counts, symbols, _ = tables[(kind, cls)]
+            segment(0xC4, bytes([(tclass << 4) | cls] + counts + symbols))
+        sos = bytearray([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            cls = comp_classes[ci]
+            sos += bytes([ci + 1, (cls << 4) | cls])
+        sos += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, bytes(sos))
+        writer = _BitWriter()
+        for ev in events:
+            if ev[0] == "sym":
+                _, _, codes = tables[ev[1]]
+                length, code = codes[ev[2]]
+                writer.write(code, length)
+            else:
+                writer.write(ev[1], ev[2])
+        writer.flush()
+        out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out), expected
+
+
+def test_jpeg_progressive_grayscale_full_feature_roundtrip():
+    rng = np.random.default_rng(3)
+    px = np.clip(
+        np.arange(20)[:, None] * 6 + np.arange(17)[None, :] * 4
+        + rng.integers(0, 60, size=(20, 17)),
+        0, 255,
+    ).astype(np.uint8)
+    payload, expected = jpeg_encode_progressive(px)
+    got = decode_jpeg(payload)
+    assert got.shape == (20, 17, 1)
+    assert np.array_equal(got[:, :, 0], expected[:, :, 0])
+    # and it really is progressive + matches the baseline reconstruction
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    base_payload, base_expected = jpeg_encode(px)
+    assert np.array_equal(expected, base_expected)
+    assert np.array_equal(got, decode_jpeg(base_payload))
+
+
+def test_jpeg_progressive_color_420_roundtrip():
+    px = _gradient_rgb(23, 21, seed=5)
+    payload, expected = jpeg_encode_progressive(px, chroma_sub=(2, 2))
+    got = decode_jpeg(payload)
+    assert got.shape == expected.shape
+    assert np.array_equal(got, expected)
+
+
+def test_jpeg_progressive_spectral_selection_only():
+    # Al=0 everywhere: pure spectral selection, no successive approximation
+    px = _gradient_rgb(16, 16, seed=9)
+    payload, expected = jpeg_encode_progressive(px, dc_al=0, ac_al=0, band_split=10)
+    assert np.array_equal(decode_jpeg(payload), expected)
+
+
+def test_jpeg_progressive_deeper_approximation():
+    # two AC refinement passes (ac_al=2) and two DC refinements (dc_al=2)
+    px = _gradient_rgb(19, 13, seed=11)
+    payload, expected = jpeg_encode_progressive(px, dc_al=2, ac_al=2)
+    assert np.array_equal(decode_jpeg(payload), expected)
+
+
+def test_jpeg_progressive_eob_runs_across_blocks():
+    # a mostly-flat image: AC bands are zero almost everywhere, so the
+    # encoder emits multi-block EOB runs and the decoder must walk them
+    px = np.full((40, 40), 128, dtype=np.uint8)
+    px[3, 3] = 140  # one block with AC energy
+    payload, expected = jpeg_encode_progressive(px)
+    assert np.array_equal(decode_jpeg(payload)[:, :, 0], expected[:, :, 0])

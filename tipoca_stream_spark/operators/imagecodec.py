@@ -8,9 +8,11 @@ the GIF89a specification for GIF) and need no external codec library:
   DQT/DHT table parse, Huffman entropy decode with byte-destuffing and
   restart-marker handling, dequantize + zigzag reorder, batched 8x8 IDCT
   as one numpy einsum over all blocks, nearest-neighbor chroma upsample,
-  and BT.601 YCbCr->RGB. Progressive (SOF2), arithmetic-coded, 12-bit,
-  and hierarchical JPEGs raise NotImplementedError (honest gate: the
-  baseline process covers the overwhelming majority of real JPEGs).
+  and BT.601 YCbCr->RGB. Progressive DCT (SOF2) decodes fully too —
+  spectral selection, successive approximation (DC and AC refinement
+  scans with correction bits and EOB runs), interleaved DC scans, and
+  restarts (T.81 Annex G). Arithmetic-coded, 12-bit, and hierarchical
+  JPEGs raise NotImplementedError (honest gate).
 - ``decode_gif``: GIF87a/89a first frame — logical screen + color tables,
   LZW decompression (variable code width, deferred clear, KwKwK case),
   interlace reordering, composed onto the logical-screen canvas.
@@ -40,8 +42,8 @@ _ZIGZAG = [
 ]
 
 _SOF_BASELINE = (0xC0, 0xC1)  # baseline / extended sequential, Huffman, 8-bit
+_SOF_PROGRESSIVE = 0xC2  # progressive DCT, Huffman — full decode support
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT",
     0xC3: "lossless sequential",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -125,6 +127,65 @@ def _extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
 
 
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    """DQT segment → raster-order 64-int tables keyed by table id."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        i += 1
+        if pq == 0:
+            vals = list(body[i : i + 64])
+            i += 64
+        else:
+            vals = [
+                int.from_bytes(body[i + 2 * k : i + 2 * k + 2], "big")
+                for k in range(64)
+            ]
+            i += 128
+        if len(vals) < 64:
+            raise ValueError("truncated DQT")
+        raster = [0] * 64
+        for z, v in enumerate(vals):
+            raster[_ZIGZAG[z]] = v
+        qt[tq] = raster
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    """DHT segment → decode tables keyed by (class, id)."""
+    i = 0
+    while i + 17 <= len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        counts = list(body[i + 1 : i + 17])
+        total = sum(counts)
+        symbols = list(body[i + 17 : i + 17 + total])
+        if len(symbols) < total:
+            raise ValueError("truncated DHT")
+        huff[(tc, th)] = _build_huffman(counts, symbols)
+        i += 17 + total
+
+
+def _planes_to_image(out_planes):
+    """Component planes → (h, w, c) uint8 (shared by the baseline and
+    progressive paths so the color contract cannot diverge)."""
+    import numpy as np
+
+    if len(out_planes) == 1:
+        return out_planes[0][:, :, None].copy()
+    if len(out_planes) == 3:
+        y = out_planes[0].astype(np.float64)
+        cb = out_planes[1].astype(np.float64) - 128.0
+        cr = out_planes[2].astype(np.float64) - 128.0
+        # BT.601 (JFIF) conversion.
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(
+        f"{len(out_planes)}-component JPEG (CMYK/YCCK) not supported"
+    )
+
+
 def _split_entropy_segments(payload: bytes, pos: int):
     """Destuff the entropy-coded data starting at ``pos``: returns
     (segments, end_pos) where segments are the byte runs between restart
@@ -156,10 +217,12 @@ def _split_entropy_segments(payload: bytes, pos: int):
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG -> (h, w, channels) uint8, or None if not a JPEG.
+    """Baseline or progressive JPEG -> (h, w, channels) uint8, or None
+    if not a JPEG.
 
-    Raises NotImplementedError for non-baseline processes (progressive /
-    arithmetic / lossless / 12-bit) and ValueError for corrupt streams.
+    Progressive streams (SOF2) dispatch to the multi-scan decoder.
+    Raises NotImplementedError for the remaining processes (arithmetic /
+    lossless / 12-bit / hierarchical) and ValueError for corrupt streams.
     """
     import numpy as np
 
@@ -192,36 +255,12 @@ def decode_jpeg(payload: bytes):
             raise ValueError("truncated JPEG segment")
         pos += seg_len
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                i += 1
-                if pq == 0:
-                    vals = list(body[i : i + 64])
-                    i += 64
-                else:
-                    vals = [
-                        int.from_bytes(body[i + 2 * k : i + 2 * k + 2], "big")
-                        for k in range(64)
-                    ]
-                    i += 128
-                if len(vals) < 64:
-                    raise ValueError("truncated DQT")
-                raster = [0] * 64
-                for z, v in enumerate(vals):
-                    raster[_ZIGZAG[z]] = v
-                qt[tq] = raster
+            _parse_dqt(body, qt)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i + 17 <= len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                counts = list(body[i + 1 : i + 17])
-                total = sum(counts)
-                symbols = list(body[i + 17 : i + 17 + total])
-                if len(symbols) < total:
-                    raise ValueError("truncated DHT")
-                huff[(tc, th)] = _build_huffman(counts, symbols)
-                i += 17 + total
+            _parse_dht(body, huff)
+        elif marker == _SOF_PROGRESSIVE:
+            # progressive DCT: its own multi-scan decode loop
+            return _decode_jpeg_progressive(payload)
         elif marker in _SOF_BASELINE:
             precision = body[0]
             if precision != 8:
@@ -344,21 +383,278 @@ def decode_jpeg(payload: bytes):
             plane = np.repeat(plane, hmax // hi, axis=1)
         out_planes.append(plane[:h, :w])
 
-    if len(out_planes) == 1:
-        return out_planes[0][:, :, None].copy()
-    if len(out_planes) == 3:
-        y = out_planes[0].astype(np.float64)
-        cb = out_planes[1].astype(np.float64) - 128.0
-        cr = out_planes[2].astype(np.float64) - 128.0
-        # BT.601 (JFIF) conversion.
-        r = y + 1.402 * cr
-        g = y - 0.344136 * cb - 0.714136 * cr
-        b = y + 1.772 * cb
-        rgb = np.stack([r, g, b], axis=-1)
-        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-    raise NotImplementedError(
-        f"{len(out_planes)}-component JPEG (CMYK/YCCK) not supported"
-    )
+    return _planes_to_image(out_planes)
+
+
+def _decode_jpeg_progressive(payload: bytes):
+    """Progressive DCT JPEG (SOF2, Huffman) -> (h, w, channels) uint8.
+
+    Full T.81 Annex G support on the decode side: spectral selection
+    (multi-scan AC bands, non-interleaved), successive approximation
+    (point transform Al on first scans; DC and AC refinement scans with
+    correction bits and EOB-run semantics), interleaved DC scans, DHT
+    redefinition between scans, and restart markers (per-MCU in
+    interleaved scans, per-block otherwise). Coefficients accumulate in
+    per-component block grids across scans; dequantize + IDCT happen once
+    at EOI. The refinement arithmetic uses two's-complement bit tests on
+    signed coefficients — Python ints share C's semantics here, which is
+    what the spec's (and every encoder's) bit streams assume."""
+    import numpy as np
+
+    qt: dict = {}
+    huff: dict = {}
+    frame = None
+    restart_interval = 0
+    grids = None  # per comp: int64 array (gb_h, gb_w, 64), raster coef index
+    nonint = None  # per comp: (nb_h, nb_w) non-interleaved block dims
+    geom = None  # (hmax, vmax, mcus_x, mcus_y)
+
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seg_len
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == _SOF_PROGRESSIVE:
+            if body[0] != 8:
+                raise NotImplementedError(f"{body[0]}-bit JPEG not supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if h == 0 or w == 0:
+                raise ValueError("zero-dimension JPEG frame")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hi, vi, _ in comps:
+                if hi == 0 or vi == 0 or hmax % hi or vmax % vi:
+                    raise ValueError("unsupported JPEG sampling factors")
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            frame = (h, w, comps)
+            geom = (hmax, vmax, mcus_x, mcus_y)
+            grids = [
+                np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+                for _, hi, vi, _ in comps
+            ]
+            # non-interleaved scan dims: whole blocks of the component's
+            # OWN sampled size (ceil(h*vi/vmax) x ceil(w*hi/hmax)), per
+            # T.81 A.2.2 — smaller than the padded MCU grid
+            nonint = []
+            for _, hi, vi, _ in comps:
+                comp_h = -(-h * vi // vmax)
+                comp_w = -(-w * hi // hmax)
+                nonint.append((-(-comp_h // 8), -(-comp_w // 8)))
+        elif marker in _SOF_BASELINE or marker in _SOF_UNSUPPORTED:
+            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            comp_ids = [c[0] for c in frame[2]]
+            sel = []
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s : 3 + 2 * s]
+                if cs not in comp_ids:
+                    raise ValueError("SOS references unknown component")
+                sel.append((comp_ids.index(cs), tables >> 4, tables & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            segments, pos = _split_entropy_segments(payload, pos)
+            _decode_progressive_scan(
+                grids, frame[2], geom, nonint, sel, ss, se, ah, al,
+                huff, segments, restart_interval,
+            )
+        # else: APPn / COM — skipped
+
+    if frame is None or grids is None:
+        raise ValueError("truncated JPEG: no frame/scan data")
+    h, w, comps = frame
+    hmax, vmax, mcus_x, mcus_y = geom
+    a = _idct_basis()
+    out_planes = []
+    for ci, (_, hi, vi, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError("missing quantization table")
+        q = np.array(qt[tq], dtype=np.float64)
+        gb_h, gb_w = mcus_y * vi, mcus_x * hi
+        arr = (grids[ci].reshape(-1, 64).astype(np.float64) * q).reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", a, arr, a) + 128.0
+        spatial = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+        plane = (
+            spatial.reshape(gb_h, gb_w, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gb_h * 8, gb_w * 8)
+        )
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        out_planes.append(plane[:h, :w])
+    return _planes_to_image(out_planes)
+
+
+def _decode_progressive_scan(
+    grids, comps, geom, nonint, sel, ss, se, ah, al, huff, segments, restart_interval
+):
+    """One progressive scan into the coefficient grids (T.81 G.2).
+
+    Interleaved (ns > 1, DC only per G.1.1.1.1) scans walk the MCU grid;
+    single-component scans walk that component's own block raster, which
+    is SMALLER than its padded MCU grid when the frame needs partial
+    MCUs — the padded blocks simply never receive AC energy (they are
+    cropped away after IDCT). EOB runs and the refinement correction-bit
+    protocol follow the spec exactly: a refinement scan reads one
+    correction bit for every already-nonzero coefficient it passes over,
+    whether inside a run, under a ZRL, or within an EOB run."""
+    hmax, vmax, mcus_x, mcus_y = geom
+    interleaved = len(sel) > 1
+    tabs = {ci: (dc_id, ac_id) for ci, dc_id, ac_id in sel}
+
+    units = []  # each unit: list of (ci, by, bx) — restart granularity
+    if interleaved:
+        if ss != 0:
+            raise ValueError("interleaved progressive scan must be DC-only")
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for ci, _, _ in sel:
+                    _, hi, vi, _ = comps[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            unit.append((ci, my * vi + byi, mx * hi + bxi))
+                units.append(unit)
+    else:
+        ci = sel[0][0]
+        nb_h, nb_w = nonint[ci]
+        units = [[(ci, by, bx)] for by in range(nb_h) for bx in range(nb_w)]
+
+    pred = [0] * len(comps)
+    eobrun = 0
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    p1, m1 = 1 << al, -(1 << al)
+
+    for u, unit in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            reader = _BitReader(segments[seg_idx])
+            pred = [0] * len(comps)
+            eobrun = 0
+        for ci, by, bx in unit:
+            block = grids[ci][by, bx]
+            dc_id, ac_id = tabs[ci]
+            if ss == 0 and ah == 0:
+                # DC first scan: diffs coded in the Al-shifted domain
+                try:
+                    dc_tab = huff[(0, dc_id)]
+                except KeyError:
+                    raise ValueError("missing Huffman table") from None
+                s = _decode_symbol(reader, dc_tab)
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                pred[ci] += diff
+                block[0] = pred[ci] << al
+            elif ss == 0:
+                # DC refinement: one raw bit appends the next magnitude bit
+                if reader.read_bit():
+                    block[0] = int(block[0]) | p1
+            elif ah == 0:
+                # AC first scan (band [ss, se], values shifted by Al)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                try:
+                    ac_tab = huff[(1, ac_id)]
+                except KeyError:
+                    raise ValueError("missing Huffman table") from None
+                k = ss
+                while k <= se:
+                    rs = _decode_symbol(reader, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("progressive AC run past band end")
+                    block[_ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+            else:
+                # AC refinement scan (T.81 G.2 / the libjpeg algorithm)
+                try:
+                    ac_tab = huff[(1, ac_id)]
+                except KeyError:
+                    raise ValueError("missing Huffman table") from None
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_symbol(reader, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError("invalid AC refinement magnitude")
+                            val = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            z = _ZIGZAG[k]
+                            c = int(block[z])
+                            if c != 0:
+                                if reader.read_bit() and (c & p1) == 0:
+                                    block[z] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            block[_ZIGZAG[k]] = val
+                        k += 1
+                if eobrun > 0:
+                    # inside an EOB run: correction bits only, for the
+                    # remaining already-nonzero coefficients of the band
+                    while k <= se:
+                        z = _ZIGZAG[k]
+                        c = int(block[z])
+                        if c != 0 and reader.read_bit() and (c & p1) == 0:
+                            block[z] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
 
 
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):

@@ -5,10 +5,11 @@ Header decode is REAL: ``decode_image_header`` parses PNG IHDR, JPEG SOFn,
 GIF logical-screen, and BMP info headers in pure Python (no imaging
 library). Pixel decode is REAL for all four image formats: PNG (stdlib
 zlib inflate + per-row filter reversal, ``decode_png``), baseline JPEG
-(Huffman entropy decode + batched numpy IDCT, ``imagecodec.decode_jpeg``),
-GIF (LZW, ``imagecodec.decode_gif``), and uncompressed 24-bit BMP. Only
-non-baseline JPEG processes (progressive/arithmetic/12-bit) and the
-video frame-extraction kernels remain gated on PIL/ffmpeg, which this
+(Huffman entropy decode + batched numpy IDCT, ``imagecodec.decode_jpeg``,
+baseline AND progressive as of round 6), GIF (LZW,
+``imagecodec.decode_gif``), and uncompressed 24-bit BMP. Only
+arithmetic/lossless/12-bit JPEG processes and the video frame-extraction
+kernels remain gated on PIL/ffmpeg, which this
 container doesn't ship — each such path is a clearly-marked stand-in
 inside otherwise-real Arrow-batched ``mapInPandas`` plumbing.
 
@@ -330,11 +331,11 @@ def decode_image(payload: bytes):
     """Full pixel decode to an (h, w, channels) uint8 array — pure
     Python/numpy for all four supported formats: PNG (stdlib zlib inflate
     + filter reversal, ``decode_png``), baseline JPEG (Huffman + batched
-    numpy IDCT, ``imagecodec.decode_jpeg``), GIF (LZW,
-    ``imagecodec.decode_gif``), and uncompressed 24-bit BMP. Only
-    non-baseline JPEG processes (progressive/arithmetic/12-bit) remain
-    gated behind NotImplementedError; corrupt payloads of a recognized
-    format raise ValueError."""
+    numpy IDCT, ``imagecodec.decode_jpeg`` — baseline and progressive),
+    GIF (LZW, ``imagecodec.decode_gif``), and uncompressed 24-bit BMP.
+    Only arithmetic/lossless/12-bit JPEG processes remain gated behind
+    NotImplementedError; corrupt payloads of a recognized format raise
+    ValueError."""
     import numpy as np
 
     from tipoca_stream_spark.operators.imagecodec import decode_gif, decode_jpeg
