@@ -140,3 +140,30 @@ def test_routes_agree_after_delta_commit(spark, target):
     hits = target.route_read(terms=["freshword"], k=3)
     assert hits.route == "inverted_index"
     assert [r["doc_id"] for r in hits.df.collect()] == [3]
+
+
+def test_box_route_intersects_zone_candidates(spark, tmp_path_factory):
+    """Conjunctive two-column range: the box route scans only files
+    overlapping BOTH ranges (intersection of per-column zone candidates)
+    and matches the filtered-scan answer exactly."""
+    root = tmp_path_factory.mktemp("boxed")
+    # ts and event_id correlate (both increase with i), so each column's
+    # zones prune meaningfully on the (bucket, ts)-range layout
+    rows = [(i, 100 + i, 1000 + i * 10, f"w{i % 5}") for i in range(300)]
+    t = BucketedTargetTable(
+        spark, str(root), "boxed", buckets=4, keys=["doc_id"],
+        zone_cols=["ts", "part"], zone_split=2,
+    )
+    t.write(spark.createDataFrame(rows, SCHEMA))
+    r = t.route_read(box={"ts": (1500, 2000), "part": (150, 180)})
+    assert r.route == "zones"
+    assert 0 < r.n_files < r.total_files
+    want = [i for i in range(300) if 1500 <= 1000 + i * 10 <= 2000 and 150 <= 100 + i <= 180]
+    assert sorted(row["doc_id"] for row in r.df.collect()) == want
+
+    # untracked column in the box: forfeits pruning, never the answer
+    s = t.route_read(box={"ts": (1500, 2000), "doc_id": (50, 80)})
+    assert s.route == "scan"
+    assert sorted(row["doc_id"] for row in s.df.collect()) == [
+        i for i in range(50, 81) if 1500 <= 1000 + i * 10 <= 2000
+    ]

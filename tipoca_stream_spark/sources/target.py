@@ -1196,6 +1196,7 @@ class BucketedTargetTable(ParquetTargetTable):
         eq: tuple | None = None,
         between: tuple | None = None,
         terms: list[str] | None = None,
+        box: dict | None = None,
         k: int = 10,
     ) -> "RoutedRead":
         """Index-aware read routing: pick the cheapest serving path for a
@@ -1213,11 +1214,15 @@ class BucketedTargetTable(ParquetTargetTable):
         - ``terms=[...]``: BM25 top-k off the posting sidecar when
           present; else the same scoring over a full tokenize of the
           current version (decontamination-sweep mode).
+        - ``box={col: (lo, hi), ...}``: conjunctive multi-column range —
+          the INTERSECTION of each tracked column's zone candidates (a
+          file must overlap every range to survive). Any untracked column
+          forfeits pruning for the whole box, never correctness.
 
         Returns the DataFrame plus the route taken and the file counts, so
         callers (and tests) can see the pruning, not just trust it."""
-        if sum(x is not None for x in (eq, between, terms)) != 1:
-            raise ValueError("route_read takes exactly one of eq/between/terms")
+        if sum(x is not None for x in (eq, between, terms, box)) != 1:
+            raise ValueError("route_read takes exactly one of eq/between/terms/box")
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.name} has no committed version")
@@ -1267,6 +1272,31 @@ class BucketedTargetTable(ParquetTargetTable):
                 n = len(self._bucket_files(v).get(bucket, []))
                 return RoutedRead(self.read_buckets([bucket]).filter(pred), "bucket", n, total)
             return RoutedRead(self.read(v).filter(pred), "scan", total, total)
+        if box is not None:
+            pred = None
+            for col, (lo, hi) in box.items():
+                p = F.col(col).between(F.lit(lo), F.lit(hi))
+                pred = p if pred is None else (pred & p)
+            inter: set | None = None
+            for col, (lo, hi) in box.items():
+                if col not in self.zone_cols:
+                    inter = None
+                    break
+                fs = self.range_files(lo, hi, col)
+                if fs is None:
+                    inter = None
+                    break
+                inter = set(fs) if inter is None else inter & set(fs)
+            if inter is None:
+                return RoutedRead(self.read(v).filter(pred), "scan", total, total)
+            if not inter:
+                return RoutedRead(self.read(v).limit(0).filter(pred), "zones", 0, total)
+            df = (
+                self.spark.read.option("basePath", vdir)
+                .parquet(*sorted(inter))
+                .filter(pred)
+            )
+            return RoutedRead(df, "zones", len(inter), total)
         col, lo, hi = between
         pred = F.col(col).between(F.lit(lo), F.lit(hi))
         files = self.range_files(lo, hi, col) if col in self.zone_cols else None
