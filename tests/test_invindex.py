@@ -60,3 +60,42 @@ def test_totals_match_corpus(spark, index):
     )
     assert tot["n_docs"] == float(n_docs_tokenized)
     assert abs(tot["avgdl"] * tot["n_docs"] - n_total_tokens) < 1e-6
+
+
+def test_phrase_counts_match_text_rescan(spark, tmp_path):
+    """Positional index phrase counts == brute adjacency over the raw
+    text, including repeated-term phrases and multi-occurrence docs."""
+    rows = [
+        (1, "the hash table hash table wins"),
+        (2, "hash table"),
+        (3, "table hash"),
+        (4, "the the the end"),
+        (5, "no match here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from tipoca_stream_spark.sources.invindex import InvertedIndexTable
+
+    idx = InvertedIndexTable(spark, str(tmp_path / "pos"))
+    idx.build(docs, "text", "doc_id", positional=True)
+
+    def counts(terms):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in idx.phrase_counts(terms).collect()
+        }
+
+    assert counts(["hash", "table"]) == {1: 2, 2: 1}
+    assert counts(["table", "hash"]) == {1: 1, 3: 1}
+    assert counts(["the", "the"]) == {4: 2}  # overlapping occurrences
+    assert counts(["hash", "table", "hash"]) == {1: 1}
+    assert counts(["absent", "phrase"]) == {}
+
+
+def test_phrase_needs_positional_build(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    from tipoca_stream_spark.sources.invindex import InvertedIndexTable
+
+    idx = InvertedIndexTable(spark, str(tmp_path / "nopos"))
+    idx.build(docs, "text", "doc_id")  # frequency-only
+    with pytest.raises(FileNotFoundError):
+        idx.phrase_counts(["a", "b"])

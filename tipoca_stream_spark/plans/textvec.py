@@ -524,3 +524,45 @@ def text_index_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as f:
             f.write("ok")
     return t.bm25_topk(list(_INC_TERMS), k=10)
+
+
+_PHRASE = ("table", "hash")
+
+
+@query(
+    "text_index_phrase_match",
+    f"""
+    WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    hits AS (
+      SELECT doc_id, count(*) AS n_occurrences
+      FROM wl, unnest(range(1, len(w))) AS t(i)
+      WHERE w[i] = '{_PHRASE[0]}' AND w[i+1] = '{_PHRASE[1]}'
+      GROUP BY doc_id)
+    SELECT doc_id, n_occurrences FROM hits
+    """,
+    survey_ref="training: phrase search off a positional inverted index",
+)
+def text_index_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase occurrence counts served off POSITIONAL postings
+    (sources/invindex.py round 6): a frequency index can say two words
+    co-occur in a document, not that they are adjacent — phrase queries
+    (exact-match decontamination, boilerplate detection, quoted-string
+    retrieval) need per-occurrence token positions. The index pays the
+    classic positional space trade at build; each query is |phrase|
+    pushed term-equality posting reads + (doc_id, pos)-keyed joins whose
+    inputs are term-frequency-sized, never corpus-sized. The oracle
+    recomputes adjacency from the raw text: index-served must equal
+    rescan-served."""
+    import hashlib
+    import os
+    import tempfile
+
+    from tipoca_stream_spark.sources.invindex import InvertedIndexTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:posidx".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"posidx_{tag}")
+    idx = InvertedIndexTable(spark, root)
+    if not os.path.exists(os.path.join(root, "postings_pos")):
+        idx.build(docs, "text", "doc_id", positional=True)
+    return idx.phrase_counts(list(_PHRASE))

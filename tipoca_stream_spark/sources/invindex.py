@@ -85,19 +85,44 @@ class InvertedIndexTable:
     def _totals(self) -> str:
         return os.path.join(self.path, "_totals")
 
+    @property
+    def _postings_pos(self) -> str:
+        return os.path.join(self.path, "postings_pos")
+
     def exists(self) -> bool:
         return os.path.exists(self._totals)
 
     def build(
-        self, docs: DataFrame, text_col: str, id_col: str, n_files: int = 8
+        self,
+        docs: DataFrame,
+        text_col: str,
+        id_col: str,
+        n_files: int = 8,
+        positional: bool = False,
     ) -> None:
         """One tokenize pass feeds all three tables. Tokenization is the
         repo-wide convention (split on single space, drop empties) —
-        identical to operators.text.bm25_topk and the DuckDB oracles."""
-        tokens = docs.select(
+        identical to operators.text.bm25_topk and the DuckDB oracles.
+
+        ``positional=True`` additionally persists ``postings_pos/``:
+        (term, doc_id, pos) rows, term-hashed and term-sorted like the
+        frequency postings, carrying each occurrence's 0-based token
+        position. This is what phrase queries need — a frequency index
+        can say two words co-occur in a document but not that they are
+        ADJACENT. Costs one extra copy of the token stream (the classic
+        positional-index space trade, ~2-4× the frequency postings)."""
+        tokens_pos = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
         ).filter(F.col("term") != "")
+        tokens = tokens_pos.select("doc_id", "term")
+        if positional:
+            (
+                tokens_pos.repartition(n_files, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(self._postings_pos)
+            )
         postings = tokens.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
         (
             postings.repartition(n_files, "term")
@@ -116,6 +141,33 @@ class InvertedIndexTable:
             .write.mode("overwrite")
             .parquet(self._totals)
         )
+
+    def phrase_counts(self, terms: list[str]) -> DataFrame:
+        """(doc_id, n_occurrences) of the exact consecutive phrase,
+        served off the positional postings — the corpus is never
+        rescanned. Cost: |phrase| pushed ``term =`` posting reads (file +
+        row-group pruning via the build-time term sort), chained
+        (doc_id, pos)-keyed joins — each join's inputs are
+        term-frequency-sized, not corpus-sized, which is the whole point
+        of a positional index at 100 TB. Duplicate terms in the phrase
+        self-join the same posting list (correct: 'the the' matches
+        positions p, p+1 both holding 'the')."""
+        if not terms:
+            raise ValueError("phrase_counts needs at least one term")
+        if not os.path.exists(self._postings_pos):
+            raise FileNotFoundError(
+                "no positional postings — build(..., positional=True) first"
+            )
+        pp = self.spark.read.parquet(self._postings_pos).filter(
+            F.col("term").isin(list(terms))
+        )
+        base = pp.filter(F.col("term") == terms[0]).select("doc_id", "pos")
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = pp.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - i).alias("pos")
+            )
+            base = base.join(nxt, ["doc_id", "pos"])
+        return base.groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))
 
     def bm25_topk(
         self,
