@@ -402,3 +402,43 @@ def test_stale_claim_only_burns_a_number(spark, tmp_path):
     v = t.write(spark.range(6))
     assert v == 3  # skipped the claimed number
     assert t.read().count() == 6
+
+
+def test_phrase_counts_fresh_after_delta_commits(spark, tmp_path):
+    """Phrase search off the target's posting sidecar: positions ride the
+    same bucket-delta commit as the data, so adjacency answers are fresh
+    after updates/deletes with zero rebuild jobs. Oracle = the standalone
+    positional index built fresh from the final state."""
+    from tipoca_stream_spark.sources.invindex import InvertedIndexTable
+
+    t = make_target(spark, tmp_path)
+    t.write(docs_df(spark))
+    assert {
+        r["doc_id"]: r["n_occurrences"]
+        for r in t.phrase_counts(["hash", "table"]).collect()
+    } == {1: 1}
+
+    # delta: doc 1 gains a second occurrence, doc 2 gains its first
+    final = [
+        (1, 10, "hash table stream hash table"),
+        (2, 11, "big hash table now"),
+    ] + DOCS[2:]
+    apply_delta(spark, t, final, [1, 2])
+
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in t.phrase_counts(["hash", "table"]).collect()
+    }
+    oracle = InvertedIndexTable(spark, str(tmp_path / "oracle_pos"))
+    oracle.build(docs_df(spark, final), "text", "doc_id", positional=True)
+    want = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in oracle.phrase_counts(["hash", "table"]).collect()
+    }
+    assert got == want == {1: 2, 2: 1}
+    # absent phrase and repeated-term phrase
+    assert t.phrase_counts(["table", "absentword"]).count() == 0
+    assert {
+        r["doc_id"]: r["n_occurrences"]
+        for r in t.phrase_counts(["hash", "table", "stream"]).collect()
+    } == {1: 1}

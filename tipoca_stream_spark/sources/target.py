@@ -1013,31 +1013,72 @@ class BucketedTargetTable(ParquetTargetTable):
             json.dump({"m_bits": m_bits, "k": k}, f)
 
     def _tokenize(self, df: DataFrame) -> DataFrame:
-        """(b, doc_id, term) rows — repo-wide tokenization convention
+        """(b, doc_id, pos, term) rows — repo-wide tokenization convention
         (split on single space, drop empties), identical to
-        sources/invindex.py and the DuckDB oracles."""
+        sources/invindex.py and the DuckDB oracles. ``pos`` is the
+        0-based token position (the split-array index)."""
         return df.select(
             self.bucket_of().alias("b"),
             F.col(self.text_id_col).alias("doc_id"),
-            F.explode(F.split(F.col(self.text_col), " ")).alias("term"),
+            F.posexplode(F.split(F.col(self.text_col), " ")).alias("pos", "term"),
         ).filter(F.col("term") != "")
 
     def _text_tables(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(postings, summary) for the docs in ``df``. dl is denormalized
         into the posting rows (one long per posting) so BM25 needs NO
         doc-keyed join at query time — at 100 TB that drops the one
-        shuffle the normalized layout would pay per query."""
+        shuffle the normalized layout would pay per query. Each posting
+        also carries the occurrence ``positions`` (sorted int array):
+        phrase queries need adjacency, and a parquet column the BM25 scan
+        never selects costs those queries nothing — this is how the
+        POSITIONAL index stays delta-maintained for free (it rides the
+        same per-bucket rebuild + hard-link as the frequency postings)."""
         tokens = self._tokenize(df)
         doclen = tokens.groupBy("b", "doc_id").agg(F.count("*").alias("dl"))
         postings = (
             tokens.groupBy("b", "doc_id", "term")
-            .agg(F.count("*").alias("tf"))
+            .agg(
+                F.count("*").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
             .join(doclen, ["b", "doc_id"])
         )
         summary = doclen.groupBy("b").agg(
             F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
         )
         return postings, summary
+
+    def phrase_counts(self, terms: list[str]) -> DataFrame:
+        """(doc_id, n_occurrences) of the exact consecutive phrase,
+        served off the CURRENT version's posting sidecar — phrase answers
+        are exactly as fresh as the table, because the positions ride
+        every bucket-delta commit. Same join shape as
+        sources/invindex.phrase_counts: |phrase| pushed term-equality
+        posting reads, per-occurrence explode, (doc_id, pos)-keyed joins
+        with term-frequency-sized inputs."""
+        if not terms:
+            raise ValueError("phrase_counts needs at least one term")
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.name} has no committed version")
+        vdir = self._vdir(v)
+        if not self._sidecar_ready(vdir, "_text"):
+            raise FileNotFoundError(
+                f"table {self.name} v={v} has no text sidecar (text_col not "
+                "declared at write time)"
+            )
+        pp = (
+            self.spark.read.parquet(self._text_dir(vdir))
+            .filter(F.col("term").isin(list(terms)))
+            .select("doc_id", "term", F.explode("positions").alias("pos"))
+        )
+        base = pp.filter(F.col("term") == terms[0]).select("doc_id", "pos")
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = pp.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - i).alias("pos")
+            )
+            base = base.join(nxt, ["doc_id", "pos"])
+        return base.groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))
 
     def _write_text_sidecar(
         self, df: DataFrame, v: int, prev: int | None, changed_buckets: list[int] | None
