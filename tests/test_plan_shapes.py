@@ -297,3 +297,18 @@ def test_ivfpq_take_ordered_broadcast_only(spark):
     assert "CartesianProduct" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_phrase_match_pushes_term_filters_no_cartesian(spark):
+    """The positional-index phrase query (round 6) must stay pushed +
+    keyed: term equality reaches the posting parquet scans (file and
+    row-group pruning via the build-time term sort) and the position
+    joins are (doc_id, pos)-keyed — never a CartesianProduct, never a
+    Python eval node."""
+    plan = plan_of(spark, "text_index_phrase_match")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan or "ArrowEvalPython" not in plan
+    pushed = [
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("term" in p for p in pushed), "term filter did not reach the posting scan"
