@@ -186,23 +186,41 @@ class ParquetTargetTable:
         self._release_claim(v)
 
     def read(self, version: int | None = None) -> DataFrame:
-        """Current version, or any still-retained version (time travel —
-        versions are immutable, so a historical read is just a different
-        directory; ``vacuum`` bounds how far back travel reaches)."""
-        v = version if version is not None else self.current_version()
+        """Current version, or any still-retained COMMITTED version (time
+        travel — versions are immutable, so a historical read is just a
+        different directory; ``vacuum`` bounds how far back travel
+        reaches). A version above the pointer is refused even if its
+        directory exists: that is a writer's staged-but-never-committed
+        (or crash-orphaned) data, and serving it would surface rows no
+        commit ever published (VERDICT r6 worklist #2)."""
+        current = self.current_version()
+        v = version if version is not None else current
         if v is None:
             raise FileNotFoundError(f"table {self.name} has no committed version")
+        if current is None or v > current:
+            raise FileNotFoundError(
+                f"table {self.name} version {v} was never committed "
+                f"(current is {current}); staged/orphaned versions are not readable"
+            )
         vdir = os.path.join(self.path, f"v={v}")
         if not os.path.isdir(vdir):
             raise FileNotFoundError(f"table {self.name} version {v} not retained")
         return self.spark.read.parquet(vdir)
 
     def versions(self) -> list[int]:
-        """Retained version numbers, oldest first."""
+        """Retained COMMITTED version numbers, oldest first. Directories
+        above the current pointer (a concurrent writer mid-stage, or a
+        crash orphan awaiting ``vacuum``) are not versions — nothing ever
+        committed them — so they are excluded."""
+        current = self.current_version()
+        if current is None:
+            return []
         return sorted(
-            int(d.split("=", 1)[1])
+            v
             for d in os.listdir(self.path)
             if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+            for v in [int(d.split("=", 1)[1])]
+            if v <= current
         )
 
     def read_metadata(self) -> dict:
@@ -595,22 +613,44 @@ class ParquetTargetTable:
         df = other.read()
         self.write(df)
 
-    def vacuum(self, keep: int = 2) -> list[int]:
+    def vacuum(self, keep: int = 2, claim_ttl_seconds: float = 900.0) -> list[int]:
         """Drop all but the newest ``keep`` versions (compaction hygiene —
-        the reference's staging-table drop, load_processor.go:783-801)."""
+        the reference's staging-table drop, load_processor.go:783-801),
+        and collect crash orphans: a writer that died after claiming +
+        staging ``v=<n>`` but before its ``_flip`` leaves the directory
+        and claim marker forever, holding never-committed data (VERDICT
+        r6 worklist #2). Any directory ABOVE the current pointer whose
+        claim marker is stale — older than ``claim_ttl_seconds``, or
+        missing entirely — is removed; a live writer's claim is always
+        younger than its in-progress Spark write, so the janitor never
+        races a healthy commit."""
         import shutil
+        import time
 
         current = self.current_version()
         if current is None:
             return []
-        versions = sorted(
+        all_dirs = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(self.path)
             if d.startswith("v=") and d.split("=", 1)[1].isdigit()
         )
-        victims = [v for v in versions if v <= current][:-keep]
+        victims = [v for v in all_dirs if v <= current][:-keep]
+        now = time.time()
+        for v in all_dirs:
+            if v <= current:
+                continue
+            marker = self._claim_marker(v)
+            try:
+                live = (now - os.path.getmtime(marker)) <= claim_ttl_seconds
+            except OSError:
+                live = False  # no marker → nothing live owns the dir
+            if not live:
+                victims.append(v)
         for v in victims:
             shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
+            if v > current:
+                self._release_claim(v)
         return victims
 
 
@@ -768,9 +808,16 @@ class BucketedTargetTable(ParquetTargetTable):
             self._register(v)
 
     def read(self, version: int | None = None) -> DataFrame:
-        v = version if version is not None else self.current_version()
+        current = self.current_version()
+        v = version if version is not None else current
         if v is None:
             raise FileNotFoundError(f"table {self.name} has no committed version")
+        if current is None or v > current:
+            # staged-but-never-committed (or crash-orphaned) data — see base
+            raise FileNotFoundError(
+                f"table {self.name} version {v} was never committed "
+                f"(current is {current}); staged/orphaned versions are not readable"
+            )
         if not os.path.isdir(self._vdir(v)):
             raise FileNotFoundError(f"table {self.name} version {v} not retained")
         self._ensure_registered(v)
@@ -1354,8 +1401,8 @@ class BucketedTargetTable(ParquetTargetTable):
         base = self.current_version()
         return self.write(self.read(base), expected_base=base)
 
-    def vacuum(self, keep: int = 2) -> list[int]:
-        victims = super().vacuum(keep)
+    def vacuum(self, keep: int = 2, claim_ttl_seconds: float = 900.0) -> list[int]:
+        victims = super().vacuum(keep, claim_ttl_seconds=claim_ttl_seconds)
         for v in victims:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._table_ident(v)}")
         return victims
