@@ -117,6 +117,63 @@ def test_exactly_one_predicate_required(target):
         target.route_read()
     with pytest.raises(ValueError):
         target.route_read(eq=("part", 1), terms=["x"])
+    with pytest.raises(ValueError, match="at least one column range"):
+        target.route_read(box={})
+
+
+def test_composite_bloom_plus_zones_intersects(target):
+    """VERDICT r6 worklist #3: ``part = x AND ts BETWEEN a AND b`` must
+    intersect the Bloom candidate set with the zone candidate set — no
+    class forfeits because another is present — and answer exactly like
+    the filtered scan."""
+    r = target.route_read(eq=("part", 150), between=("ts", 1400, 1600))
+    assert r.route == "bloom+zones"
+    bloom_only = target.route_read(eq=("part", 150))
+    zones_only = target.route_read(between=("ts", 1400, 1600))
+    assert r.n_files <= min(bloom_only.n_files, zones_only.n_files)
+    assert 0 < r.n_files < r.total_files
+    # part=150 ↔ doc 50 ↔ ts=1500, inside the range
+    assert [row["doc_id"] for row in r.df.collect()] == [50]
+    # same predicate, disjoint range: files may qualify, rows must not
+    miss = target.route_read(eq=("part", 150), between=("ts", 3000, 4000))
+    assert miss.route in ("bloom+zones", "bloom", "zones")
+    assert miss.df.count() == 0
+
+
+def test_composite_bucket_plus_zones_intersects(target):
+    """Point-in-range on the PRIMARY KEY: bucket placement ∩ zone range."""
+    r = target.route_read(eq=("doc_id", 7), between=("ts", 1000, 1200))
+    assert r.route == "bucket+zones"
+    assert r.n_files <= target.route_read(eq=("doc_id", 7)).n_files
+    assert r.n_files <= target.route_read(between=("ts", 1000, 1200)).n_files
+    assert [row["part"] for row in r.df.collect()] == [107]
+
+
+def test_composite_unindexed_class_keeps_other_classes_pruning(target):
+    """An eq on a column no index serves contributes only its residual
+    filter; the between's zone pruning still applies."""
+    r = target.route_read(
+        eq=("text", "word1 stream common token1"), between=("ts", 1100, 1200)
+    )
+    assert r.route == "zones"
+    assert 0 < r.n_files < r.total_files
+    got = sorted(row["doc_id"] for row in r.df.collect())
+    assert got == [i for i in range(10, 21) if i % 7 == 1 and i % 3 == 1]
+
+
+def test_composite_eq_plus_box(spark, tmp_path_factory):
+    """eq (bloom) composes with a multi-column box the same way."""
+    root = tmp_path_factory.mktemp("eqbox")
+    rows = [(i, 100 + i, 1000 + i * 10, f"w{i % 5}") for i in range(300)]
+    t = BucketedTargetTable(
+        spark, str(root), "eqbox", buckets=4, keys=["doc_id"],
+        zone_cols=["ts", "part"], zone_split=2, bloom_col="part",
+    )
+    t.write(spark.createDataFrame(rows, SCHEMA))
+    r = t.route_read(eq=("part", 160), box={"ts": (1500, 2000), "part": (150, 180)})
+    assert r.route == "bloom+zones"
+    assert r.n_files <= t.route_read(box={"ts": (1500, 2000), "part": (150, 180)}).n_files
+    assert [row["doc_id"] for row in r.df.collect()] == [60]
 
 
 def test_routes_agree_after_delta_commit(spark, target):

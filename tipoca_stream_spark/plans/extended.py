@@ -650,3 +650,48 @@ def storage_routed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = t.route_read(eq=("l_partkey", key))
     assert routed.route == "bloom"  # the router must actually take the index
     return routed.df.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+@query(
+    "storage_routed_composite_read",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)
+      AND l_orderkey BETWEEN 1 AND (SELECT CAST(max(l_orderkey) / 2 AS BIGINT)
+                                    FROM lineitem)
+    """,
+    survey_ref="W2 composite routing: bloom ∩ zone candidates in one read",
+)
+def storage_routed_composite_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range query through the composite router (round 7,
+    VERDICT r6 worklist #3): ``l_partkey = x AND l_orderkey BETWEEN a
+    AND b`` schedules the INTERSECTION of the Bloom sidecar's candidate
+    files (the equality class) and the zone map's overlapping files (the
+    range class) — each index prunes independently, a file must survive
+    both, and the conjunctive residual filter keeps the answer identical
+    to a plain scan (the oracle). File-count and per-class pins live in
+    tests/test_route_read.py; this query gates the ANSWER at the driver."""
+    import hashlib
+    import os
+    import tempfile
+
+    from tipoca_stream_spark.sources.target import BucketedTargetTable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:routed2".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"routed2_li_{tag}")
+    t = BucketedTargetTable(
+        spark, root, "lineitem_routed2", buckets=8, keys=["l_orderkey"],
+        zone_cols=["l_orderkey"], bloom_col="l_partkey",
+    )
+    if not t.exists():
+        t.write(li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+    lo_key, hi_order = li.agg(
+        F.min("l_partkey"), (F.max("l_orderkey") / 2).cast("bigint")
+    ).collect()[0]
+    routed = t.route_read(
+        eq=("l_partkey", lo_key), between=("l_orderkey", 1, hi_order)
+    )
+    assert routed.route == "bloom+zones", routed.route  # both indexes must fire
+    return routed.df.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")

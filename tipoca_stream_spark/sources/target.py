@@ -1307,10 +1307,30 @@ class BucketedTargetTable(ParquetTargetTable):
           file must overlap every range to survive). Any untracked column
           forfeits pruning for the whole box, never correctness.
 
+        Predicate classes COMPOSE (round 7, VERDICT r6 worklist #3): a
+        real point-in-range query (``pk = x AND ts BETWEEN a AND b``)
+        passes both ``eq`` and ``between``, and the scheduled file set is
+        the INTERSECTION of each class's candidates — a file must survive
+        every index that can speak to the predicate. Classes whose index
+        can't serve (untracked column, absent sidecar) contribute only
+        their residual filter, forfeiting pruning for that class alone,
+        never correctness and never the other classes' pruning. The route
+        string names every contributing index, ``+``-joined in eq →
+        between → box order (e.g. ``"bloom+zones"``); ``"scan"`` means no
+        index pruned. ``terms`` is a top-k scoring query, not a row
+        filter, so it stays exclusive.
+
         Returns the DataFrame plus the route taken and the file counts, so
         callers (and tests) can see the pruning, not just trust it."""
-        if sum(x is not None for x in (eq, between, terms, box)) != 1:
-            raise ValueError("route_read takes exactly one of eq/between/terms/box")
+        if terms is not None and any(x is not None for x in (eq, between, box)):
+            raise ValueError(
+                "terms routing is a top-k scoring query and cannot combine "
+                "with eq/between/box row predicates"
+            )
+        if all(x is None for x in (eq, between, terms, box)):
+            raise ValueError("route_read needs at least one of eq/between/terms/box")
+        if box is not None and not box:
+            raise ValueError("box needs at least one column range")
         v = self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.name} has no committed version")
@@ -1337,63 +1357,74 @@ class BucketedTargetTable(ParquetTargetTable):
             totals = self._totals_from_summary(summary)
             tf = postings.filter(F.col("term").isin(list(terms)))
             return RoutedRead(okapi_score(tf, totals, 1.2, 0.75, k), "scan", total, total)
+        # --- row-predicate classes: each contributes (candidates, route
+        # label) when its index can serve, and always its residual filter;
+        # the scheduled set is the intersection of all contributions ------
+        preds: list = []
+        routes: list[str] = []
+        cand: set | None = None  # None = nothing has pruned yet
+
+        def contribute(files: list[str] | set, label: str) -> None:
+            nonlocal cand, routes
+            fs = set(files)
+            cand = fs if cand is None else cand & fs
+            if label not in routes:
+                routes.append(label)
+
         if eq is not None:
             col, value = eq
-            pred = F.col(col) == F.lit(value)
+            preds.append(F.col(col) == F.lit(value))
             files = self.point_files(value, col) if col == self.bloom_col else None
             if files is not None:
-                if not files:
-                    return RoutedRead(self.read(v).limit(0).filter(pred), "bloom", 0, total)
-                df = (
-                    self.spark.read.schema(self._version_schema(vdir))
-                    .parquet(*files)
-                    .filter(pred)
-                )
-                return RoutedRead(df, "bloom", len(files), total)
-            if [col] == self.keys:
+                contribute(files, "bloom")
+            elif [col] == self.keys:
                 key_type = self._version_schema(vdir)[col].dataType
                 bucket = self.spark.range(1).select(
                     F.pmod(
                         F.hash(F.lit(value).cast(key_type)), F.lit(self.buckets)
                     ).alias("b")
                 ).collect()[0]["b"]
-                n = len(self._bucket_files(v).get(bucket, []))
-                return RoutedRead(self.read_buckets([bucket]).filter(pred), "bucket", n, total)
-            return RoutedRead(self.read(v).filter(pred), "scan", total, total)
+                contribute(self._bucket_files(v).get(bucket, []), "bucket")
+        if between is not None:
+            col, lo, hi = between
+            preds.append(F.col(col).between(F.lit(lo), F.lit(hi)))
+            files = self.range_files(lo, hi, col) if col in self.zone_cols else None
+            if files is not None:
+                contribute(files, "zones")
         if box is not None:
-            pred = None
-            for col, (lo, hi) in box.items():
-                p = F.col(col).between(F.lit(lo), F.lit(hi))
-                pred = p if pred is None else (pred & p)
             inter: set | None = None
+            tracked = True
             for col, (lo, hi) in box.items():
-                if col not in self.zone_cols:
-                    inter = None
-                    break
+                preds.append(F.col(col).between(F.lit(lo), F.lit(hi)))
+                if not tracked or col not in self.zone_cols:
+                    tracked = False
+                    continue
                 fs = self.range_files(lo, hi, col)
                 if fs is None:
-                    inter = None
-                    break
+                    tracked = False
+                    continue
                 inter = set(fs) if inter is None else inter & set(fs)
-            if inter is None:
-                return RoutedRead(self.read(v).filter(pred), "scan", total, total)
-            if not inter:
-                return RoutedRead(self.read(v).limit(0).filter(pred), "zones", 0, total)
-            df = (
-                self.spark.read.option("basePath", vdir)
-                .parquet(*sorted(inter))
-                .filter(pred)
-            )
-            return RoutedRead(df, "zones", len(inter), total)
-        col, lo, hi = between
-        pred = F.col(col).between(F.lit(lo), F.lit(hi))
-        files = self.range_files(lo, hi, col) if col in self.zone_cols else None
-        if files is None:
+            # any untracked column forfeits the whole box's pruning (a file
+            # skipped on one range could still hold rows the untracked
+            # residual would keep — only a full conjunction may skip files)
+            if tracked and inter is not None:
+                contribute(inter, "zones")
+
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred & p
+        if cand is None:
             return RoutedRead(self.read(v).filter(pred), "scan", total, total)
-        if not files:
-            return RoutedRead(self.read(v).limit(0).filter(pred), "zones", 0, total)
-        df = self.spark.read.option("basePath", vdir).parquet(*files).filter(pred)
-        return RoutedRead(df, "zones", len(files), total)
+        route = "+".join(routes)
+        if not cand:
+            return RoutedRead(self.read(v).limit(0).filter(pred), route, 0, total)
+        df = (
+            self.spark.read.schema(self._version_schema(vdir))
+            .option("basePath", vdir)
+            .parquet(*sorted(cand))
+            .filter(pred)
+        )
+        return RoutedRead(df, route, len(cand), total)
 
     def compact(self, target_files: int = 1, partition_by: list[str] | None = None) -> int:
         """Bucketed rewrite IS compaction: one file per bucket. CAS
