@@ -566,3 +566,78 @@ def text_index_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(root, "postings_pos")):
         idx.build(docs, "text", "doc_id", positional=True)
     return idx.phrase_counts(list(_PHRASE))
+
+
+@query(
+    "text_index_phrase_incremental",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' {_PHRASE[0]} {_PHRASE[1]}' ELSE text END AS text
+      FROM documents),
+    wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+    hits AS (
+      SELECT doc_id, count(*) AS n_occurrences
+      FROM wl, unnest(range(1, len(w))) AS t(i)
+      WHERE w[i] = '{_PHRASE[0]}' AND w[i+1] = '{_PHRASE[1]}'
+      GROUP BY doc_id)
+    SELECT doc_id, n_occurrences FROM hits
+    """,
+    survey_ref="training: phrase search on the CDC target's delta-maintained sidecar",
+)
+def text_index_phrase_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase counts served off the CDC TARGET's posting sidecar
+    AFTER a bucket-delta commit (round 7, VERDICT r6 worklist #4 — the
+    phrase twin of ``text_index_bm25_incremental``): the corpus lands in
+    a bucketed versioned target with ``text_col`` declared, every 7th
+    document is updated via ``write_bucket_delta`` so its text gains one
+    new occurrence of the phrase, and ``phrase_counts`` answers off the
+    positions that rode that commit — touched buckets re-tokenized,
+    every other bucket's posting files hard-linked, one atomic flip. The
+    oracle recomputes adjacency from the CASE-transformed corpus: the
+    delta-maintained positional index must count exactly like a fresh
+    rescan, including the occurrences the delta just created."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tipoca_stream_spark.sources.target import BucketedTargetTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:incphr".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"incphr_{tag}")
+    t = BucketedTargetTable(
+        spark, root, "docs_phr", buckets=8, keys=["doc_id"],
+        text_col="text", text_id_col="doc_id",
+    )
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        # a half-finished build (base version only) must not serve counts
+        # missing the delta's occurrences: rebuild, then drop the marker
+        shutil.rmtree(root, ignore_errors=True)
+        t = BucketedTargetTable(
+            spark, root, "docs_phr", buckets=8, keys=["doc_id"],
+            text_col="text", text_id_col="doc_id",
+        )
+        base = docs.select("doc_id", "text")
+        t.write(base)
+        final = base.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat("text", F.lit(f" {_PHRASE[0]} {_PHRASE[1]}")),
+            ).otherwise(F.col("text")),
+        )
+        touched = sorted(
+            r["b"]
+            for r in base.filter(F.col("doc_id") % 7 == 0)
+            .select(t.bucket_of().alias("b"))
+            .distinct()
+            .collect()
+        )
+        t.write_bucket_delta(final.filter(t.bucket_of().isin(touched)), touched)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return t.phrase_counts(list(_PHRASE))
