@@ -1,0 +1,112 @@
+"""Semantic (embedding-space) deduplication — SemDeDup-style.
+
+The lexical dedup family (operators/corpus_dedup.py: exact, MinHash-LSH,
+n-gram Jaccard, SimHash, containment) catches documents that SHARE TEXT.
+It cannot catch semantic duplicates — a paraphrase, a re-encode, a
+translation round-trip — whose token overlap is low but whose embeddings
+nearly coincide. Training-data pipelines run an embedding-space pass
+beside the lexical ones (Abbas et al., "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication", arXiv:2303.09540):
+
+1. **Coarse quantize**: assign every vector to a cluster. Here the
+   quantizer is cosine-against-seed-vectors (``assign_by_cosine``): a
+   broadcast of K seed embeddings, one narrow scan, argmax cosine with a
+   deterministic 6-dp round + seed-id tie-break so any two engines agree
+   on every assignment. Cosine assignment is SCALE-INVARIANT — a
+   re-normalized or re-scaled copy of a vector provably lands in its
+   original's cluster, so the cluster prune can never separate the exact
+   near-dup pairs it exists to find. (k-means-trained centroids drop in
+   unchanged — ``operators/kmeans.kmeans_train`` emits them — the seeds
+   just make the assignment reproducible for the oracle.)
+2. **Intra-cluster gate**: candidate pairs are generated ONLY within a
+   cluster (join keyed on cluster_id — k clusters cut the pair count to
+   ~n²/k; the plan shows a keyed join, never a cartesian product), then
+   exact cosine ≥ threshold marks near-duplicates.
+3. **Keep-one**: a vector is dropped iff some SMALLER-id vector in its
+   cluster clears the threshold with it; the surviving set is exactly
+   the ids with no smaller near-twin. Deterministic, order-free, and
+   per-pair local — no connected-components pass, matching SemDeDup's
+   keep-one-representative policy.
+
+At 100 TB: the assignment is a broadcast + narrow map (no shuffle); the
+pair join shuffles on cluster_id only. A pathologically hot cluster is
+the known failure mode (same as any LSH bucket): cap it with the banded
+candidate generation from operators/similarity.lsh_near_dup as a
+pre-filter inside the cluster, or re-train centroids with more k — the
+skew probe in tests/test_semantic_dedup.py measures the hot-cluster
+case rather than assuming it away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.operators.similarity import cosine
+
+
+def assign_by_cosine(
+    emb: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_id_col: str = "seed_id",
+    seed_vec_col: str = "seed_vec",
+) -> DataFrame:
+    """(id, cluster_id): nearest seed by cosine. Seeds are K rows —
+    broadcast; the argmax is a map-side-combinable ``max(struct)`` (no
+    window, no extra shuffle beyond the id-keyed aggregate). Cosine is
+    rounded to 6 dp before the argmax and ties break toward the SMALLER
+    seed id, so assignments are engine-reproducible (the DuckDB oracle
+    recomputes them exactly)."""
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col),
+        F.col(seed_id_col),
+        F.round(cosine(F.col(vec_col), F.col(seed_vec_col)), 6).alias("_cs"),
+    )
+    # lexicographic max over (similarity, -seed_id): highest cosine wins,
+    # smaller seed id on rounded ties
+    pick = F.max(
+        F.struct(
+            F.col("_cs"),
+            (-F.col(seed_id_col)).alias("_neg"),
+            F.col(seed_id_col).alias("_sid"),
+        )
+    )
+    return scored.groupBy(id_col).agg(pick.getField("_sid").alias("cluster_id"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    seeds: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dropped rows ``(id, cluster_id, dup_of)``: every vector with a
+    smaller-id neighbor at cosine ≥ threshold inside its cluster, with
+    ``dup_of`` = the smallest such neighbor (the kept representative it
+    duplicates). The keep set is the complement — survivors need no
+    second pass. Cosines are rounded to 6 dp before the threshold so the
+    gate is engine-reproducible."""
+    assign = assign_by_cosine(emb, seeds, id_col, vec_col)
+    sided = emb.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    a = sided.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_a_id"),
+        F.col(vec_col).alias("_a_vec"),
+    )
+    b = sided.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_vec"),
+    )
+    # cluster-confined candidate pairs: the join key IS the cluster — the
+    # quantizer is the prune (n²/k pairs), pinned in the plan test
+    pairs = a.join(b, "cluster_id").filter(F.col("_a_id") < F.col("_b_id"))
+    near = pairs.filter(
+        F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 6) >= F.lit(threshold)
+    )
+    return near.groupBy(
+        F.col("_b_id").alias(id_col), F.col("cluster_id")
+    ).agg(F.min("_a_id").alias("dup_of"))

@@ -117,6 +117,87 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.ngram_jaccard_pairs(docs, "text", "doc_id", "source", JACCARD_THRESHOLD)
 
 
+# --- semantic (embedding-space) dedup ---------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.999
+SEMDEDUP_SEEDS = 8
+SEMDEDUP_COPY_OFFSET = 1_000_000
+
+SEMDEDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_COPY_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * 1.5) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0),
+seeds AS (SELECT vec_id AS seed_id, embedding AS se FROM embeddings
+          WHERE vec_id < {SEMDEDUP_SEEDS}),
+sexpl AS (SELECT c.vec_id, s.seed_id, unnest(c.embedding)::double AS x,
+                 unnest(s.se)::double AS y
+          FROM corpus c CROSS JOIN seeds s),
+scs AS (SELECT vec_id, seed_id,
+               round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+        FROM sexpl GROUP BY vec_id, seed_id),
+assign AS (SELECT vec_id, seed_id AS cluster_id FROM
+           (SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, seed_id) AS rn
+            FROM scs) z
+           WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cluster_id
+          FROM assign a JOIN assign b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+pexpl AS (SELECT p.a_id, p.b_id, p.cluster_id,
+                 unnest(ea.embedding)::double AS x, unnest(eb.embedding)::double AS y
+          FROM pairs p JOIN corpus ea ON ea.vec_id = p.a_id
+                       JOIN corpus eb ON eb.vec_id = p.b_id),
+near AS (SELECT a_id, b_id, cluster_id,
+                round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+         FROM pexpl GROUP BY a_id, b_id, cluster_id)
+SELECT b_id AS vec_id, cluster_id, min(a_id) AS dup_of
+FROM near WHERE cs >= {SEMDEDUP_THRESHOLD} GROUP BY b_id, cluster_id
+"""
+
+
+@query(
+    "dedup_semantic",
+    SEMDEDUP_ORACLE,
+    survey_ref="training: semantic (embedding-cluster) dedup — SemDeDup",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup (round 7, VERDICT r6 worklist #5): the
+    lexical family can't see a paraphrase or re-encode whose tokens
+    differ but whose embedding nearly coincides. Pipeline =
+    ``operators/semantic_dedup``: cosine-seed coarse quantizer (broadcast
+    K seed vectors, argmax with 6-dp round + seed-id tie-break) →
+    cluster-confined pair join (the quantizer IS the prune: n²/k pairs,
+    join keyed on cluster_id — plan-pinned, no cartesian product) →
+    cosine ≥ {SEMDEDUP_THRESHOLD} gate → drop every vector with a
+    smaller-id near-twin, reporting the kept representative as dup_of.
+
+    The synthetic embeddings hold no natural near-dups (max pairwise
+    cosine ≈ 0.51), so the query PLANTS them deterministically: every
+    10th vector gains a ×1.5-scaled copy. Scaling preserves cosine
+    exactly (similarity 1.0) AND the cosine quantizer's assignment, so
+    each copy provably shares its original's cluster — the oracle and
+    the operator must both find exactly the planted set, each copy
+    resolved to its original."""
+    from tipoca_stream_spark.operators.semantic_dedup import semantic_dedup
+
+    emb = _embs(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + SEMDEDUP_COPY_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(copies)
+    seeds = emb.filter(F.col("vec_id") < SEMDEDUP_SEEDS).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    return semantic_dedup(corpus, seeds, SEMDEDUP_THRESHOLD)
+
+
 CONTAINMENT_THRESHOLD = 0.5
 
 
