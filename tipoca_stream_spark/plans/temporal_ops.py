@@ -277,24 +277,45 @@ def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rolling median over the last 11 events per user — the
-    robust-smoothing window mean can't provide. Spark refuses median()
-    with a frame, so the frame's values are collected (BOUNDED: 11 rows,
-    O(1) per row at any scale), sorted JVM-side, and interpolated with
-    the same (n odd -> middle, n even -> mean of middles) rule DuckDB's
-    windowed median applies — null values are skipped by collect_list
-    exactly as median skips them."""
+    robust-smoothing window mean can't provide. Served by
+    ``operators/rolling.rolling_median``'s EXPRESSION path: the bounded
+    11-row frame is collected, sorted JVM-side inside codegen, and
+    interpolated with the same (n odd -> middle, n even -> mean of
+    middles) null-skipping rule DuckDB's windowed median applies.
+    O(w log w) per row is the right trade at w=11; the wide-frame twin
+    below exercises the O(log w) order-statistic path."""
+    from tipoca_stream_spark.operators.rolling import rolling_median
+
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-10, 0)
+    out = rolling_median(
+        ev, "user_id", ["ts", "event_id"], "value", w=11, method="expression"
     )
-    arr = F.sort_array(F.collect_list("value").over(w))
-    n = F.size(arr)
-    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
-    even = (F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2
-    med = F.when(n == 0, F.lit(None)).when(n % 2 == 1, odd).otherwise(even)
-    return ev.select(
-        "user_id", "event_id", F.round(med, 6).alias("med11")
+    return out.select("user_id", "event_id", F.round(F.col("med"), 6).alias("med11"))
+
+
+@query(
+    "window_rolling_median_wide",
+    """
+    SELECT user_id, event_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 100 PRECEDING AND CURRENT ROW), 6) AS med101
+    FROM events
+    """,
+    survey_ref="§2.7 rolling exact median, wide frame (skiplist order-statistic path)",
+)
+def window_rolling_median_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME contract at w=101, served by the ORDER-STATISTIC path
+    (round 7, VERDICT r6 worklist #6): Arrow-batched ``applyInPandas``
+    per user, pandas' skiplist rolling median — O(log w) per step, so
+    frame width stops being a cost multiplier. The expression path's
+    per-row sort is the measured cliff (probe in
+    tests/test_rolling_median.py: w=1001 ≈ 5-10× slower there); wide
+    smoothing windows route here, pinned against the identical DuckDB
+    windowed-median oracle."""
+    from tipoca_stream_spark.operators.rolling import rolling_median
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_median(
+        ev, "user_id", ["ts", "event_id"], "value", w=101, method="order_statistic"
     )
+    return out.select("user_id", "event_id", F.round(F.col("med"), 6).alias("med101"))
