@@ -12,6 +12,8 @@ encoding), making the expected value exact up to float rounding (tolerance
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -904,3 +906,86 @@ def test_jpeg_progressive_eob_runs_across_blocks():
     px[3, 3] = 140  # one block with AC energy
     payload, expected = jpeg_encode_progressive(px)
     assert np.array_equal(decode_jpeg(payload)[:, :, 0], expected[:, :, 0])
+
+
+# --- independently-encoded fixtures (ADVICE r6) -----------------------------
+# Every progressive test above verifies the decoder against the repo's own
+# test-side encoder — a shared misreading of T.81 Annex G would pass them
+# all. These two byte fixtures were produced by a STANDARD encoder (libjpeg
+# scan script; photos from the Rust embedded-book docs shipped with the
+# toolchain on this host, MIT/Apache-licensed), so the decoder must handle a
+# real-world marker layout it never negotiated with. The progressive one
+# exercises the full Annex-G surface the hand-written encoder only samples:
+#   SOF2, 3 components, 2x1 chroma subsampling,
+#   interleaved DC-first with point transform (Ss=0 Se=0 Ah=0 Al=1),
+#   luma spectral-selection bands (1-5, then 6-63),
+#   AC successive approximation Al=2 -> refinement Ah=2 Al=1 -> Ah=1 Al=0,
+#   DC refinement scan (Ss=0 Ah=1 Al=0), per-component chroma scans.
+# The pinned sha256 is this decoder's verified output: the decoded pixels
+# were rendered and visually confirmed against the published photo (sharp
+# silkscreen text, correct colors) when the fixture was checked in, so the
+# hash pins real-world correctness, not just stability.
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _fixture_pixels(name):
+    import hashlib
+
+    with open(os.path.join(_FIXDIR, name), "rb") as f:
+        px = decode_jpeg(f.read())
+    return px, hashlib.sha256(np.asarray(px).tobytes()).hexdigest()
+
+
+def test_jpeg_progressive_independent_fixture():
+    px, digest = _fixture_pixels("progressive_board.jpg")
+    assert px.shape == (477, 720, 3)
+    assert digest == "5158c38d6e8df942c7c3188daf3bddb7c2116bd330a5b6f07a3031ff650f0d94"
+
+
+def test_jpeg_baseline_independent_fixture():
+    px, digest = _fixture_pixels("baseline_board.jpg")
+    assert px.shape == (477, 720, 3)
+    assert digest == "7f50039ba4f4f5a920fd2007f5bb2f5a6731624e778e4c77eef13ab31bd319db"
+
+
+def test_independent_fixture_is_really_progressive():
+    """Guard the guard: the fixture must keep its SOF2 marker and a
+    multi-scan successive-approximation scan script — a re-save with a
+    baseline encoder would silently drop the coverage this test exists
+    to provide."""
+    import struct
+
+    with open(os.path.join(_FIXDIR, "progressive_board.jpg"), "rb") as f:
+        data = f.read()
+    scans, has_sof2, i = [], False, 2
+    while i < len(data) - 1:
+        if data[i] == 0xFF and data[i + 1] not in (0, 0xFF):
+            m = data[i + 1]
+            if m in (0xD8, 0xD9) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            body = data[i + 4 : i + 2 + ln]
+            if m == 0xC2:
+                has_sof2 = True
+            if m == 0xDA:
+                ns = body[0]
+                ss, se, ah_al = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+                scans.append((ss, se, ah_al >> 4, ah_al & 15))
+                j = i + 2 + ln
+                while j < len(data) - 1:
+                    if data[j] == 0xFF and data[j + 1] not in (0,) and not (
+                        0xD0 <= data[j + 1] <= 0xD7
+                    ):
+                        break
+                    j += 1
+                i = j
+                continue
+            i += 2 + ln
+        else:
+            i += 1
+    assert has_sof2
+    assert len(scans) >= 6  # real multi-scan script
+    assert any(ah > 0 for _, _, ah, _ in scans)  # refinement passes present
+    assert any(ss > 0 and se < 63 for ss, se, _, _ in scans)  # spectral bands
