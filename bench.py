@@ -257,6 +257,19 @@ def main() -> None:
     extras["graph_bfs"] = best_of(
         2, lambda: QUERIES["graph_bfs_distances"].fn(spark, sf_dir).count()
     )
+    # - semantic dedup (round 7): cosine-seed quantize -> cluster-confined
+    #   pair join -> threshold gate. Tracked because the pair join is the
+    #   n²/k term — a quantizer regression (everything in one cell) shows
+    #   up as a time cliff here long before it breaks an answer.
+    extras["dedup_semantic"] = best_of(
+        2, lambda: QUERIES["dedup_semantic"].fn(spark, sf_dir).count()
+    )
+    # - wide-frame rolling median (round 7): the skiplist order-statistic
+    #   path (applyInPandas); a silent fallback to the per-row-sort
+    #   expression plan would regress ~7x at this width.
+    extras["rolling_median_wide"] = best_of(
+        2, lambda: QUERIES["window_rolling_median_wide"].fn(spark, sf_dir).count()
+    )
 
     print(
         json.dumps(

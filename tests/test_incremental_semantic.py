@@ -1,0 +1,156 @@
+"""Incremental semantic dedup (operators/incremental_semantic.py).
+
+Pins: a multi-epoch ingest accepts exactly the non-duplicate remainder
+each epoch and flags near-twins of ACCEPTED members (never of rejected
+ones); a restarted instance (fresh object, persisted index + seeds)
+screens identically; the index version count stays O(epochs) with the
+atomic commit leaving no partial state; and a racing ingest loses the
+CAS instead of silently dropping the winner's accepted vectors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tipoca_stream_spark.operators.incremental_semantic import (
+    IncrementalSemanticDeduper,
+)
+from tipoca_stream_spark.sources.target import ConcurrentWriteError
+
+DIM = 16
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+SEED_SCHEMA = T.StructType(
+    [
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("seed_vec", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _vectors(ids, seed=31):
+    out = []
+    for i in ids:
+        rng = random.Random(seed * 1_000_003 + i)
+        out.append((i, [rng.gauss(0.0, 1.0) for _ in range(DIM)]))
+    return out
+
+
+def _scaled(rows, offset, factor=1.5):
+    return [(i + offset, [x * factor for x in v]) for i, v in rows]
+
+
+def test_multi_epoch_ingest_and_restart(spark, tmp_path):
+    root = str(tmp_path / "semidx")
+    e1 = _vectors(range(0, 40))
+    seeds = spark.createDataFrame(
+        [(i, v) for i, v in e1[:4]], SEED_SCHEMA
+    )
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds, threshold=0.999)
+
+    # epoch 1: empty index accepts everything
+    n1, flagged1 = d.ingest(spark.createDataFrame(e1, SCHEMA))
+    assert n1 == 40 and flagged1.count() == 0
+
+    # epoch 2: fresh vectors + copies of epoch-1 members → copies flagged,
+    # each resolved to its accepted original
+    e2 = _vectors(range(100, 120), seed=37)
+    copies = _scaled(e1[:5], 10_000)
+    n2, flagged2 = d.ingest(spark.createDataFrame(e2 + copies, SCHEMA))
+    got = {r["vec_id"]: r["dup_of"] for r in flagged2.collect()}
+    assert got == {i + 10_000: i for i, _ in e1[:5]}
+    assert n2 == 20
+
+    # epoch 3 on a RESTARTED instance (no seeds passed — loaded from the
+    # index root): copies of epoch-2 accepted members are flagged; copies
+    # of epoch-2 REJECTED ids are not in the index, so their twins pass
+    d2 = IncrementalSemanticDeduper(spark, root, threshold=0.999)
+    copies3 = _scaled(e2[:3], 20_000)
+    twin_of_rejected = _scaled(_scaled(e1[:1], 10_000), 20_000, factor=0.5)
+    n3, flagged3 = d2.ingest(
+        spark.createDataFrame(copies3 + twin_of_rejected, SCHEMA)
+    )
+    got3 = {r["vec_id"]: r["dup_of"] for r in flagged3.collect()}
+    # the rejected id's twin IS a twin of the epoch-1 original still in the
+    # index (scaling chains preserve cosine) → flagged against the ORIGINAL
+    assert got3[30_000] == 0
+    assert {k: v for k, v in got3.items() if k != 30_000} == {
+        i + 20_000: i for i, _ in e2[:3]
+    }
+    assert n3 == 0
+
+    # index grew one version per epoch, atomically
+    assert len(d2.index.versions()) >= 2  # keep=2 retention window
+    idx_ids = {r["vec_id"] for r in d2.index.read().collect()}
+    assert idx_ids == {i for i, _ in e1} | {i for i, _ in e2}
+
+
+def test_screen_is_cluster_confined(spark, tmp_path):
+    """The candidate join must key on cluster_id (no cartesian product) —
+    the persisted assignment is the prune."""
+    import contextlib
+    import io
+
+    root = str(tmp_path / "semplan")
+    rows = _vectors(range(0, 30))
+    seeds = spark.createDataFrame([(i, v) for i, v in rows[:4]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds)
+    d.ingest(spark.createDataFrame(rows, SCHEMA))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        d.screen(spark.createDataFrame(_vectors(range(50, 60), seed=41), SCHEMA)).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "cluster_id" in plan
+
+
+def test_racing_ingest_loses_cas_and_retry_converges(spark, tmp_path):
+    """Two ingests racing on one index: the loser raises (its screen ran
+    against a stale index version) and a retry flags against the winner's
+    accepted rows instead of re-accepting a duplicate."""
+    root = str(tmp_path / "semrace")
+    base = _vectors(range(0, 20))
+    seeds = spark.createDataFrame([(i, v) for i, v in base[:4]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds)
+    d.ingest(spark.createDataFrame(base, SCHEMA))
+    other = IncrementalSemanticDeduper(spark, root)
+
+    winner_rows = _vectors(range(200, 210), seed=43)
+    loser_rows = _scaled(winner_rows[:2], 5_000)  # dups of the winner's batch
+
+    orig = type(d.index).current_version
+    calls = {"n": 0}
+
+    def stale_then_real(self):
+        calls["n"] += 1
+        if calls["n"] == 1 and self.path.endswith("sem_index") and "semrace" in self.path:
+            v = orig(self)
+            other.ingest(spark.createDataFrame(winner_rows, SCHEMA))
+            return v
+        return orig(self)
+
+    type(d.index).current_version = stale_then_real
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            d.ingest(spark.createDataFrame(loser_rows, SCHEMA))
+    finally:
+        type(d.index).current_version = orig
+
+    # retry converges: the winner's rows are in the index now, so the
+    # loser's duplicates are flagged, not accepted
+    n, flagged = d.ingest(spark.createDataFrame(loser_rows, SCHEMA))
+    assert n == 0
+    assert {r["vec_id"]: r["dup_of"] for r in flagged.collect()} == {
+        i + 5_000: i for i, _ in winner_rows[:2]
+    }

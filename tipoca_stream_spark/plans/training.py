@@ -198,6 +198,107 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(corpus, seeds, SEMDEDUP_THRESHOLD)
 
 
+SEMDEDUP_INC_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings WHERE vec_id % 2 = 0),
+batch AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_COPY_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * 1.5) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0),
+seeds AS (SELECT vec_id AS seed_id, embedding AS se FROM embeddings
+          WHERE vec_id % 2 = 0 AND vec_id < 2 * {SEMDEDUP_SEEDS}),
+allv AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+sexpl AS (SELECT c.vec_id, s.seed_id, unnest(c.embedding)::double AS x,
+                 unnest(s.se)::double AS y
+          FROM allv c CROSS JOIN seeds s),
+scs AS (SELECT vec_id, seed_id,
+               round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+        FROM sexpl GROUP BY vec_id, seed_id),
+assign AS (SELECT vec_id, seed_id AS cluster_id FROM
+           (SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, seed_id) AS rn
+            FROM scs) z
+           WHERE rn = 1),
+cand AS (SELECT b.vec_id AS b_id, c.vec_id AS c_id, ab.cluster_id
+         FROM batch b JOIN assign ab ON ab.vec_id = b.vec_id
+              JOIN assign ac ON ac.cluster_id = ab.cluster_id
+              JOIN corpus c ON c.vec_id = ac.vec_id),
+pexpl AS (SELECT p.b_id, p.c_id, p.cluster_id,
+                 unnest(eb.embedding)::double AS x, unnest(ec.embedding)::double AS y
+          FROM cand p JOIN batch eb ON eb.vec_id = p.b_id
+                      JOIN corpus ec ON ec.vec_id = p.c_id),
+near AS (SELECT b_id, c_id, cluster_id,
+                round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+         FROM pexpl GROUP BY b_id, c_id, cluster_id)
+SELECT b_id AS vec_id, cluster_id, min(c_id) AS dup_of
+FROM near WHERE cs >= {SEMDEDUP_THRESHOLD} GROUP BY b_id, cluster_id
+"""
+
+
+@query(
+    "dedup_semantic_incremental",
+    SEMDEDUP_INC_ORACLE,
+    survey_ref="training: batch-vs-corpus semantic screening (persisted cluster index)",
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus semantic dedup (round 7): a live ingest can't
+    re-run the one-shot corpus pass per batch — it screens each batch
+    against a PERSISTED index of accepted vectors keyed by cluster
+    (operators/incremental_semantic.py): assign the batch with the
+    index's own stored seeds, join index members on cluster_id only,
+    cosine-gate, flag. The even-id half of the embeddings is ingested as
+    the accepted corpus; the batch = the odd half plus ×1.5-scaled
+    copies of corpus members. The oracle recomputes the full screen:
+    exactly the planted copies are flagged, each resolved to its corpus
+    original — odd ids (max natural cosine ≈ 0.51) all pass."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tipoca_stream_spark.operators.incremental_semantic import (
+        IncrementalSemanticDeduper,
+    )
+
+    emb = _embs(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeds = emb.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * SEMDEDUP_SEEDS)
+    ).select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec"))
+    batch = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + SEMDEDUP_COPY_OFFSET).alias("vec_id"),
+                F.transform("embedding", lambda x: x.cast("double") * 1.5).alias(
+                    "embedding"
+                ),
+            )
+        )
+    )
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:semidx".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"semidx_{tag}")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        # half-built index (seeds without corpus) must not serve: rebuild
+        shutil.rmtree(root, ignore_errors=True)
+        d = IncrementalSemanticDeduper(
+            spark, root, seeds=seeds, threshold=SEMDEDUP_THRESHOLD
+        )
+        d.ingest(corpus)
+        with open(marker, "w") as f:
+            f.write("ok")
+    else:
+        d = IncrementalSemanticDeduper(spark, root, threshold=SEMDEDUP_THRESHOLD)
+    return d.screen(batch)
+
+
 CONTAINMENT_THRESHOLD = 0.5
 
 
