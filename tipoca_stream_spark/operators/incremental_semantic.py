@@ -82,21 +82,36 @@ class IncrementalSemanticDeduper:
         return self._screen(batch, self.index.current_version())
 
     def _screen(self, batch: DataFrame, base: int | None) -> DataFrame:
+        from tipoca_stream_spark.operators.semantic_dedup import salt_factor
+
         if base is None:
             return self._assigned(batch).select(
                 self.id_col, "cluster_id", F.lit(None).cast("long").alias("dup_of")
             ).limit(0)
+        # salted cluster join (see semantic_dedup): k clusters alone cap
+        # the join at k parallel tasks through the compute-bound cosine
+        # stage; the batch side takes one deterministic salt, the index
+        # side replicates — each (batch, corpus) pair meets exactly once
+        s = salt_factor(batch, self.seeds.count())
+        p = batch.sparkSession.sparkContext.defaultParallelism
+        # pinned-count repartition on the probe side: AQE coalesces the
+        # small post-shuffle batch to one partition by byte size, blind
+        # to the batch×cluster-density pair blowup the broadcast join
+        # pipelines into it (see semantic_dedup — measured 1-task
+        # 4-minute stages at sf1 before this)
         b = self._assigned(batch).select(
             F.col("cluster_id"),
+            F.pmod(F.hash(F.col(self.id_col)), F.lit(s)).alias("_salt"),
             F.col(self.id_col).alias("_b_id"),
             F.col(self.vec_col).alias("_b_vec"),
-        )
+        ).repartition(p, F.col("cluster_id"), F.col("_salt"))
         idx = self.index.read(base).select(
             F.col("cluster_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_salt"),
             F.col(self.id_col).alias("_c_id"),
             F.col(self.vec_col).alias("_c_vec"),
         )
-        near = b.join(idx, "cluster_id").filter(
+        near = b.join(idx, ["cluster_id", "_salt"]).filter(
             F.round(cosine(F.col("_b_vec"), F.col("_c_vec")), 6)
             >= F.lit(self.threshold)
         )

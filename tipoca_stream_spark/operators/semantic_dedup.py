@@ -76,34 +76,65 @@ def assign_by_cosine(
     return scored.groupBy(id_col).agg(pick.getField("_sid").alias("cluster_id"))
 
 
+def salt_factor(df: DataFrame, n_clusters: int) -> int:
+    """How many ways to split each cluster so the pair join can use every
+    core: a join keyed on cluster_id alone has at most k distinct keys —
+    with k=8 on 32 cores, 24 cores idle through the compute-bound cosine
+    stage (measured 21× at 10× data BEFORE salting, scale probe r7).
+    ceil(parallelism / k), so k ≥ cores needs no replication at all —
+    which is also the k ∝ n deployment regime where the join is already
+    wide."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, -(-p // max(n_clusters, 1)))
+
+
 def semantic_dedup(
     emb: DataFrame,
     seeds: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt: int | None = None,
 ) -> DataFrame:
     """Dropped rows ``(id, cluster_id, dup_of)``: every vector with a
     smaller-id neighbor at cosine ≥ threshold inside its cluster, with
     ``dup_of`` = the smallest such neighbor (the kept representative it
     duplicates). The keep set is the complement — survivors need no
     second pass. Cosines are rounded to 6 dp before the threshold so the
-    gate is engine-reproducible."""
+    gate is engine-reproducible.
+
+    The pair join is salted ``(cluster_id, salt)``: the a-side takes one
+    deterministic salt per row (pmod of its id hash), the b-side
+    replicates to every salt value — each (a, b) pair meets exactly
+    once, and a cluster's pair work spreads across ``salt`` tasks
+    instead of one. ``salt=None`` picks ceil(cores / k); pass 1 to
+    disable (k ∝ n deployments need no replication)."""
+    n_clusters = seeds.count()
+    s = salt if salt is not None else salt_factor(emb, n_clusters)
+    p = emb.sparkSession.sparkContext.defaultParallelism
     assign = assign_by_cosine(emb, seeds, id_col, vec_col)
     sided = emb.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    # the a-side is the PROBE of the pair join, explicitly hash-split on
+    # (cluster_id, _salt) into a PINNED partition count: its input rows
+    # are few and AQE would coalesce the post-shuffle side to one
+    # partition by byte size — blind to the ~n²/k pair blowup the join
+    # pipelines into it (measured 1-task 4-minute stages at sf1 before
+    # this; AQE never overrides a user-specified numPartitions)
     a = sided.select(
         F.col("cluster_id"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(s)).alias("_salt"),
         F.col(id_col).alias("_a_id"),
         F.col(vec_col).alias("_a_vec"),
-    )
+    ).repartition(p, F.col("cluster_id"), F.col("_salt"))
     b = sided.select(
         F.col("cluster_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_salt"),
         F.col(id_col).alias("_b_id"),
         F.col(vec_col).alias("_b_vec"),
     )
     # cluster-confined candidate pairs: the join key IS the cluster — the
     # quantizer is the prune (n²/k pairs), pinned in the plan test
-    pairs = a.join(b, "cluster_id").filter(F.col("_a_id") < F.col("_b_id"))
+    pairs = a.join(b, ["cluster_id", "_salt"]).filter(F.col("_a_id") < F.col("_b_id"))
     near = pairs.filter(
         F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 6) >= F.lit(threshold)
     )
