@@ -9,6 +9,7 @@ import io
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -221,3 +222,105 @@ def test_empty_version_readable_after_catalog_loss(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == ["user_id", "value"]
     # time travel to the non-empty version still works too
     assert t.read(version=1).count() == 5
+
+
+def test_delete_where_rewrites_only_touched_buckets(spark, tmp_path):
+    """Round-7 GDPR path: a predicate delete rewrites ONLY the buckets
+    holding matching rows (inode equality on every other bucket's files)
+    and the surviving answer equals the NOT-filtered oracle, with SQL
+    DELETE null semantics."""
+    import os
+
+    t = _mk(spark, tmp_path)
+    df = _frame(spark, 400)
+    t.write(df)
+    v1 = t.current_version()
+    before = {
+        b: {os.stat(f).st_ino for f in fs}
+        for b, fs in t._bucket_files(v1).items()
+    }
+    # delete three specific keys: they hash to a strict subset of buckets
+    victims = [7, 8, 9]
+    n = t.delete_where(F.col("user_id").isin(victims))
+    assert n == 3
+    v2 = t.current_version()
+    assert v2 == v1 + 1
+    touched = {
+        r["b"]
+        for r in spark.createDataFrame([(k,) for k in victims], "user_id long")
+        .select(t.bucket_of().alias("b"))
+        .distinct()
+        .collect()
+    }
+    after = {
+        b: {os.stat(f).st_ino for f in fs}
+        for b, fs in t._bucket_files(v2).items()
+    }
+    for b in after:
+        if b in touched:
+            assert after[b] != before[b], f"touched bucket {b} must rewrite"
+        else:
+            assert after[b] == before[b], f"untouched bucket {b} must hard-link"
+    got = sorted(r["user_id"] for r in t.read().collect())
+    assert got == [i for i in range(400) if i not in victims]
+    # no-match predicate: no commit at all
+    assert t.delete_where(F.col("user_id") == -1) == 0
+    assert t.current_version() == v2
+    # null-predicate rows survive (SQL DELETE semantics)
+    t2 = BucketedTargetTable(spark, str(tmp_path), "btnull", buckets=4, keys=["k"])
+    t2.write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 50.0)], "k long, v double"
+        )
+    )
+    assert t2.delete_where(F.col("v") > 20) == 1  # only k=3; k=2 (NULL) stays
+    assert sorted(r["k"] for r in t2.read().collect()) == [1, 2]
+
+
+def test_delete_where_racing_delete_loses_cas(spark, tmp_path):
+    """Two predicate deleters racing: exactly one commit wins; the loser
+    raises and its retry applies against the winner's survivors."""
+    from tipoca_stream_spark.sources.target import ConcurrentWriteError, ParquetTargetTable
+
+    t = _mk(spark, tmp_path)
+    t.write(_frame(spark, 100))
+    other = _mk(spark, tmp_path)
+
+    orig = BucketedTargetTable.current_version
+    calls = {"n": 0}
+
+    def stale_then_real(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            v = orig(self)
+            other.delete_where(F.col("user_id") < 10)  # winner commits now
+            return v
+        return orig(self)
+
+    BucketedTargetTable.current_version = stale_then_real
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t.delete_where(F.col("user_id") >= 90)
+    finally:
+        BucketedTargetTable.current_version = orig
+
+    assert sorted(r["user_id"] for r in t.read().collect()) == list(range(10, 100))
+    t.delete_where(F.col("user_id") >= 90)
+    assert sorted(r["user_id"] for r in t.read().collect()) == list(range(10, 90))
+
+
+def test_delete_where_refreshes_index_sidecars(spark, tmp_path):
+    """The delete rides the normal delta commit, so the text sidecar
+    refreshes for touched buckets: a phrase in a deleted doc stops
+    matching, others keep matching — index answers exactly as fresh as
+    the table."""
+    rows = [(i, f"alpha beta doc{i}") for i in range(40)]
+    t = BucketedTargetTable(
+        spark, str(tmp_path), "btidx", buckets=4, keys=["doc_id"],
+        text_col="text", text_id_col="doc_id",
+    )
+    t.write(spark.createDataFrame(rows, "doc_id long, text string"))
+    assert t.phrase_counts(["alpha", "beta"]).count() == 40
+    assert t.delete_where(F.col("doc_id") % 4 == 0) == 10
+    hits = {r["doc_id"] for r in t.phrase_counts(["alpha", "beta"]).collect()}
+    assert hits == {i for i in range(40) if i % 4 != 0}

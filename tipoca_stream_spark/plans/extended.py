@@ -578,6 +578,54 @@ def storage_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "storage_bucketed_delete_where",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem
+    WHERE NOT (l_returnflag = 'R')
+      AND NOT (l_linestatus = 'F' AND l_quantity > 45)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ref="M4-family retroactive deletes: copy-on-write bucket rewrite",
+)
+def storage_bucketed_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COPY-ON-WRITE dual of storage_dv_read (round 7), same oracle:
+    the same two retroactive delete batches, but executed as
+    ``BucketedTargetTable.delete_where`` — each delete finds the buckets
+    holding matching rows and rewrites ONLY their survivors through the
+    normal bucket-delta commit (untouched buckets hard-link; zone/bloom/
+    posting sidecars refresh for touched buckets only; CAS flip). The
+    two delete paths must agree exactly with the NOT-filtered oracle —
+    merge-on-read and copy-on-write are cost models, never answers."""
+    import hashlib
+    import os
+    import tempfile
+
+    from tipoca_stream_spark.sources.target import BucketedTargetTable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:bdel".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"bdel_li_{tag}")
+    t = BucketedTargetTable(
+        spark, root, "lineitem_bdel", buckets=8, keys=["l_orderkey"]
+    )
+    # sentinel = the LAST commit (v3 after write + two deletes): a crash
+    # mid-build can never leave a "complete" half-deleted table
+    if t.current_version() != 3:
+        t.write(li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                          "l_linestatus", "l_quantity"))
+        t.delete_where(F.col("l_returnflag") == "R")
+        t.delete_where((F.col("l_linestatus") == "F") & (F.col("l_quantity") > 45))
+    return t.read().groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("qty_cents"),
+    )
+
+
+@query(
     "similarity_ivf_recall",
     _COSINE_CTE_REF.format(qid=0)
     + f""",

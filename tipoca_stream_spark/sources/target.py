@@ -1426,6 +1426,35 @@ class BucketedTargetTable(ParquetTargetTable):
         )
         return RoutedRead(df, route, len(cand), total)
 
+    def delete_where(self, pred) -> int:
+        """Retroactive predicate delete (GDPR erasure, retention sweeps)
+        on the bucketed CDC target, O(touched buckets): one scan finds
+        the buckets holding matching rows; ONLY those buckets rewrite
+        their survivors, every other bucket's files hard-link into the
+        new version — the copy-on-write dual of
+        ``DeletionVectorTable.delete_where`` (merge-on-read). Right when
+        deletes cluster by key (they hash to few buckets) or when read
+        amplification matters more than write cost; the DV table is
+        right for scattered sparse deletes. Everything rides the normal
+        delta commit: zone stats, Bloom words, and posting sidecars
+        refresh for the touched buckets and carry forward for the rest,
+        `changes()` reports the deletes, and the CAS flip makes two
+        racing deleters resolve to exactly one winner (loser retries
+        against the survivor set). Returns rows deleted; SQL DELETE null
+        semantics (``pred`` NULL keeps the row)."""
+        base = self.current_version()
+        hits = self.read(base).filter(pred)
+        touched = sorted(
+            r["b"]
+            for r in hits.select(self.bucket_of().alias("b")).distinct().collect()
+        )
+        if not touched:
+            return 0
+        n = hits.count()
+        survivors = self.read_buckets(touched).filter((~pred) | pred.isNull())
+        self.write_bucket_delta(survivors, touched, expected_base=base)
+        return n
+
     def compact(self, target_files: int = 1, partition_by: list[str] | None = None) -> int:
         """Bucketed rewrite IS compaction: one file per bucket. CAS
         against the version being rewritten (see base class)."""
