@@ -83,14 +83,27 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_band_keys(signatures: DataFrame, id_col: str, band_size: int = 2) -> DataFrame:
+def lsh_band_keys(
+    signatures: DataFrame,
+    id_col: str,
+    band_size: int = 2,
+    carry: list[str] | None = None,
+    sig_cols: list[str] | None = None,
+) -> DataFrame:
     """Split the signature into bands of ``band_size`` and emit one
-    ``(id, band_no, band_key)`` row per band.
+    ``(id, *carry, band_no, band_key)`` row per band.
 
     Single ``posexplode`` over an array of band digests — a union of
     per-band selects would re-execute the whole upstream signature
-    aggregation once per band."""
-    sig_cols = [c for c in signatures.columns if c != id_col]
+    aggregation once per band. ``carry`` rides columns (e.g. the
+    signature itself, for a denormalized band index) through the explode
+    instead of re-joining the signature frame back on id; ``sig_cols``
+    names the signature columns explicitly (default: every non-id,
+    non-carry column) — pass both when the carried columns ARE the
+    signature."""
+    carry = carry or []
+    if sig_cols is None:
+        sig_cols = [c for c in signatures.columns if c != id_col and c not in carry]
     n_bands = len(sig_cols) // band_size
     band_digests = F.array(
         *[
@@ -99,7 +112,9 @@ def lsh_band_keys(signatures: DataFrame, id_col: str, band_size: int = 2) -> Dat
         ]
     )
     return signatures.select(
-        F.col(id_col), F.posexplode(band_digests).alias("band_no", "band_key")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode(band_digests).alias("band_no", "band_key"),
     )
 
 
