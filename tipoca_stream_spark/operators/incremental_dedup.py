@@ -101,6 +101,14 @@ class IncrementalDeduper:
         doc has exactly one)."""
         return self.index.read().filter(F.col("band_no") == 0).drop("band_no", "band_key")
 
+    def screen(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Read-only screen: match pairs of ``docs`` against the current
+        index (shingle → minhash → band-bucket candidates → signature
+        agreement), committing nothing."""
+        return self.matches(self._signatures(docs, text_col, id_col), id_col)
+
     def matches(self, sig_new: DataFrame, id_col: str) -> DataFrame:
         """(new_id, corpus_id, est_jaccard ≥ threshold) — candidates from
         shared band buckets, verified by signature agreement — against the

@@ -92,6 +92,102 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.lsh_candidate_pairs(bands, "doc_id", max_bucket_size=MAX_LSH_BUCKET)
 
 
+# --- incremental (batch-vs-corpus) MinHash screen ---------------------------
+
+INC_MINHASH_THRESHOLD = 0.5
+INC_COPY_OFFSET = 10_000_000
+
+_INC_EST = " + ".join(
+    f"(sn.s{k} = sc.s{k})::int" for k in range(N_MINHASH)
+)
+_INC_BANDS_N = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_no, md5(s{2*b} || s{2*b+1}) AS band_key FROM sig_new"
+    for b in range(N_MINHASH // BAND_SIZE)
+)
+_INC_BANDS_C = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_no, md5(s{2*b} || s{2*b+1}) AS band_key FROM sig_corpus"
+    for b in range(N_MINHASH // BAND_SIZE)
+)
+
+INC_MINHASH_ORACLE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {INC_COPY_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0),
+wc AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+wn AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+shc AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM wc, unnest(range(1, len(w) - 1)) AS t(i)),
+shn AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM wn, unnest(range(1, len(w) - 1)) AS t(i)),
+sig_corpus AS (SELECT doc_id, {_SIG_COLS} FROM shc GROUP BY doc_id),
+sig_new AS (SELECT doc_id, {_SIG_COLS} FROM shn GROUP BY doc_id),
+bands_n AS ({_INC_BANDS_N}),
+bands_c AS ({_INC_BANDS_C}),
+cand AS (SELECT DISTINCT bn.doc_id AS new_id, bc.doc_id AS corpus_id
+         FROM bands_n bn JOIN bands_c bc
+           ON bn.band_no = bc.band_no AND bn.band_key = bc.band_key)
+SELECT c.new_id, c.corpus_id, ({_INC_EST}) / {N_MINHASH}.0 AS est_jaccard
+FROM cand c
+JOIN sig_new sn ON sn.doc_id = c.new_id
+JOIN sig_corpus sc ON sc.doc_id = c.corpus_id
+WHERE ({_INC_EST}) / {N_MINHASH}.0 >= {INC_MINHASH_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_incremental_minhash",
+    INC_MINHASH_ORACLE,
+    survey_ref="training: batch-vs-corpus MinHash screening (persisted band index)",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus lexical dedup (round 8): a live ingest screens each
+    batch against a PERSISTED band-key index of accepted signatures
+    (operators/incremental_dedup.py) instead of re-running full-corpus
+    LSH. The even-id half of ``documents`` is ingested as the accepted
+    corpus (an O(batch) append_delta commit into the band-bucketed
+    index); the screened batch is the odd half plus exact copies of
+    every 10th even doc under offset ids. The oracle recomputes the
+    whole pipeline — shingle → minhash → bands → candidate join →
+    signature-agreement estimate ≥ {INC_MINHASH_THRESHOLD} — so every
+    planted copy must surface with est_jaccard 1.0 and every natural
+    near-dup must agree exactly between engines. The screen reads ONLY
+    the batch's band buckets from the index (file-level pruning via
+    read_buckets)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tipoca_stream_spark.operators.incremental_dedup import IncrementalDeduper
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + INC_COPY_OFFSET).alias("doc_id"), "text"
+            )
+        )
+    )
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:lshidx".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"lshidx_{tag}")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        d = IncrementalDeduper(spark, root, threshold=INC_MINHASH_THRESHOLD)
+        d.ingest(corpus)
+        with open(marker, "w") as f:
+            f.write("ok")
+    else:
+        d = IncrementalDeduper(spark, root, threshold=INC_MINHASH_THRESHOLD)
+    return d.screen(batch)
+
+
 # --- n-gram Jaccard ---------------------------------------------------------
 
 JACCARD_THRESHOLD = 0.9
