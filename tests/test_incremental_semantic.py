@@ -154,3 +154,162 @@ def test_racing_ingest_loses_cas_and_retry_converges(spark, tmp_path):
     assert {r["vec_id"]: r["dup_of"] for r in flagged.collect()} == {
         i + 5_000: i for i, _ in winner_rows[:2]
     }
+
+
+def test_ingest_commits_o_batch_every_prior_file_links(spark, tmp_path):
+    """The r7→r8 fix: an accepted batch must never read back or rewrite
+    the accumulated index — every prior file hard-links into the new
+    version and only the batch's cluster buckets gain files."""
+    root = str(tmp_path / "semob")
+    base_rows = _vectors(range(0, 40))
+    seeds = spark.createDataFrame([(i, v) for i, v in base_rows[:4]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds)
+    d.ingest(spark.createDataFrame(base_rows, SCHEMA))
+    import os
+
+    prior = {
+        os.stat(f).st_ino
+        for f in d.index._version_files(d.index._vdir(d.index.current_version()))
+    }
+    d.ingest(spark.createDataFrame(_vectors(range(100, 110), seed=53), SCHEMA))
+    now = {
+        os.stat(f).st_ino
+        for f in d.index._version_files(d.index._vdir(d.index.current_version()))
+    }
+    assert prior <= now
+    st = d.index.last_commit_stats
+    assert st["files_linked"] == len(prior)
+    assert 0 < st["files_written"] <= d.index.buckets
+
+
+def test_screen_reads_only_the_batch_cluster_buckets(spark, tmp_path):
+    """File-level pruning: with a many-cluster quantizer, screening a
+    batch that lands in ONE cluster schedules only that cluster's bucket
+    files — the route_read discipline applied to the index itself."""
+    root = str(tmp_path / "semprune")
+    rows = _vectors(range(0, 120))
+    seeds = spark.createDataFrame([(i, v) for i, v in rows[:24]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds)
+    d.ingest(spark.createDataFrame(rows, SCHEMA))
+    # one batch vector = a scaled copy of one corpus member → one cluster
+    d.screen(spark.createDataFrame(_scaled(rows[:1], 9_000), SCHEMA)).collect()
+    st = d.last_screen_stats
+    assert st["files_scanned"] < st["files_total"], st
+
+
+def test_requantize_grows_k_and_preserves_screening(spark, tmp_path):
+    """requantize re-assigns under a larger quantizer as one CAS commit:
+    k grows, copies of corpus members are still flagged to the same
+    dup_of, and the index version carries its seeds version."""
+    root = str(tmp_path / "semreq")
+    rows = _vectors(range(0, 60))
+    seeds = spark.createDataFrame([(i, v) for i, v in rows[:4]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds)
+    d.ingest(spark.createDataFrame(rows, SCHEMA))
+
+    before = d.screen(spark.createDataFrame(_scaled(rows[:6], 7_000), SCHEMA))
+    got_before = {r["vec_id"]: r["dup_of"] for r in before.collect()}
+    assert got_before == {i + 7_000: i for i, _ in rows[:6]}
+
+    v = d.requantize(d.grown_seeds(target_per_cluster=5))
+    assert d.index.current_version() == v
+    assert d.seeds.count() == 12  # ceil(60/5)
+    # same twins, same representatives, under the new quantizer
+    after = d.screen(spark.createDataFrame(_scaled(rows[:6], 7_000), SCHEMA))
+    got_after = {r["vec_id"]: r["dup_of"] for r in after.collect()}
+    assert got_after == got_before
+    # the index still holds exactly the accepted corpus (re-assigned)
+    assert d.index.read().count() == 60
+    # a restarted instance resolves the NEW quantizer from the commit
+    d2 = IncrementalSemanticDeduper(spark, root)
+    assert d2.seeds.count() == 12
+
+
+def test_maybe_requantize_keeps_density_bounded(spark, tmp_path):
+    """The ingest-loop hook: as the corpus grows past the density target,
+    maybe_requantize grows k; below the target it is a no-op."""
+    root = str(tmp_path / "semgrow")
+    rows = _vectors(range(0, 20))
+    seeds = spark.createDataFrame([(i, v) for i, v in rows[:4]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds)
+    d.ingest(spark.createDataFrame(rows, SCHEMA))
+    assert d.maybe_requantize(target_per_cluster=8) is None  # 20 ≤ 4*8
+    d.ingest(spark.createDataFrame(_vectors(range(100, 160), seed=59), SCHEMA))
+    v = d.maybe_requantize(target_per_cluster=8)  # 80 > 4*8 → grow
+    assert v is not None
+    assert d.seeds.count() == 10  # ceil(80/8)
+    # density restored: a second call is a no-op again
+    assert d.maybe_requantize(target_per_cluster=8) is None
+
+
+def test_racing_ingest_and_requantize_one_winner(spark, tmp_path):
+    """An ingest that captured its base before a requantize commits must
+    LOSE the CAS (its assignments were made under the old quantizer);
+    the retry re-assigns under the new seeds and converges."""
+    root = str(tmp_path / "semreqrace")
+    rows = _vectors(range(0, 40))
+    seeds = spark.createDataFrame([(i, v) for i, v in rows[:4]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds)
+    d.ingest(spark.createDataFrame(rows, SCHEMA))
+    other = IncrementalSemanticDeduper(spark, root)
+
+    batch = _vectors(range(300, 310), seed=61)
+    orig = type(d.index).current_version
+    calls = {"n": 0}
+
+    def stale_then_real(self):
+        calls["n"] += 1
+        if calls["n"] == 1 and "semreqrace" in self.path:
+            v = orig(self)
+            other.requantize(other.grown_seeds(target_per_cluster=5))
+            return v
+        return orig(self)
+
+    type(d.index).current_version = stale_then_real
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            d.ingest(spark.createDataFrame(batch, SCHEMA))
+    finally:
+        type(d.index).current_version = orig
+
+    n, flagged = d.ingest(spark.createDataFrame(batch, SCHEMA))
+    assert n == 10 and flagged.count() == 0
+    # the retried commit was assigned under the requantized seeds
+    assert d.index.read_metadata()["seeds_version"] == 2
+    assert d.index.read().count() == 50
+
+
+def test_requantize_loser_removes_staged_seeds(spark, tmp_path):
+    """A requantize that loses its CAS must not leave its staged seeds
+    dir to shadow a retry's quantizer."""
+    root = str(tmp_path / "semreqlose")
+    rows = _vectors(range(0, 30))
+    seeds = spark.createDataFrame([(i, v) for i, v in rows[:4]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds)
+    d.ingest(spark.createDataFrame(rows, SCHEMA))
+    other = IncrementalSemanticDeduper(spark, root)
+    grown = d.grown_seeds(target_per_cluster=5)
+    grown.collect()  # materialize before the pointer moves
+
+    orig = type(d.index).current_version
+    calls = {"n": 0}
+
+    def stale_then_real(self):
+        calls["n"] += 1
+        if calls["n"] == 1 and "semreqlose" in self.path:
+            v = orig(self)
+            # someone else commits between the rebuild's base capture
+            # and its pointer flip
+            other.ingest(spark.createDataFrame(_vectors(range(50, 55), seed=67), SCHEMA))
+            return v
+        return orig(self)
+
+    type(d.index).current_version = stale_then_real
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            d.requantize(grown)
+    finally:
+        type(d.index).current_version = orig
+    assert d._staged_seed_versions() == [1]
+    # state intact: the winner's commit serves
+    assert d.index.read().count() == 35
