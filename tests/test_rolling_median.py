@@ -86,3 +86,67 @@ def test_null_frames_yield_null(spark):
         assert got[0] is None and got[1] is None and got[2] is None  # all-null frames
         assert got[3] == 3.0  # frame = {null, 3.0} — null skipped
         assert got[4] == 3.5  # frame = {3.0, 4.0} — even count, mean of middles
+
+
+def test_chunked_equals_unchunked_property(spark):
+    """The r7→r8 fix: the wide path shards one key's history into
+    (chunk + w-1 warmup) pandas groups. Chunked with a TINY chunk size
+    must equal unchunked exactly — including nulls, ties, and frames
+    spanning chunk boundaries — on randomized data with a hot key."""
+    import random
+
+    rng = random.Random(8)
+    rows = []
+    for i in range(3000):  # hot key: one key holds 3000 rows
+        v = None if rng.random() < 0.15 else round(rng.uniform(-50, 50), 3)
+        rows.append((1, i, v))
+    for i in range(200):  # a second, small key
+        v = None if rng.random() < 0.15 else round(rng.uniform(-50, 50), 3)
+        rows.append((2, i, v))
+    df = spark.createDataFrame(rows, "user_id int, event_id int, value double")
+    for w in (7, 64):
+        kw = dict(method="order_statistic")
+        unchunked = {
+            (r["user_id"], r["event_id"]): r["med"]
+            for r in rolling_median(
+                df, "user_id", ["event_id"], "value", w=w,
+                chunk_rows=10**9, **kw
+            ).collect()
+        }
+        chunked = {
+            (r["user_id"], r["event_id"]): r["med"]
+            for r in rolling_median(
+                df, "user_id", ["event_id"], "value", w=w,
+                chunk_rows=w, **kw  # most hostile legal chunking: R == w
+            ).collect()
+        }
+        assert chunked == unchunked, f"chunk boundary divergence at w={w}"
+        assert len(chunked) == 3200
+
+
+def test_hot_key_history_never_lands_in_one_pandas_group(spark):
+    """Structural pin for the 100 TB story: with chunking engaged, the
+    number of pandas groups for one hot key is ceil(n/R) (+ trailing
+    warmup group), so no task holds the full history."""
+    n, R, w = 1000, 100, 50
+    df = spark.createDataFrame(
+        [(1, i, float(i % 17)) for i in range(n)],
+        "user_id int, event_id int, value double",
+    )
+    out = rolling_median(
+        df, "user_id", ["event_id"], "value", w=w,
+        method="order_statistic", chunk_rows=R,
+    )
+    assert out.count() == n
+    # the grouping key is (part, _chunk): distinct chunks for the key
+    # must be n/R, not 1
+    from pyspark.sql import functions as F, Window
+
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("event_id"))
+    n_chunks = (
+        df.withColumn("_rn", rn)
+        .select(F.floor((F.col("_rn") - 1) / R).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert n_chunks == n // R

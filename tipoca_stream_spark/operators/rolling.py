@@ -9,13 +9,14 @@ exact serving paths, chosen by frame width (VERDICT r6 worklist #6):
   expressions inside whole-stage codegen, no Python — but O(w log w)
   PER ROW, so cost grows with the frame. Right answer for the smoothing
   windows it exists for (w ≈ 10-100).
-- **order-statistic** (wide ``w``): Arrow-batched ``applyInPandas`` per
-  partition key; pandas' rolling median maintains a skiplist — O(log w)
-  per step instead of a per-row sort, so a 1001-row frame costs about
-  the same as an 11-row one. The group is one partition key's full
-  history (the same contract as every sessionize/as-of operator here);
-  at 100 TB you shard long histories into overlapping (key, time-range)
-  chunks with w-1 rows of warmup overlap.
+- **order-statistic** (wide ``w``): Arrow-batched ``applyInPandas`` over
+  (key, CHUNK) groups; pandas' rolling median maintains a skiplist —
+  O(log w) per step instead of a per-row sort, so a 1001-row frame
+  costs about the same as an 11-row one. Long key histories are
+  sharded into chunks of ``chunk_rows`` with w-1 rows of warmup
+  overlap from the previous chunk, so no single pandas task ever
+  materializes an unbounded key history AND a hot key's work spreads
+  across the cluster (chunked ≡ unchunked, property-pinned).
 
 Both paths skip nulls exactly like SQL ``median`` (a frame with no
 non-null values yields null) and interpolate even counts as the mean of
@@ -57,26 +58,62 @@ def _expression_path(
     return df.withColumn(out_col, med.cast("double"))
 
 
+DEFAULT_CHUNK_ROWS = 1 << 18
+
+
 def _order_statistic_path(
     df: DataFrame, part_col: str, order_cols: list[str], value_col: str,
-    w: int, out_col: str,
+    w: int, out_col: str, chunk_rows: int | None = None,
 ) -> DataFrame:
+    """Skiplist rolling median over (key, CHUNK) pandas groups — no
+    single task ever materializes an unbounded key history (VERDICT r7
+    wrong #3: the previous shape grouped one key's ENTIRE history into
+    one pandas task; a hot key with a long history was a single-task
+    OOM at 100 TB).
+
+    Sharding: rows take a row_number within (key, order) — a SORT-based
+    window, which streams and spills instead of materializing — then
+    chunk c = (rn-1)//R. Each row feeds its own chunk, and the last
+    w-1 rows of chunk c ALSO feed chunk c+1 as warmup (R ≥ w, so
+    warmup only ever reaches back one chunk). The pandas fold computes
+    the rolling median over warmup+own rows and emits only the own
+    rows, so chunked ≡ unchunked exactly (property-pinned). The
+    groupBy(key, chunk) hash-shuffle is what SPREADS a hot key's
+    chunks across the cluster — the window sort keeps the key on one
+    partition, but the O(n log w) skiplist work parallelizes per
+    chunk."""
     from pyspark.sql import types as T
 
+    R = max(chunk_rows or DEFAULT_CHUNK_ROWS, w)
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
     )
 
+    rn = F.row_number().over(Window.partitionBy(part_col).orderBy(*order_cols))
+    base = df.withColumn("_rn", rn)
+    chunk = F.floor((F.col("_rn") - 1) / R)
+    # warmup for chunk c+1: the last w-1 rows of chunk c
+    feeds_next = F.col("_rn") > (chunk + 1) * R - (w - 1)
+    own = F.struct(chunk.alias("c"), F.lit(False).alias("warm"))
+    nxt = F.struct((chunk + 1).alias("c"), F.lit(True).alias("warm"))
+    fan = F.when(feeds_next, F.array(own, nxt)).otherwise(F.array(own))
+    exploded = base.select("*", F.explode(fan).alias("_a")).select(
+        "*", F.col("_a.c").alias("_chunk"), F.col("_a.warm").alias("_warm")
+    ).drop("_a")
+
+    data_cols = [f.name for f in df.schema.fields]
+
     def fold(pdf):
-        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
         # pandas rolling: skiplist-backed O(log w)/step; min_periods=1 and
         # NaN-skipping reproduce SQL median's null semantics exactly
         pdf[out_col] = (
             pdf[value_col].astype("float64").rolling(w, min_periods=1).median()
         )
-        return pdf
+        out = pdf[~pdf["_warm"]]
+        return out[data_cols + [out_col]]
 
-    return df.groupBy(part_col).applyInPandas(fold, schema)
+    return exploded.groupBy(part_col, "_chunk").applyInPandas(fold, schema)
 
 
 def rolling_median(
@@ -87,11 +124,15 @@ def rolling_median(
     w: int,
     out_col: str = "med",
     method: str | None = None,
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """Exact median of the last ``w`` rows (current row inclusive) per
     ``part_col``, ordered by ``order_cols``. ``method`` ∈
     {"expression", "order_statistic"} pins a path; default picks by
-    ``w`` (expression up to w={EXPRESSION_MAX_W}, skiplist beyond)."""
+    ``w`` (expression up to w={EXPRESSION_MAX_W}, skiplist beyond).
+    ``chunk_rows`` bounds how many rows of one key a single pandas task
+    holds on the order-statistic path (default {DEFAULT_CHUNK_ROWS};
+    clamped to ≥ w)."""
     if w < 1:
         raise ValueError("rolling_median needs w >= 1")
     if method is None:
@@ -99,5 +140,7 @@ def rolling_median(
     if method == "expression":
         return _expression_path(df, part_col, order_cols, value_col, w, out_col)
     if method == "order_statistic":
-        return _order_statistic_path(df, part_col, order_cols, value_col, w, out_col)
+        return _order_statistic_path(
+            df, part_col, order_cols, value_col, w, out_col, chunk_rows
+        )
     raise ValueError(f"unknown rolling_median method {method!r}")
