@@ -49,6 +49,26 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name].fn(spark, sf_dir).count()
         out[name] = round(time.perf_counter() - t0, 3)
+
+    # top-cost EXTRAS (VERDICT r7 wrong #4: cross-round claims about the
+    # extras — pagerank/triangles/components/tpch — had no A/B standard;
+    # r7's graph_pagerank read +141% on host load with no adjudication
+    # path). Same single-shot-per-process discipline as the headline.
+    extras = {
+        "x_graph_pagerank": "graph_pagerank_supplier_part",
+        "x_graph_triangles": "graph_triangle_counts",
+        "x_dedup_components": "dedup_components",
+        "x_dedup_semantic": "dedup_semantic",
+    }
+    for label, qname in extras.items():
+        t0 = time.perf_counter()
+        QUERIES[qname].fn(spark, sf_dir).count()
+        out[label] = round(time.perf_counter() - t0, 3)
+    tpch = sorted(q for q in QUERIES if q.startswith("tpch_"))
+    t0 = time.perf_counter()
+    for name in tpch:
+        QUERIES[name].fn(spark, sf_dir).count()
+    out["x_tpch_total"] = round(time.perf_counter() - t0, 3)
     print("BENCH_ONCE " + json.dumps(out), flush=True)
 
 

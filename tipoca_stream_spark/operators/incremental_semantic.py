@@ -145,6 +145,25 @@ class IncrementalSemanticDeduper:
     # --- screen -------------------------------------------------------------
 
     def _assigned(self, batch: DataFrame, seeds: DataFrame) -> DataFrame:
+        # the assigned batch feeds several consumers (touched-bucket
+        # collect + pair-join probe side in _screen; the accepted
+        # anti-join in ingest), each re-running the batch×k assignment
+        # crossJoin — cheap, batch-sized. Round-8 measured
+        # localCheckpoint(lazy) here and rejected it: a flat ~8.5 s of
+        # eager physical planning per fresh build (see semantic_dedup),
+        # dwarfing the re-execution it saves.
+        #
+        # Defensive fan-out: the assignment crossJoin inherits the
+        # BATCH's partitioning, and real batches often arrive collapsed
+        # (a limit plans GlobalLimit → Exchange SinglePartition; a tiny
+        # kafka micro-batch is one partition) — the k-seed broadcast
+        # then runs batch×k cosine rows in ONE task, silently serial no
+        # matter how large k grows (round-8 probe: a limit-built batch
+        # measured 10 s single-task vs ~1 s spread). Same rationale as
+        # the pair join's pinned repartition.
+        p = batch.sparkSession.sparkContext.defaultParallelism
+        if batch.rdd.getNumPartitions() < p:
+            batch = batch.repartition(p)
         assign = assign_by_cosine(batch, seeds, self.id_col, self.vec_col)
         return batch.select(self.id_col, self.vec_col).join(assign, self.id_col)
 

@@ -113,6 +113,15 @@ def semantic_dedup(
     s = salt if salt is not None else salt_factor(emb, n_clusters)
     p = emb.sparkSession.sparkContext.defaultParallelism
     assign = assign_by_cosine(emb, seeds, id_col, vec_col)
+    # NOTE on materializing `sided` once: both pair sides consume it, and
+    # each branch re-executes the assignment subtree. Round-8 measured the
+    # obvious remedies at sf1 and REJECTED them: localCheckpoint(lazy)
+    # pays ~8 s of eager physical planning (toRdd) per fresh build —
+    # worse than the ~1.2 s double execution it saves — and persist()
+    # without an unpersist point leaks CacheManager entries per call.
+    # Fresh-plan fixed costs (analysis + codegen + broadcast build)
+    # dominate this operator's wall time at bench scale; execution-only
+    # cost is probed separately in scripts/scale_probe_r8.py.
     sided = emb.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
     # the a-side is the PROBE of the pair join, explicitly hash-split on
     # (cluster_id, _salt) into a PINNED partition count: its input rows
