@@ -989,3 +989,334 @@ def test_independent_fixture_is_really_progressive():
     assert len(scans) >= 6  # real multi-scan script
     assert any(ah > 0 for _, _, ah, _ in scans)  # refinement passes present
     assert any(ss > 0 and se < 63 for ss, se, _, _ in scans)  # spectral bands
+
+
+# --------------------------------------------- lossless JPEG (SOF3) ---
+# Independent second encoder (the progressive-fixture discipline): this
+# implementation of T.81 Annex H was written against the spec separately
+# from both operators.imagecodec._decode_jpeg_lossless AND the package's
+# own encode_jpeg_lossless_gray, covering the surface the package encoder
+# doesn't (multi-component, 2-16-bit precision, point transform,
+# line-aligned restart intervals, per-component Huffman tables).
+
+
+def _lossless_predict(plane, y, x, predictor, default):
+    if y == 0:
+        return int(plane[0, x - 1]) if x else default
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    return {
+        1: ra,
+        2: rb,
+        3: rc,
+        4: ra + rb - rc,
+        5: ra + ((rb - rc) >> 1),
+        6: rb + ((ra - rc) >> 1),
+        7: (ra + rb) >> 1,
+    }[predictor]
+
+
+def jpeg_encode_lossless(
+    px, predictor=1, precision=8, point_transform=0, restart_rows=0
+):
+    """Encode (h, w) or (h, w, c) integer samples as lossless JPEG.
+
+    Returns (payload, expected): expected is the exact decode result —
+    the point-transformed samples scaled back up, per T.81 A.4.1.
+    """
+    px = np.atleast_3d(np.asarray(px, dtype=np.int64))
+    h, w, ncomp = px.shape
+    pt = point_transform
+    shifted = px >> pt  # encoder-side point transform (A.4.1)
+    expected = (shifted << pt).astype(np.uint8 if precision <= 8 else np.uint16)
+
+    # per-component diff streams, sample-interleaved scan order, restart
+    # intervals restarting prediction like a fresh scan
+    default = 1 << (precision - pt - 1)
+    rows_per = restart_rows if restart_rows else h
+    intervals = []  # list of per-interval diff lists [(ci, diff), ...]
+    for y0 in range(0, h, rows_per):
+        diffs = []
+        seg = shifted[y0 : y0 + rows_per]
+        for y in range(seg.shape[0]):
+            for x in range(w):
+                for ci in range(ncomp):
+                    pred = _lossless_predict(seg[:, :, ci], y, x, predictor, default)
+                    d = (int(seg[y, x, ci]) - pred + 32768) % 65536 - 32768
+                    diffs.append((ci, d))
+        intervals.append(diffs)
+
+    def cat(v):
+        return abs(int(v)).bit_length()
+
+    # Huffman table per component id class: comp 0 -> table 0, rest -> 1
+    tsel = [0 if ci == 0 else 1 for ci in range(ncomp)]
+    syms = {0: [], 1: []}
+    for diffs in intervals:
+        for ci, d in diffs:
+            syms[tsel[ci]].append(cat(d))
+    tables = {
+        tid: _fixed_table(s or [0]) for tid, s in syms.items() if s or tid == 0
+    }
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    sof = bytearray([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    segment(0xC3, bytes(sof))
+    for tid, (counts, symbols, _) in sorted(tables.items()):
+        segment(0xC4, bytes([tid] + counts + symbols))
+    if restart_rows:
+        segment(0xDD, (restart_rows * w).to_bytes(2, "big"))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, tsel[ci] << 4])
+    sos += bytes([predictor, 0, pt])
+    segment(0xDA, bytes(sos))
+
+    for k, diffs in enumerate(intervals):
+        writer = _BitWriter()
+        for ci, d in diffs:
+            _, _, codes = tables[tsel[ci]]
+            s = cat(d)
+            length, code = codes[s]
+            writer.write(code, length)
+            if s and s != 16:  # SSSS=16 codes diff 32768 with no bits
+                writer.write(_magnitude_bits(d, s), s)
+        writer.flush()
+        out.extend(writer.out)
+        if k < len(intervals) - 1:
+            out.extend(bytes([0xFF, 0xD0 + (k % 8)]))
+    out.extend(b"\xff\xd9")
+    return bytes(out), expected
+
+
+def _lossless_px(h, w, ncomp=1, top=255, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, top + 1, size=(h, w, ncomp)).astype(np.int64)
+    return a[:, :, 0] if ncomp == 1 else a
+
+
+def test_jpeg_lossless_all_predictors_bit_exact():
+    px = _lossless_px(19, 13, seed=10)
+    for predictor in range(1, 8):
+        payload, expected = jpeg_encode_lossless(px, predictor=predictor)
+        out = decode_jpeg(payload)
+        assert out.dtype == np.uint8
+        assert np.array_equal(out, expected), predictor
+        assert np.array_equal(out[:, :, 0], px)  # truly lossless
+
+
+def test_jpeg_lossless_rgb_no_color_transform():
+    # 3-component lossless carries source samples verbatim: decode must
+    # NOT apply the JFIF YCbCr transform
+    px = _lossless_px(9, 11, ncomp=3, seed=11)
+    payload, expected = jpeg_encode_lossless(px, predictor=4)
+    out = decode_jpeg(payload)
+    assert out.shape == (9, 11, 3)
+    assert np.array_equal(out, expected)
+    assert np.array_equal(out.astype(np.int64), px)
+
+
+def test_jpeg_lossless_16bit_and_ssss16_escape():
+    # alternating 0 / 32768 with predictor 1 forces diff = +-32768 ==
+    # 32768 (mod 65536): the SSSS=16 no-extra-bits escape (H.1.2.2)
+    px = np.zeros((4, 6), dtype=np.int64)
+    px[:, 1::2] = 32768
+    payload, expected = jpeg_encode_lossless(px, predictor=1, precision=16)
+    out = decode_jpeg(payload)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out[:, :, 0].astype(np.int64), px)
+    # plus a random 16-bit raster across all predictors
+    px = _lossless_px(8, 8, top=65535, seed=12)
+    for predictor in (2, 4, 7):
+        payload, _ = jpeg_encode_lossless(px, predictor=predictor, precision=16)
+        assert np.array_equal(
+            decode_jpeg(payload)[:, :, 0].astype(np.int64), px
+        ), predictor
+
+
+def test_jpeg_lossless_12bit_precision():
+    px = _lossless_px(10, 7, top=4095, seed=13)
+    payload, expected = jpeg_encode_lossless(px, predictor=6, precision=12)
+    out = decode_jpeg(payload)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out[:, :, 0].astype(np.int64), px)
+
+
+def test_jpeg_lossless_point_transform():
+    px = _lossless_px(12, 12, seed=14)
+    payload, expected = jpeg_encode_lossless(px, predictor=5, point_transform=2)
+    out = decode_jpeg(payload)
+    # decoded samples are the Pt-shifted values scaled back: low 2 bits zero
+    assert np.array_equal(out, expected)
+    assert np.array_equal(out[:, :, 0].astype(np.int64), (px >> 2) << 2)
+    assert not np.any(out & 0b11)
+
+
+def test_jpeg_lossless_line_aligned_restarts():
+    px = _lossless_px(20, 9, seed=15)
+    payload, expected = jpeg_encode_lossless(px, predictor=4, restart_rows=3)
+    assert any(
+        payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7
+        for i in range(len(payload) - 1)
+    )
+    out = decode_jpeg(payload)
+    assert np.array_equal(out[:, :, 0].astype(np.int64), px)
+
+
+def test_jpeg_lossless_gates():
+    px = _lossless_px(8, 8, seed=16)
+    payload, _ = jpeg_encode_lossless(px, predictor=1)
+    # non-line-aligned restart interval: refused, not mis-decoded
+    bad = bytearray(payload)
+    i = bad.index(b"\xff\xda")
+    dri = bytes([0xFF, 0xDD, 0x00, 0x04]) + (5).to_bytes(2, "big")
+    bad[i:i] = dri
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+    # subsampled lossless: refused
+    bad = bytearray(payload)
+    j = bad.index(b"\xff\xc3")
+    bad[j + 2 + 2 + 6 + 1] = 0x21  # comp 0 sampling 2x1
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_lossless_package_encoder_cross_check():
+    from tipoca_stream_spark.operators.imagecodec import (
+        encode_jpeg_lossless_gray,
+    )
+
+    px8 = _lossless_px(14, 10, seed=17).astype(np.uint8)
+    for predictor in range(1, 8):
+        a = encode_jpeg_lossless_gray(px8, predictor=predictor)
+        b, _ = jpeg_encode_lossless(px8.astype(np.int64), predictor=predictor)
+        # two encoders, one decoder, identical pixels — byte streams may
+        # differ (table layout), decoded samples may not
+        assert np.array_equal(decode_jpeg(a), decode_jpeg(b)), predictor
+        assert np.array_equal(decode_jpeg(a)[:, :, 0], px8), predictor
+
+
+def test_jpeg_lossless_via_decode_image():
+    from tipoca_stream_spark.operators.multimodal import (
+        decode_image,
+        decode_image_header,
+    )
+
+    px = _lossless_px(6, 20, seed=18)
+    payload, _ = jpeg_encode_lossless(px, predictor=7)
+    assert decode_image_header(payload) == ("jpeg", 20, 6)  # (fmt, w, h)
+    assert np.array_equal(decode_image(payload)[:, :, 0].astype(np.int64), px)
+
+
+# ------------------------------- 12-bit extended sequential (SOF1) ---
+
+
+def jpeg_encode_12bit_gray(px):
+    """12-bit extended-sequential DCT encode of an (h, w) raster in
+    [0, 4095]: SOF1 with precision 12, level shift 2048. Returns
+    (payload, expected) with expected the dequantized reconstruction."""
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
+    q = _QT_LUMA
+    padded = np.pad(px - 2048.0, ((0, mcus_y * 8 - h), (0, mcus_x * 8 - w)), mode="edge")
+    qblocks = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            f = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            qblocks.append(np.rint((_A @ f @ _A.T) / q).astype(np.int64))
+
+    # expected reconstruction
+    rec = np.zeros((mcus_y * 8, mcus_x * 8))
+    for i, blk in enumerate(qblocks):
+        my, mx = divmod(i, mcus_x)
+        rec[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = _A.T @ (blk * q) @ _A + 2048.0
+    expected = np.clip(np.rint(rec[:h, :w]), 0, 4095).astype(np.uint16)[:, :, None]
+
+    dc_syms, ac_syms = _block_symbols([qblocks], [0])
+    dc_tab = _fixed_table(dc_syms[0] or [0])
+    ac_tab = _fixed_table(ac_syms[0] or [0])
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    flat = q.reshape(64)
+    zz = bytes(int(flat[_ZIGZAG[i]]) for i in range(64))
+    segment(0xDB, bytes([0]) + zz)
+    segment(
+        0xC1,
+        bytes([12]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]),
+    )
+    segment(0xC4, bytes([0x00] + dc_tab[0] + dc_tab[1]))
+    segment(0xC4, bytes([0x10] + ac_tab[0] + ac_tab[1]))
+    segment(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    writer = _BitWriter()
+    pred = 0
+    for blk in qblocks:
+        zzs = _zigzag_scan(blk)
+        diff = zzs[0] - pred
+        pred = zzs[0]
+        s = _category(diff)
+        length, code = dc_tab[2][s]
+        writer.write(code, length)
+        if s:
+            writer.write(_magnitude_bits(diff, s), s)
+        run = 0
+        for k in range(1, 64):
+            if zzs[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_tab[2][0xF0]
+                writer.write(code, length)
+                run -= 16
+            s = _category(zzs[k])
+            length, code = ac_tab[2][(run << 4) | s]
+            writer.write(code, length)
+            writer.write(_magnitude_bits(zzs[k], s), s)
+            run = 0
+        if run:
+            length, code = ac_tab[2][0x00]
+            writer.write(code, length)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out), expected
+
+
+def test_jpeg_12bit_extended_sequential():
+    rng = np.random.default_rng(20)
+    base = np.add.outer(np.arange(21) * 97.0, np.arange(18) * 53.0)
+    px = np.clip(base + rng.normal(0, 40, base.shape), 0, 4095).astype(np.int64)
+    payload, expected = jpeg_encode_12bit_gray(px)
+    out = decode_jpeg(payload)
+    assert out.dtype == np.uint16
+    assert out.shape == (21, 18, 1)
+    assert np.max(np.abs(out.astype(int) - expected.astype(int))) <= 1
+
+
+def test_jpeg_12bit_baseline_sof0_still_gated():
+    # 12-bit is legal only for SOF1: a 12-bit SOF0 stream must be refused
+    px = _lossless_px(8, 8, top=4095, seed=21)
+    payload, _ = jpeg_encode_12bit_gray(px)
+    bad = bytearray(payload)
+    bad[bad.index(b"\xff\xc1") + 1] = 0xC0
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))

@@ -11,8 +11,13 @@ the GIF89a specification for GIF) and need no external codec library:
   and BT.601 YCbCr->RGB. Progressive DCT (SOF2) decodes fully too —
   spectral selection, successive approximation (DC and AC refinement
   scans with correction bits and EOB runs), interleaved DC scans, and
-  restarts (T.81 Annex G). Arithmetic-coded, 12-bit, and hierarchical
-  JPEGs raise NotImplementedError (honest gate).
+  restarts (T.81 Annex G). Extended sequential frames (SOF1) decode at
+  8 and 12-bit precision (12-bit planes come back uint16, 0..4095).
+  Lossless sequential (SOF3, T.81 Annex H) decodes fully: predictors
+  1-7, point transform, 2-16-bit precision, line-aligned restarts —
+  components are returned exactly as stored (no color transform), so
+  the round trip is bit-exact and SQL-oracle-checkable. Arithmetic-
+  coded and hierarchical JPEGs raise NotImplementedError (honest gate).
 - ``decode_gif``: GIF87a/89a first frame — logical screen + color tables,
   LZW decompression (variable code width, deferred clear, KwKwK case),
   interlace reordering, composed onto the logical-screen canvas.
@@ -41,10 +46,10 @@ _ZIGZAG = [
     53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
-_SOF_BASELINE = (0xC0, 0xC1)  # baseline / extended sequential, Huffman, 8-bit
+_SOF_BASELINE = (0xC0, 0xC1)  # baseline 8-bit / extended sequential 8..12-bit
 _SOF_PROGRESSIVE = 0xC2  # progressive DCT, Huffman — full decode support
+_SOF_LOSSLESS = 0xC3  # lossless sequential, Huffman — full decode support
 _SOF_UNSUPPORTED = {
-    0xC3: "lossless sequential",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
     0xC7: "differential lossless",
@@ -164,23 +169,29 @@ def _parse_dht(body: bytes, huff: dict) -> None:
         i += 17 + total
 
 
-def _planes_to_image(out_planes):
-    """Component planes → (h, w, c) uint8 (shared by the baseline and
-    progressive paths so the color contract cannot diverge)."""
+def _planes_to_image(out_planes, precision: int = 8):
+    """Component planes → (h, w, c) array (shared by the baseline and
+    progressive paths so the color contract cannot diverge). 8-bit
+    frames come back uint8; 12-bit extended-sequential frames uint16
+    with the YCbCr chroma center / clamp scaled to the precision
+    (2^(P-1) / 2^P - 1 per T.81 A.3.1)."""
     import numpy as np
 
+    dtype = np.uint8 if precision <= 8 else np.uint16
     if len(out_planes) == 1:
-        return out_planes[0][:, :, None].copy()
+        return out_planes[0][:, :, None].astype(dtype, copy=True)
     if len(out_planes) == 3:
+        center = float(1 << (precision - 1))
+        top = float((1 << precision) - 1)
         y = out_planes[0].astype(np.float64)
-        cb = out_planes[1].astype(np.float64) - 128.0
-        cr = out_planes[2].astype(np.float64) - 128.0
+        cb = out_planes[1].astype(np.float64) - center
+        cr = out_planes[2].astype(np.float64) - center
         # BT.601 (JFIF) conversion.
         r = y + 1.402 * cr
         g = y - 0.344136 * cb - 0.714136 * cr
         b = y + 1.772 * cb
         rgb = np.stack([r, g, b], axis=-1)
-        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        return np.clip(np.rint(rgb), 0, top).astype(dtype)
     raise NotImplementedError(
         f"{len(out_planes)}-component JPEG (CMYK/YCCK) not supported"
     )
@@ -217,12 +228,15 @@ def _split_entropy_segments(payload: bytes, pos: int):
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline or progressive JPEG -> (h, w, channels) uint8, or None
-    if not a JPEG.
+    """Baseline, extended-sequential (8/12-bit), progressive, or
+    lossless JPEG -> (h, w, channels) array, or None if not a JPEG.
+    8-bit frames return uint8; 12-bit DCT and 9-16-bit lossless frames
+    return uint16.
 
-    Progressive streams (SOF2) dispatch to the multi-scan decoder.
-    Raises NotImplementedError for the remaining processes (arithmetic /
-    lossless / 12-bit / hierarchical) and ValueError for corrupt streams.
+    Progressive streams (SOF2) dispatch to the multi-scan decoder;
+    lossless streams (SOF3) to the predictive decoder. Raises
+    NotImplementedError for the remaining processes (arithmetic /
+    hierarchical) and ValueError for corrupt streams.
     """
     import numpy as np
 
@@ -261,9 +275,14 @@ def decode_jpeg(payload: bytes):
         elif marker == _SOF_PROGRESSIVE:
             # progressive DCT: its own multi-scan decode loop
             return _decode_jpeg_progressive(payload)
+        elif marker == _SOF_LOSSLESS:
+            # lossless sequential: its own predictive decode loop
+            return _decode_jpeg_lossless(payload)
         elif marker in _SOF_BASELINE:
             precision = body[0]
-            if precision != 8:
+            # T.81 B.2.2: SOF0 is 8-bit only; SOF1 (extended sequential)
+            # allows 8 or 12.
+            if precision != 8 and not (marker == 0xC1 and precision == 12):
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -272,7 +291,7 @@ def decode_jpeg(payload: bytes):
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, precision)
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG process not supported: {_SOF_UNSUPPORTED[marker]} "
@@ -298,7 +317,7 @@ def decode_jpeg(payload: bytes):
     if frame is None or scan is None:
         raise ValueError("truncated JPEG: no frame/scan data")
 
-    h, w, comps = frame
+    h, w, comps, precision = frame
     if h == 0 or w == 0:
         raise ValueError("zero-dimension JPEG frame")
     sel, entropy_pos = scan
@@ -360,13 +379,16 @@ def decode_jpeg(payload: bytes):
                 blocks[ci].append(coef)
 
     a = _idct_basis()
+    center = float(1 << (precision - 1))
+    top = float((1 << precision) - 1)
+    pdtype = np.uint8 if precision <= 8 else np.uint16
     out_planes = []
     for ci, (_, hi, vi, _) in enumerate(comps):
         arr = np.array(blocks[ci], dtype=np.float64).reshape(-1, 8, 8)
-        spatial = np.einsum("ux,nuv,vy->nxy", a, arr, a) + 128.0
-        spatial = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+        spatial = np.einsum("ux,nuv,vy->nxy", a, arr, a) + center
+        spatial = np.clip(np.rint(spatial), 0, top).astype(pdtype)
         # Reassemble MCU-ordered blocks into the component plane.
-        plane = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.uint8)
+        plane = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=pdtype)
         b = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
@@ -383,7 +405,283 @@ def decode_jpeg(payload: bytes):
             plane = np.repeat(plane, hmax // hi, axis=1)
         out_planes.append(plane[:h, :w])
 
-    return _planes_to_image(out_planes)
+    return _planes_to_image(out_planes, precision)
+
+
+def _decode_jpeg_lossless(payload: bytes):
+    """Lossless sequential JPEG (SOF3, Huffman) -> (h, w, ncomp) array.
+
+    Full T.81 Annex H decode: predictors 1-7 (scan header Ss selects),
+    point transform (Al = Pt; decoded values are scaled back by 2^Pt per
+    A.4.1), sample precision 2-16 bits (uint8 out for P <= 8, uint16
+    above), the SSSS = 16 "diff is 32768" escape, and restart markers
+    when the restart interval is line-aligned (each interval restarts
+    prediction exactly like a new scan, so intervals stay independently
+    decodable; non-line-aligned intervals would let Rb reach across a
+    restart boundary and are refused — NotImplementedError).
+
+    Components come back EXACTLY as stored — no YCbCr transform, no
+    level shift — because lossless JPEG carries source samples verbatim
+    (there is no JFIF color contract for process 14); this is what makes
+    the encode->decode round trip bit-exact and therefore checkable by a
+    plain SQL oracle (see multimodal.pixel_roundtrip_stats).
+
+    Sampling factors other than 1x1 (multi-resolution interleave) raise
+    NotImplementedError — real lossless streams (DNG tiles, DICOM
+    MONOCHROME) are 1x1.
+    """
+    import numpy as np
+
+    huff: dict = {}
+    frame = None  # (h, w, [(comp_id, hi, vi)], precision)
+    restart_interval = 0
+    scan = None  # ([(comp_index, dc_table)], predictor, pt, entropy_pos)
+
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seg_len
+        if marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == _SOF_LOSSLESS:
+            precision = body[0]
+            if not 2 <= precision <= 16:
+                raise ValueError(f"invalid lossless JPEG precision {precision}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, _tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG not supported (1x1 only)"
+                    )
+                comps.append(cid)
+            frame = (h, w, comps, precision)
+        elif marker in _SOF_BASELINE or marker in (_SOF_PROGRESSIVE,):
+            raise ValueError("mixed SOF in lossless stream")
+        elif marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG process not supported: {_SOF_UNSUPPORTED[marker]}"
+            )
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            comp_ids = frame[2]
+            sel = []
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s : 3 + 2 * s]
+                if cs not in comp_ids:
+                    raise ValueError("SOS references unknown component")
+                sel.append((comp_ids.index(cs), tables >> 4))
+            ss, _se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if not 1 <= ss <= 7:
+                raise ValueError(f"invalid lossless predictor {ss}")
+            scan = (sel, ss, ahal & 0x0F, pos)
+            break
+        # else: APPn / COM — skipped
+
+    if frame is None or scan is None:
+        raise ValueError("truncated JPEG: no frame/scan data")
+    h, w, comp_ids, precision = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension JPEG frame")
+    sel, predictor, pt, entropy_pos = scan
+    if len(sel) != len(comp_ids):
+        raise NotImplementedError("multi-scan lossless JPEG")
+    if pt >= precision:
+        raise ValueError("point transform >= sample precision")
+
+    # One MCU = one sample per component (1x1 sampling); restart
+    # intervals must cover whole lines so prediction never reaches a
+    # sample from a previous interval.
+    if restart_interval and restart_interval % w != 0:
+        raise NotImplementedError(
+            "lossless restart interval must be a multiple of the line width"
+        )
+    segments, _ = _split_entropy_segments(payload, entropy_pos)
+
+    ncomp = len(comp_ids)
+    tabs = []
+    for _ci, dc_id in sel:
+        t = huff.get((0, dc_id))
+        if t is None:
+            raise ValueError("missing Huffman table")
+        tabs.append(t)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
+
+    default_pred = 1 << (precision - pt - 1)
+    rows_per_segment = (restart_interval // w) if restart_interval else h
+    mask = 0xFFFF  # T.81 H.1.2.1: reconstruction is modulo 65536
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    seg_first_row = 0  # first row of the current restart interval
+    for y in range(h):
+        if restart_interval and y and y % rows_per_segment == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            reader = _BitReader(segments[seg_idx])
+            seg_first_row = y
+        first_line = y == seg_first_row
+        for x in range(w):
+            for ci in range(ncomp):
+                plane = planes[ci]
+                s = _decode_symbol(reader, tabs[ci])
+                if s == 16:
+                    diff = 32768  # H.1.2.2: coded without extra bits
+                elif s:
+                    diff = _extend(reader.read_bits(s), s)
+                else:
+                    diff = 0
+                if first_line:
+                    # 1-D predictor for the interval's first line
+                    # (H.1.2.1); its very first sample takes the default.
+                    px = int(plane[y, x - 1]) if x else default_pred
+                elif x == 0:
+                    px = int(plane[y - 1, 0])  # Rb at line start
+                else:
+                    ra = int(plane[y, x - 1])
+                    rb = int(plane[y - 1, x])
+                    rc = int(plane[y - 1, x - 1])
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = rb
+                    elif predictor == 3:
+                        px = rc
+                    elif predictor == 4:
+                        px = ra + rb - rc
+                    elif predictor == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:  # 7
+                        px = (ra + rb) >> 1
+                plane[y, x] = (px + diff) & mask
+
+    top = (1 << precision) - 1
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    out = np.stack(planes, axis=-1)
+    if pt:
+        out = out << pt  # undo the point transform (A.4.1)
+    if int(out.max(initial=0)) > top:
+        raise ValueError("lossless JPEG sample exceeds declared precision")
+    return out.astype(dtype)
+
+
+def encode_jpeg_lossless_gray(px, predictor: int = 4) -> bytes:
+    """Encode a (h, w) uint8 grayscale raster as an 8-bit lossless
+    sequential JPEG (SOF3, Huffman, selectable predictor 1-7).
+
+    This is the data-plane encoder for the exact JPEG round trip in
+    multimodal.pixel_roundtrip_stats — lossless, so decode(encode(px))
+    == px bit-for-bit and integer pixel statistics are SQL-oracle
+    checkable. An independent second encoder (full color / precision /
+    point-transform / restart coverage) lives in tests/test_imagecodec.py
+    per the progressive-fixture discipline.
+    """
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.int64)
+    if px.ndim != 2:
+        raise ValueError("grayscale (h, w) input required")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    h, w = px.shape
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("unencodable dimensions")
+    if px.min() < 0 or px.max() > 255:
+        raise ValueError("8-bit samples required")
+
+    # Differences under the selected predictor (scan order), per H.1.2.1.
+    def pred(y: int, x: int) -> int:
+        if y == 0:
+            return int(px[0, x - 1]) if x else 128
+        if x == 0:
+            return int(px[y - 1, 0])
+        ra, rb, rc = int(px[y, x - 1]), int(px[y - 1, x]), int(px[y - 1, x - 1])
+        return (
+            ra, rb, rc, ra + rb - rc,
+            ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1), (ra + rb) >> 1,
+        )[predictor - 1]
+
+    diffs = [
+        (int(px[y, x]) - pred(y, x) + 32768) % 65536 - 32768
+        for y in range(h)
+        for x in range(w)
+    ]
+
+    def category(v: int) -> int:
+        return abs(v).bit_length()
+
+    cats = sorted({category(d) for d in diffs} | {0})
+    # Canonical single-length Huffman table over the categories present.
+    length = max(2, (len(cats) + 1).bit_length())
+    counts = [0] * 16
+    counts[length - 1] = len(cats)
+    codes = {c: (length, i) for i, c in enumerate(cats)}
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    segment(0xC3, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]))
+    segment(0xC4, bytes([0x00] + counts + cats))
+    segment(0xDA, bytes([1, 1, 0x00, predictor, 0, 0]))
+
+    acc = 0
+    nbits = 0
+    body = bytearray()
+
+    def put(value: int, width: int) -> None:
+        nonlocal acc, nbits
+        for i in range(width - 1, -1, -1):
+            acc = (acc << 1) | ((value >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                body.append(acc)
+                if acc == 0xFF:
+                    body.append(0x00)
+                acc = 0
+                nbits = 0
+
+    for d in diffs:
+        s = category(d)
+        ln, code = codes[s]
+        put(code, ln)
+        if s == 16:
+            continue  # diff 32768: no extra bits (unreachable for 8-bit)
+        if s:
+            put(d if d >= 0 else d + (1 << s) - 1, s)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)
+    out.extend(body)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 def _decode_jpeg_progressive(payload: bytes):
@@ -465,7 +763,11 @@ def _decode_jpeg_progressive(payload: bytes):
                 comp_h = -(-h * vi // vmax)
                 comp_w = -(-w * hi // hmax)
                 nonint.append((-(-comp_h // 8), -(-comp_w // 8)))
-        elif marker in _SOF_BASELINE or marker in _SOF_UNSUPPORTED:
+        elif (
+            marker in _SOF_BASELINE
+            or marker == _SOF_LOSSLESS
+            or marker in _SOF_UNSUPPORTED
+        ):
             raise ValueError("mixed/unsupported SOF in progressive stream")
         elif marker == 0xDD:
             restart_interval = int.from_bytes(body[:2], "big")

@@ -4,11 +4,12 @@ columns with typed metadata.
 Header decode is REAL: ``decode_image_header`` parses PNG IHDR, JPEG SOFn,
 GIF logical-screen, and BMP info headers in pure Python (no imaging
 library). Pixel decode is REAL for all four image formats: PNG (stdlib
-zlib inflate + per-row filter reversal, ``decode_png``), baseline JPEG
+zlib inflate + per-row filter reversal, ``decode_png``), JPEG
 (Huffman entropy decode + batched numpy IDCT, ``imagecodec.decode_jpeg``,
-baseline AND progressive as of round 6), GIF (LZW,
+baseline AND progressive as of round 6, extended-sequential 12-bit and
+lossless SOF3 as of round 8), GIF (LZW,
 ``imagecodec.decode_gif``), and uncompressed 24-bit BMP. Only
-arithmetic/lossless/12-bit JPEG processes and the video frame-extraction
+arithmetic-coded/hierarchical JPEG processes and the video frame-extraction
 kernels remain gated on PIL/ffmpeg, which this
 container doesn't ship — each such path is a clearly-marked stand-in
 inside otherwise-real Arrow-batched ``mapInPandas`` plumbing.
@@ -330,10 +331,11 @@ def png_encoded(pixels, color_type: int = 2) -> bytes:
 def decode_image(payload: bytes):
     """Full pixel decode to an (h, w, channels) uint8 array — pure
     Python/numpy for all four supported formats: PNG (stdlib zlib inflate
-    + filter reversal, ``decode_png``), baseline JPEG (Huffman + batched
-    numpy IDCT, ``imagecodec.decode_jpeg`` — baseline and progressive),
-    GIF (LZW, ``imagecodec.decode_gif``), and uncompressed 24-bit BMP.
-    Only arithmetic/lossless/12-bit JPEG processes remain gated behind
+    + filter reversal, ``decode_png``), JPEG (Huffman + batched numpy
+    IDCT, ``imagecodec.decode_jpeg`` — baseline, extended-sequential
+    8/12-bit, progressive, and lossless SOF3), GIF (LZW,
+    ``imagecodec.decode_gif``), and uncompressed 24-bit BMP. Only
+    arithmetic-coded and hierarchical JPEG processes remain gated behind
     NotImplementedError; corrupt payloads of a recognized format raise
     ValueError."""
     import numpy as np
@@ -392,14 +394,17 @@ def pixel_roundtrip_stats(documents: DataFrame) -> DataFrame:
     """Full encode→decode pixel round-trip in the data plane, exactly
     oracle-checkable: derive a small grayscale raster deterministically
     from (doc_id, text length), encode it as a REAL compressed payload
-    (PNG zlib / GIF LZW / 24-bit BMP, rotating by doc_id), decode it back
-    through ``decode_image`` (inflate + filter reversal / LZW / BMP), and
-    emit integer pixel statistics. Because all three codecs are lossless,
-    the stats are a pure function of (doc_id, n) that an external SQL
-    oracle recomputes without any image parsing — so the driver's DuckDB
-    gate verifies this entire Arrow-batched mapInPandas pipeline
-    end-to-end. (JPEG is exercised by spec-level unit tests instead; it is
-    lossy, so no exact SQL oracle exists for it.)
+    (PNG zlib / GIF LZW / 24-bit BMP / LOSSLESS JPEG, rotating by
+    doc_id), decode it back through ``decode_image`` (inflate + filter
+    reversal / LZW / BMP / SOF3 Huffman predictive decode), and emit
+    integer pixel statistics. Because all four codecs are lossless, the
+    stats are a pure function of (doc_id, n) that an external SQL oracle
+    recomputes without any image parsing — so the driver's DuckDB gate
+    verifies this entire Arrow-batched mapInPandas pipeline end-to-end.
+    Lossless JPEG (T.81 process 14) is what admits JPEG to this exact
+    gate: DCT JPEG is lossy, so it is exercised by spec-level unit tests
+    instead. The predictor rotates over all seven T.81 H.1 choices by
+    doc_id, so every predictor's encode AND decode sit under the oracle.
 
     100 TB shape: one Arrow batch per task, per-image work is O(pixels),
     no shuffle — embarrassingly parallel over document partitions."""
@@ -414,7 +419,10 @@ def pixel_roundtrip_stats(documents: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from tipoca_stream_spark.operators.imagecodec import encode_gif_gray
+        from tipoca_stream_spark.operators.imagecodec import (
+            encode_gif_gray,
+            encode_jpeg_lossless_gray,
+        )
 
         for pdf in batches:
             rows = []
@@ -424,11 +432,15 @@ def pixel_roundtrip_stats(documents: DataFrame) -> DataFrame:
                 h = max(1, min(6, n // w))
                 i = np.arange(w * h, dtype=np.int64)
                 px = ((mid * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w)
-                fmt = ("png", "gif", "bmp")[mid % 3]
+                fmt = ("png", "gif", "bmp", "jpegl")[mid % 4]
                 if fmt == "png":
                     payload = png_encoded(px[:, :, None], color_type=0)
                 elif fmt == "gif":
                     payload = encode_gif_gray(px)
+                elif fmt == "jpegl":
+                    payload = encode_jpeg_lossless_gray(
+                        px, predictor=1 + mid % 7
+                    )
                 else:
                     payload = bmp_framed(
                         w, h, [[(int(v),) * 3 for v in row] for row in px]

@@ -731,8 +731,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Header decode is real (PNG IHDR parse of the adapter's PNG-framed
     payloads) and now oracle-verified: the DuckDB oracle rebuilds the exact
     payload blob and recomputes width/height/digest with byte arithmetic.
-    Pixel decode is pure Python for PNG/baseline-JPEG/GIF/BMP — see
-    operators.imagecodec; only non-baseline JPEG processes stay gated."""
+    Pixel decode is pure Python for PNG/JPEG/GIF/BMP — see
+    operators.imagecodec; only arithmetic-coded and hierarchical JPEG
+    processes stay gated."""
     docs = _docs(spark, sf_dir)
     return mm.extract_features(mm.documents_as_media(docs))
 
@@ -753,8 +754,9 @@ _PIXEL_ROUNDTRIP_ORACLE = """
       FROM dims, unnest(range(0, w * h)) AS t(i)
     )
     SELECT media_id,
-           CASE media_id % 3
-             WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp'
+           CASE media_id % 4
+             WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+             ELSE 'jpegl'
            END AS fmt,
            w::INTEGER AS width,
            h::INTEGER AS height,
@@ -774,12 +776,14 @@ _PIXEL_ROUNDTRIP_ORACLE = """
 )
 def multimodal_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode→decode pixel round-trip through the pure-Python codecs (PNG
-    zlib, GIF LZW, 24-bit BMP — all lossless), Arrow-batched mapInPandas.
-    The DuckDB oracle recomputes the pixel statistics arithmetically from
-    (doc_id, text length) with no image parsing, so a bug anywhere in the
-    compress/decompress/filter/LZW path breaks the hash match. See
-    operators.imagecodec (JPEG has spec-level unit tests instead: lossy,
-    no exact SQL oracle)."""
+    zlib, GIF LZW, 24-bit BMP, lossless JPEG SOF3 — all lossless),
+    Arrow-batched mapInPandas. The DuckDB oracle recomputes the pixel
+    statistics arithmetically from (doc_id, text length) with no image
+    parsing, so a bug anywhere in the compress/decompress/filter/LZW/
+    predictive-Huffman path breaks the hash match. Lossless JPEG rotates
+    through all seven T.81 predictors by doc_id; lossy DCT JPEG keeps
+    its spec-level unit tests instead (no exact SQL oracle exists for
+    it). See operators.imagecodec."""
     return mm.pixel_roundtrip_stats(_docs(spark, sf_dir))
 
 
