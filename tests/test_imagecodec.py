@@ -387,12 +387,13 @@ def test_jpeg_not_a_jpeg_returns_none():
 def test_jpeg_unsupported_process_gated_truncated_raises():
     px = (np.zeros((8, 8)) + 100).astype(np.uint8)
     payload, _ = jpeg_encode(px)
-    # flip SOF0 -> arithmetic progressive (0xCA): honest gate — only the
-    # arithmetic/lossless/hierarchical processes remain unimplemented
-    # (Huffman progressive decodes fully as of round 6)
+    # flip SOF0 -> arithmetic lossless (0xCB): honest gate — only the
+    # arithmetic-lossless and differential/hierarchical processes remain
+    # unimplemented (Huffman progressive decodes fully as of round 6;
+    # lossless, 12-bit, and arithmetic DCT as of round 8)
     arith = bytearray(payload)
     i = arith.index(b"\xff\xc0")
-    arith[i + 1] = 0xCA
+    arith[i + 1] = 0xCB
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(arith))
     # truncated stream: SOI+half the segments
@@ -1320,3 +1321,123 @@ def test_jpeg_12bit_baseline_sof0_still_gated():
     bad[bad.index(b"\xff\xc1") + 1] = 0xC0
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
+
+
+# ------------------------------------ arithmetic-coded JPEG (QM coder) ---
+# Fixtures were produced by a REAL independent encoder (libjpeg, via
+# scripts/make_arith_fixtures.c) together with a losslessly-transcoded
+# Huffman TWIN of each (jpeg_read_coefficients -> jpeg_write_coefficients,
+# the jpegtran shape). Twin pairs carry identical quantized coefficients,
+# so the decoder must produce byte-identical pixels for both — an exact
+# oracle for the arithmetic entropy layer with no shared code, no shared
+# spec misreading, and no IDCT tolerance. A 24-config random sweep
+# (sizes 8-150, gray/color, sequential/progressive, restart 0-5,
+# quality 20-92, noise content) was run against libjpeg at fixture
+# creation; these committed pairs pin the three structural variants.
+
+
+def _twin_pair(name):
+    with open(os.path.join(_FIXDIR, f"{name}.jpg"), "rb") as f:
+        arith = decode_jpeg(f.read())
+    with open(os.path.join(_FIXDIR, f"{name}_huff_twin.jpg"), "rb") as f:
+        huff = decode_jpeg(f.read())
+    return arith, huff
+
+
+def test_jpeg_arith_sequential_gray_exact_vs_twin():
+    arith, huff = _twin_pair("arith_seq_gray")
+    assert arith.shape == (47, 61, 1)
+    assert np.array_equal(arith, huff)
+
+
+def test_jpeg_arith_sequential_color_restarts_exact_vs_twin():
+    # 4:2:0 subsampling + DRI=3: restart markers must reset the QM
+    # registers AND every statistics bank
+    with open(os.path.join(_FIXDIR, "arith_seq_color.jpg"), "rb") as f:
+        payload = f.read()
+    assert b"\xff\xdd" in payload  # DRI present
+    assert any(
+        payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7
+        for i in range(len(payload) - 1)
+    )
+    arith, huff = _twin_pair("arith_seq_color")
+    assert arith.shape == (59, 83, 3)
+    assert np.array_equal(arith, huff)
+
+
+def test_jpeg_arith_progressive_color_exact_vs_twin():
+    arith, huff = _twin_pair("arith_prog_color")
+    assert arith.shape == (56, 72, 3)
+    assert np.array_equal(arith, huff)
+
+
+def test_jpeg_arith_fixtures_really_arithmetic():
+    """Guard the guard: the fixtures must keep their SOF9/SOFA markers —
+    a re-save through a Huffman encoder would silently drop the coverage
+    these tests exist to provide."""
+    for name, sof in [
+        ("arith_seq_gray", 0xC9),
+        ("arith_seq_color", 0xC9),
+        ("arith_prog_color", 0xCA),
+        ("arith_seq_gray_huff_twin", 0xC0),
+        ("arith_prog_color_huff_twin", 0xC0),
+    ]:
+        with open(os.path.join(_FIXDIR, f"{name}.jpg"), "rb") as f:
+            data = f.read()
+        found = {
+            data[i + 1]
+            for i in range(len(data) - 1)
+            if data[i] == 0xFF
+            and data[i + 1] in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xCB)
+        }
+        assert found == {sof}, (name, found)
+
+
+def test_arith_state_table_matches_system_libjpeg():
+    """Cross-check the _ARITH_TABLE transcription of T.81 Table D.3
+    against the state machine exported by the system libjpeg, when one
+    is present (jpeg_aritab packs (Qe<<16 | NMPS<<8 | SW<<7 | NLPS) per
+    state)."""
+    import ctypes
+
+    from tipoca_stream_spark.operators.imagecodec import _ARITH_TABLE
+
+    assert len(_ARITH_TABLE) == 114
+    try:
+        lib = ctypes.CDLL("libjpeg.so.62")
+        tab = (ctypes.c_int64 * 114).in_dll(lib, "jpeg_aritab")
+    except (OSError, ValueError):
+        pytest.skip("no system libjpeg with jpeg_aritab exported")
+    for i in range(114):
+        v = tab[i]
+        assert _ARITH_TABLE[i] == (
+            v >> 16,
+            (v >> 8) & 0xFF,
+            v & 0x7F,
+            (v >> 7) & 1,
+        ), i
+
+
+def test_jpeg_arith_lossless_still_gated():
+    # 0xCB (arithmetic lossless) remains an honest NotImplementedError:
+    # no real-world encoder emits it (even libjpeg cannot), so there is
+    # no independent fixture to verify a decoder against
+    px = _lossless_px(8, 8, seed=30)
+    payload, _ = jpeg_encode_lossless(px, predictor=1)
+    bad = bytearray(payload)
+    bad[bad.index(b"\xff\xc3") + 1] = 0xCB
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg_arith_via_decode_image():
+    from tipoca_stream_spark.operators.multimodal import (
+        decode_image,
+        decode_image_header,
+    )
+
+    with open(os.path.join(_FIXDIR, "arith_seq_gray.jpg"), "rb") as f:
+        payload = f.read()
+    assert decode_image_header(payload) == ("jpeg", 61, 47)
+    arith, huff = _twin_pair("arith_seq_gray")
+    assert np.array_equal(decode_image(payload), huff)

@@ -49,17 +49,65 @@ _ZIGZAG = [
 _SOF_BASELINE = (0xC0, 0xC1)  # baseline 8-bit / extended sequential 8..12-bit
 _SOF_PROGRESSIVE = 0xC2  # progressive DCT, Huffman — full decode support
 _SOF_LOSSLESS = 0xC3  # lossless sequential, Huffman — full decode support
+_SOF_ARITH_SEQ = 0xC9  # arithmetic extended sequential — full decode support
+_SOF_ARITH_PROGRESSIVE = 0xCA  # arithmetic progressive — full decode support
 _SOF_UNSUPPORTED = {
     0xC5: "differential sequential",
     0xC6: "differential progressive",
     0xC7: "differential lossless",
-    0xC9: "arithmetic extended sequential",
-    0xCA: "arithmetic progressive",
     0xCB: "arithmetic lossless",
     0xCD: "differential arithmetic sequential",
     0xCE: "differential arithmetic progressive",
     0xCF: "differential arithmetic lossless",
 }
+
+# T.81 Table D.3 — the QM-coder probability estimation state machine:
+# (Qe, Next_Index_MPS, Next_Index_LPS, Switch_MPS) per state. Entry 113
+# is the non-adaptive "fixed" state (Qe = 0x5A1D, transitions to itself)
+# used for decisions coded at probability 1/2, e.g. AC coefficient signs
+# (F.1.4.4.1.2). Spec constants, same standing as _ZIGZAG; the test
+# suite cross-checks this transcription against the state table exported
+# by the system libjpeg when one is present.
+_ARITH_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
 
 
 def _idct_basis():
@@ -278,6 +326,11 @@ def decode_jpeg(payload: bytes):
         elif marker == _SOF_LOSSLESS:
             # lossless sequential: its own predictive decode loop
             return _decode_jpeg_lossless(payload)
+        elif marker == _SOF_ARITH_SEQ:
+            # arithmetic sequential: QM-coder entropy layer
+            return _decode_jpeg_arith_sequential(payload)
+        elif marker == _SOF_ARITH_PROGRESSIVE:
+            return _decode_jpeg_arith_progressive(payload)
         elif marker in _SOF_BASELINE:
             precision = body[0]
             # T.81 B.2.2: SOF0 is 8-bit only; SOF1 (extended sequential)
@@ -378,6 +431,17 @@ def decode_jpeg(payload: bytes):
                     coef[zz] = _extend(reader.read_bits(size), size) * q[zz]
                 blocks[ci].append(coef)
 
+    return _blocks_to_image(
+        blocks, comps, h, w, precision, mcus_x, mcus_y, hmax, vmax
+    )
+
+
+def _blocks_to_image(blocks, comps, h, w, precision, mcus_x, mcus_y, hmax, vmax):
+    """Dequantized MCU-ordered coefficient blocks → image (shared IDCT +
+    plane assembly for the Huffman and arithmetic sequential decoders, so
+    the two entropy layers cannot diverge downstream)."""
+    import numpy as np
+
     a = _idct_basis()
     center = float(1 << (precision - 1))
     top = float((1 << precision) - 1)
@@ -474,7 +538,11 @@ def _decode_jpeg_lossless(payload: bytes):
                     )
                 comps.append(cid)
             frame = (h, w, comps, precision)
-        elif marker in _SOF_BASELINE or marker in (_SOF_PROGRESSIVE,):
+        elif marker in _SOF_BASELINE or marker in (
+            _SOF_PROGRESSIVE,
+            _SOF_ARITH_SEQ,
+            _SOF_ARITH_PROGRESSIVE,
+        ):
             raise ValueError("mixed SOF in lossless stream")
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
@@ -587,6 +655,584 @@ def _decode_jpeg_lossless(payload: bytes):
     if int(out.max(initial=0)) > top:
         raise ValueError("lossless JPEG sample exceeds declared precision")
     return out.astype(dtype)
+
+
+class _QMDecoder:
+    """QM-coder arithmetic decoder (T.81 Annex D, decoder procedures
+    DECODE / MPS_EXCHANGE / LPS_EXCHANGE / RENORM_D / BYTEIN with the
+    software register conventions).
+
+    Operates on a DESTUFFED entropy segment (0xFF00 → 0xFF, markers
+    stripped — `_split_entropy_segments` output): T.81 D.1.6 stuffs a
+    zero byte after every 0xFF exactly as Huffman coding does, so the
+    same destuffer serves both entropy layers. Past the end of the
+    segment (the encoder's flush discards trailing zero bytes) the
+    decoder feeds zero data, the interchange convention JPEG arithmetic
+    codecs use.
+
+    Context state is one byte per context bin — estimation-table index
+    in the low 7 bits, current MPS sense in bit 7 — held in caller-owned
+    bytearrays so statistics banks reset per restart interval is a
+    single reallocation.
+    """
+
+    __slots__ = ("data", "bp", "c", "a", "ct", "_fixed")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        # INITDEC: the first two entropy bytes fill Chigh (bits 16-31),
+        # CT=0 so the first renormalization immediately feeds the third
+        # byte; the full interval A is 2^16. Convention verified
+        # decision-exact against libjpeg-encoded streams (the register
+        # conventions in T.81's figures admit several equivalent
+        # layouts; this is the interoperable one).
+        self.c = (self._next_byte() << 24) | (self._next_byte() << 16)
+        self.ct = 0
+        self.a = 0x10000
+        # non-adaptive 1/2-probability state (Table D.3 entry 113)
+        self._fixed = bytearray([113])
+
+    def _next_byte(self) -> int:
+        if self.bp < len(self.data):
+            b = self.data[self.bp]
+            self.bp += 1
+            return b
+        return 0  # past the flushed tail: zero data
+
+    def _bytein(self) -> None:
+        self.c = (self.c + (self._next_byte() << 8)) & 0xFFFFFFFF
+        self.ct = 8
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        sv = stats[i]
+        qe, nmps, nlps, sw = _ARITH_TABLE[sv & 0x7F]
+        mps = sv >> 7
+        # DECODE (D.2.2): the MPS subinterval [0, A-Qe) sits at the
+        # bottom of the code space, the LPS subinterval [A-Qe, A) on
+        # top; Chigh locates the code point.
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < self.a:
+            if self.a >= 0x8000:
+                return mps  # short MPS path: no renormalization
+            # MPS_EXCHANGE (D.2.4): conditional exchange when the MPS
+            # subinterval has shrunk below Qe
+            if self.a < qe:
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                stats[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                stats[i] = (mps << 7) | nmps
+        else:
+            # LPS_EXCHANGE (D.2.5)
+            self.c = (self.c - (self.a << 16)) & 0xFFFFFFFF
+            if self.a < qe:
+                d = mps
+                stats[i] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                stats[i] = (mps << 7) | nlps
+            self.a = qe
+        # RENORM_D (D.2.6) — A < 0x8000 on entry, so the shift cannot
+        # overflow 16 bits
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a >= 0x8000:
+                return d
+
+    def decode_fixed(self) -> int:
+        """One decision at fixed probability 1/2 (AC signs, F.1.4.4.1.2)."""
+        return self.decode(self._fixed, 0)
+
+
+def _parse_dac(body: bytes, dc_cond: dict, ac_cond: dict) -> None:
+    """DAC segment (B.2.4.3) → conditioning parameters: DC tables get
+    (L, U) bounds packed low/high nibble, AC tables get Kx."""
+    i = 0
+    while i + 2 <= len(body):
+        tc, tb = body[i] >> 4, body[i] & 0x0F
+        val = body[i + 1]
+        i += 2
+        if tc == 0:
+            lo, up = val & 0x0F, val >> 4
+            if lo > up:
+                raise ValueError("invalid DC arithmetic conditioning (L > U)")
+            dc_cond[tb] = (lo, up)
+        else:
+            if not 1 <= val <= 63:
+                raise ValueError("invalid AC arithmetic conditioning Kx")
+            ac_cond[tb] = val
+
+
+def _arith_decode_dc(dec, stats, dc_ctx, ci, lo, up):
+    """One DC difference (T.81 F.1.4.1 / F.1.4.4.1 decode side): the
+    context bank holds 5 four-state groups selected by the previous
+    diff's classification (zero / ±small / ±large per the L,U bounds),
+    a shared magnitude-category tree at offset 20, and one shared
+    value-bit state per tree node at +14."""
+    st = dc_ctx[ci]
+    if dec.decode(stats, st) == 0:
+        dc_ctx[ci] = 0
+        return 0
+    sign = dec.decode(stats, st + 1)
+    cur = st + 2 + sign
+    m = dec.decode(stats, cur)
+    if m:
+        cur = 20
+        while dec.decode(stats, cur):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            cur += 1
+    # classify this diff for the NEXT block's context selection
+    if m < (1 << lo) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        dc_ctx[ci] = 12 + sign * 4
+    else:
+        dc_ctx[ci] = 4 + sign * 4
+    v = m
+    cur += 14
+    m >>= 1
+    while m:
+        if dec.decode(stats, cur):
+            v |= m
+        m >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _arith_decode_ac_into(dec, stats, kx, zz, lo_k=1, hi_k=63):
+    """AC coefficients of one block into zigzag-indexed list ``zz``
+    (T.81 F.1.4.2 / F.1.4.4.2 decode side): per-index 3-state groups
+    (end-of-block, coefficient-nonzero, magnitude head), sign at fixed
+    1/2, and two magnitude-tree banks split at the Kx conditioning
+    bound (low vs high spectral contexts at offsets 189 / 217)."""
+    k = lo_k
+    while k <= hi_k:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):
+            return  # end of block
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > hi_k:
+                raise ValueError("arithmetic AC run past block end")
+        sign = dec.decode_fixed()
+        st += 2
+        cur = st
+        m = dec.decode(stats, cur)
+        if m and dec.decode(stats, cur):
+            m <<= 1
+            cur = 189 if k <= kx else 217
+            while dec.decode(stats, cur):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arithmetic AC magnitude overflow")
+                cur += 1
+        v = m
+        cur += 14
+        m >>= 1
+        while m:
+            if dec.decode(stats, cur):
+                v |= m
+            m >>= 1
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+def _decode_jpeg_arith_sequential(payload: bytes):
+    """Arithmetic-coded (extended) sequential DCT JPEG (SOF9) ->
+    (h, w, channels) array, 8 or 12-bit precision.
+
+    Same frame walk, MCU geometry, restart handling, dequantization,
+    and IDCT/assembly as the Huffman sequential path — only the entropy
+    layer differs (QM coder + the Annex F statistics model, replacing
+    Huffman tables). DAC segments supply the conditioning (DC L/U
+    bounds, AC Kx); defaults L=0, U=1, Kx=5 per F.1.4.4.1.1. A restart
+    marker resets the decoder registers AND every statistics bank, so
+    each interval is independently decodable. Verified against
+    fixtures produced by a real independent encoder (libjpeg) via
+    coefficient-identical Huffman twins — see tests/test_imagecodec.py.
+    """
+    import numpy as np
+
+    qt: dict = {}
+    dc_cond: dict = {}
+    ac_cond: dict = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seg_len
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xCC:  # DAC
+            _parse_dac(body, dc_cond, ac_cond)
+        elif marker == _SOF_ARITH_SEQ:
+            precision = body[0]
+            if precision not in (8, 12):
+                raise NotImplementedError(f"{precision}-bit JPEG not supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps, precision)
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            comp_ids = [c[0] for c in frame[2]]
+            sel = []
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s : 3 + 2 * s]
+                if cs not in comp_ids:
+                    raise ValueError("SOS references unknown component")
+                sel.append((comp_ids.index(cs), tables >> 4, tables & 0x0F))
+            scan = (sel, pos)
+            break
+        # else: APPn / COM / DHT(ignored in arith stream) — skipped
+
+    if frame is None or scan is None:
+        raise ValueError("truncated JPEG: no frame/scan data")
+    h, w, comps, precision = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension JPEG frame")
+    sel, entropy_pos = scan
+    if len(sel) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, hi, vi, _ in comps:
+        if hi == 0 or vi == 0 or hmax % hi or vmax % vi:
+            raise ValueError("unsupported JPEG sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    segments, _ = _split_entropy_segments(payload, entropy_pos)
+
+    def fresh_stats():
+        # one DC bank per Td (49 bins used), one AC bank per Ta (245)
+        return (
+            {td: bytearray(64) for _, td, _ in sel},
+            {ta: bytearray(256) for _, _, ta in sel},
+        )
+
+    blocks = [[] for _ in comps]
+    dc_stats, ac_stats = fresh_stats()
+    pred = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+    seg_idx = 0
+    dec = _QMDecoder(segments[0])
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            dec = _QMDecoder(segments[seg_idx])
+            dc_stats, ac_stats = fresh_stats()
+            pred = [0] * len(comps)
+            dc_ctx = [0] * len(comps)
+        for ci, td, ta in sel:
+            _, hi, vi, tq = comps[ci]
+            if tq not in qt:
+                raise ValueError("missing quantization table")
+            q = qt[tq]
+            lo, up = dc_cond.get(td, (0, 1))
+            kx = ac_cond.get(ta, 5)
+            for _ in range(hi * vi):
+                zz = [0] * 64
+                pred[ci] += _arith_decode_dc(
+                    dec, dc_stats[td], dc_ctx, ci, lo, up
+                )
+                zz[0] = pred[ci]
+                _arith_decode_ac_into(dec, ac_stats[ta], kx, zz)
+                coef = [0] * 64
+                for k in range(64):
+                    r = _ZIGZAG[k]
+                    coef[r] = zz[k] * q[r]
+                blocks[ci].append(coef)
+
+    return _blocks_to_image(
+        blocks, comps, h, w, precision, mcus_x, mcus_y, hmax, vmax
+    )
+
+
+def _decode_jpeg_arith_progressive(payload: bytes):
+    """Arithmetic-coded progressive DCT JPEG (SOFA) -> (h, w, channels)
+    uint8.
+
+    The scan-script walk, coefficient grids, and IDCT/assembly mirror
+    the Huffman progressive decoder; only the per-scan entropy decode
+    differs (T.81 G.1.3 arithmetic models over the QM coder):
+
+    - DC first scans reuse the sequential DC model with the diff in the
+      Al-shifted domain;
+    - DC refinement reads one fixed-probability decision per block for
+      the next magnitude bit;
+    - AC first scans reuse the sequential AC model over the [Ss, Se]
+      band with values shifted by Al;
+    - AC refinement decodes, per coefficient, a correction decision for
+      already-nonzero history (context st+2) or a newly-nonzero
+      decision (st+1) with a fixed-probability sign, with the per-k EOB
+      decision gated on the band's previous end-of-block position.
+
+    Statistics banks are fresh per scan and per restart interval.
+    Verified exactly against a libjpeg-encoded progressive arithmetic
+    fixture via its coefficient-identical Huffman twin.
+    """
+    import numpy as np
+
+    qt: dict = {}
+    dc_cond: dict = {}
+    ac_cond: dict = {}
+    frame = None
+    restart_interval = 0
+    grids = None
+    nonint = None
+    geom = None
+
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seg_len
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xCC:
+            _parse_dac(body, dc_cond, ac_cond)
+        elif marker == 0xCA:  # SOF10: progressive, arithmetic
+            if body[0] != 8:
+                raise NotImplementedError(f"{body[0]}-bit JPEG not supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            if h == 0 or w == 0:
+                raise ValueError("zero-dimension JPEG frame")
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hi, vi, _ in comps:
+                if hi == 0 or vi == 0 or hmax % hi or vmax % vi:
+                    raise ValueError("unsupported JPEG sampling factors")
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            frame = (h, w, comps)
+            geom = (hmax, vmax, mcus_x, mcus_y)
+            grids = [
+                np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+                for _, hi, vi, _ in comps
+            ]
+            nonint = []
+            for _, hi, vi, _ in comps:
+                comp_h = -(-h * vi // vmax)
+                comp_w = -(-w * hi // hmax)
+                nonint.append((-(-comp_h // 8), -(-comp_w // 8)))
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            comp_ids = [c[0] for c in frame[2]]
+            sel = []
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s : 3 + 2 * s]
+                if cs not in comp_ids:
+                    raise ValueError("SOS references unknown component")
+                sel.append((comp_ids.index(cs), tables >> 4, tables & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            segments, pos = _split_entropy_segments(payload, pos)
+            _decode_arith_progressive_scan(
+                grids, frame[2], geom, nonint, sel, ss, se, ah, al,
+                dc_cond, ac_cond, segments, restart_interval,
+            )
+        # else: APPn / COM — skipped
+
+    if frame is None or grids is None:
+        raise ValueError("truncated JPEG: no frame/scan data")
+    h, w, comps = frame
+    hmax, vmax, mcus_x, mcus_y = geom
+    a = _idct_basis()
+    out_planes = []
+    for ci, (_, hi, vi, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError("missing quantization table")
+        q = np.array(qt[tq], dtype=np.float64)
+        gb_h, gb_w = mcus_y * vi, mcus_x * hi
+        arr = (grids[ci].reshape(-1, 64).astype(np.float64) * q).reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", a, arr, a) + 128.0
+        spatial = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+        plane = (
+            spatial.reshape(gb_h, gb_w, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gb_h * 8, gb_w * 8)
+        )
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        out_planes.append(plane[:h, :w])
+    return _planes_to_image(out_planes)
+
+
+def _decode_arith_progressive_scan(
+    grids, comps, geom, nonint, sel, ss, se, ah, al,
+    dc_cond, ac_cond, segments, restart_interval,
+):
+    """One arithmetic progressive scan into the coefficient grids."""
+    hmax, vmax, mcus_x, mcus_y = geom
+    interleaved = len(sel) > 1
+
+    units = []
+    if interleaved:
+        if ss != 0:
+            raise ValueError("interleaved progressive scan must be DC-only")
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                unit = []
+                for ci, _, _ in sel:
+                    _, hi, vi, _ = comps[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            unit.append((ci, my * vi + byi, mx * hi + bxi))
+                units.append(unit)
+    else:
+        ci = sel[0][0]
+        nb_h, nb_w = nonint[ci]
+        units = [[(ci, by, bx)] for by in range(nb_h) for bx in range(nb_w)]
+
+    def fresh():
+        return (
+            {td: bytearray(64) for _, td, _ in sel},
+            {ta: bytearray(256) for _, _, ta in sel},
+            [0] * len(comps),  # DC prediction
+            [0] * len(comps),  # DC context classification
+        )
+
+    tabs = {ci: (td, ta) for ci, td, ta in sel}
+    dc_stats, ac_stats, pred, dc_ctx = fresh()
+    seg_idx = 0
+    dec = _QMDecoder(segments[0])
+    p1 = 1 << al
+
+    for u, unit in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            dec = _QMDecoder(segments[seg_idx])
+            dc_stats, ac_stats, pred, dc_ctx = fresh()
+        for ci, by, bx in unit:
+            block = grids[ci][by, bx]
+            td, ta = tabs[ci]
+            if ss == 0 and ah == 0:
+                # DC first scan: sequential DC model, Al-shifted domain
+                lo, up = dc_cond.get(td, (0, 1))
+                pred[ci] += _arith_decode_dc(
+                    dec, dc_stats[td], dc_ctx, ci, lo, up
+                )
+                block[0] = pred[ci] << al
+            elif ss == 0:
+                # DC refinement: one fixed-probability magnitude bit
+                if dec.decode_fixed():
+                    block[0] = int(block[0]) | p1
+            elif ah == 0:
+                # AC first scan over [ss, se], values shifted by Al
+                kx = ac_cond.get(ta, 5)
+                zz = [0] * 64
+                _arith_decode_ac_into(
+                    dec, ac_stats[ta], kx, zz, lo_k=ss, hi_k=se
+                )
+                for k in range(ss, se + 1):
+                    if zz[k]:
+                        block[_ZIGZAG[k]] = zz[k] << al
+            else:
+                # AC refinement (G.1.3.3): EOB decision per k is gated
+                # on the band's previous end-of-block position kex
+                stats = ac_stats[ta]
+                m1 = -p1
+                kex = se
+                while kex >= ss:
+                    if int(block[_ZIGZAG[kex]]) != 0:
+                        break
+                    kex -= 1
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if k > kex:
+                        if dec.decode(stats, st):
+                            break  # end of block
+                    while True:
+                        z = _ZIGZAG[k]
+                        c = int(block[z])
+                        if c != 0:
+                            # correction bit for known-nonzero history
+                            if dec.decode(stats, st + 2):
+                                block[z] = c + (m1 if c < 0 else p1)
+                            break
+                        if dec.decode(stats, st + 1):
+                            # newly significant: fixed-probability sign
+                            block[z] = m1 if dec.decode_fixed() else p1
+                            break
+                        st += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "arithmetic AC refinement past band end"
+                            )
+                    k += 1
 
 
 def encode_jpeg_lossless_gray(px, predictor: int = 4) -> bytes:
@@ -765,7 +1411,7 @@ def _decode_jpeg_progressive(payload: bytes):
                 nonint.append((-(-comp_h // 8), -(-comp_w // 8)))
         elif (
             marker in _SOF_BASELINE
-            or marker == _SOF_LOSSLESS
+            or marker in (_SOF_LOSSLESS, _SOF_ARITH_SEQ, _SOF_ARITH_PROGRESSIVE)
             or marker in _SOF_UNSUPPORTED
         ):
             raise ValueError("mixed/unsupported SOF in progressive stream")
