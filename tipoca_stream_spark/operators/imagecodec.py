@@ -17,7 +17,12 @@ the GIF89a specification for GIF) and need no external codec library:
   1-7, point transform, 2-16-bit precision, line-aligned restarts —
   components are returned exactly as stored (no color transform), so
   the round trip is bit-exact and SQL-oracle-checkable. Arithmetic-
-  coded and hierarchical JPEGs raise NotImplementedError (honest gate).
+  coded DCT (SOF9 sequential + SOFA progressive) decodes fully via the
+  QM coder (Annex D state machine + Annex F/G statistics models),
+  verified byte-exact against libjpeg-encoded fixtures through
+  coefficient-identical Huffman twins. Only arithmetic-lossless and
+  differential/hierarchical processes raise NotImplementedError
+  (honest gate: no real-world encoder emits them to verify against).
 - ``decode_gif``: GIF87a/89a first frame — logical screen + color tables,
   LZW decompression (variable code width, deferred clear, KwKwK case),
   interlace reordering, composed onto the logical-screen canvas.

@@ -6,10 +6,11 @@ GIF logical-screen, and BMP info headers in pure Python (no imaging
 library). Pixel decode is REAL for all four image formats: PNG (stdlib
 zlib inflate + per-row filter reversal, ``decode_png``), JPEG
 (Huffman entropy decode + batched numpy IDCT, ``imagecodec.decode_jpeg``,
-baseline AND progressive as of round 6, extended-sequential 12-bit and
-lossless SOF3 as of round 8), GIF (LZW,
-``imagecodec.decode_gif``), and uncompressed 24-bit BMP. Only
-arithmetic-coded/hierarchical JPEG processes and the video frame-extraction
+baseline AND progressive as of round 6; extended-sequential 12-bit,
+lossless SOF3, and arithmetic-coded SOF9/SOFA via the QM coder as of
+round 8), GIF (LZW, ``imagecodec.decode_gif``), and uncompressed 24-bit
+BMP. Only arithmetic-lossless/hierarchical JPEG processes and the
+video frame-extraction
 kernels remain gated on PIL/ffmpeg, which this
 container doesn't ship — each such path is a clearly-marked stand-in
 inside otherwise-real Arrow-batched ``mapInPandas`` plumbing.
@@ -333,11 +334,11 @@ def decode_image(payload: bytes):
     Python/numpy for all four supported formats: PNG (stdlib zlib inflate
     + filter reversal, ``decode_png``), JPEG (Huffman + batched numpy
     IDCT, ``imagecodec.decode_jpeg`` — baseline, extended-sequential
-    8/12-bit, progressive, and lossless SOF3), GIF (LZW,
-    ``imagecodec.decode_gif``), and uncompressed 24-bit BMP. Only
-    arithmetic-coded and hierarchical JPEG processes remain gated behind
-    NotImplementedError; corrupt payloads of a recognized format raise
-    ValueError."""
+    8/12-bit, progressive, lossless SOF3, and arithmetic-coded
+    SOF9/SOFA), GIF (LZW, ``imagecodec.decode_gif``), and uncompressed
+    24-bit BMP. Only arithmetic-lossless and hierarchical JPEG
+    processes remain gated behind NotImplementedError; corrupt payloads
+    of a recognized format raise ValueError."""
     import numpy as np
 
     from tipoca_stream_spark.operators.imagecodec import decode_gif, decode_jpeg

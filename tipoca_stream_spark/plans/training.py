@@ -732,8 +732,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads) and now oracle-verified: the DuckDB oracle rebuilds the exact
     payload blob and recomputes width/height/digest with byte arithmetic.
     Pixel decode is pure Python for PNG/JPEG/GIF/BMP — see
-    operators.imagecodec; only arithmetic-coded and hierarchical JPEG
-    processes stay gated."""
+    operators.imagecodec; only arithmetic-lossless and hierarchical
+    JPEG processes stay gated."""
     docs = _docs(spark, sf_dir)
     return mm.extract_features(mm.documents_as_media(docs))
 
