@@ -882,3 +882,161 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.contamination_scores(
         docs, "text", "doc_id", F.col("doc_id") % CONTAMINATION_MOD == 0, gram_n=3
     )
+
+
+# --- BPE tokenizer training -------------------------------------------------
+
+BPE_NUM_MERGES = 16
+BPE_MIN_PAIR_COUNT = 2
+
+
+def _bpe_training_ctes(num_merges: int, min_pair_count: int) -> str:
+    """Unrolled DuckDB CTE chain replaying BPE training round by round.
+
+    Per round i: pair counts from the current symbol table (aligned dual
+    ``unnest`` of the two array slices), the single best pair under the
+    trainer's deterministic order (count desc, pair asc), and the merge
+    application as a ``list_reduce`` fold (append-or-coalesce; the merged
+    token l||r can never equal l, so a plain last-element check IS the
+    left-to-right non-overlapping Sennrich scan). CTEs are MATERIALIZED:
+    each s_i is referenced twice (chain + best-pair), so the default
+    inlining would expand the plan 2^rounds-fold."""
+    parts = [
+        """w AS MATERIALIZED (
+      SELECT word, count(*)::BIGINT AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, cnt, list_append(string_split(word, ''), '</w>') AS syms FROM w
+    )"""
+    ]
+    for i in range(1, num_merges + 1):
+        prev = f"s{i-1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT l, r, sum(cnt)::BIGINT AS cnt FROM (
+        SELECT cnt, unnest(syms[1:len(syms)-1]) AS l, unnest(syms[2:len(syms)]) AS r
+        FROM {prev}
+      ) GROUP BY l, r
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT l, r, cnt FROM p{i} WHERE cnt >= {min_pair_count}
+      ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT v.word, v.cnt,
+        list_reduce(
+          list_transform(v.syms, x -> [x]),
+          (acc, x) -> CASE WHEN acc[len(acc)] = b.l AND x[1] = b.r
+                      THEN list_append(acc[1:len(acc)-1], b.l || b.r)
+                      ELSE list_concat(acc, x) END
+        ) AS syms
+      FROM {prev} v, b{i} b
+    )"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+_BPE_CTES = _bpe_training_ctes(BPE_NUM_MERGES, BPE_MIN_PAIR_COUNT)
+
+_BPE_MERGES_ORACLE = (
+    _BPE_CTES
+    + ",\nmerges AS (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l, r, cnt FROM b{i}"
+        for i in range(1, BPE_NUM_MERGES + 1)
+    )
+    + ")\nSELECT rank::INTEGER AS rank, l, r, cnt FROM merges"
+)
+
+_BPE_TOKEN_FREQ_ORACLE = (
+    _BPE_CTES
+    + f"""
+    SELECT token, sum(c)::BIGINT AS freq FROM (
+      SELECT unnest(syms) AS token, cnt AS c FROM s{BPE_NUM_MERGES}
+    ) GROUP BY token"""
+)
+
+_BPE_DOC_TOKENS_ORACLE = (
+    _BPE_CTES
+    + f""",
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    per_doc AS (
+      SELECT dw.doc_id, sum(len(s.syms))::BIGINT AS n
+      FROM dw JOIN s{BPE_NUM_MERGES} s USING (word) GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id, coalesce(p.n, 0)::BIGINT AS n_tokens
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+)
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str):
+    from tipoca_stream_spark.operators import bpe
+
+    return bpe.train_bpe(
+        _docs(spark, sf_dir),
+        num_merges=BPE_NUM_MERGES,
+        min_pair_count=BPE_MIN_PAIR_COUNT,
+    )
+
+
+@query(
+    "bpe_train_merges",
+    _BPE_MERGES_ORACLE,
+    survey_ref="training: BPE tokenizer (trainer)",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (rank, l, r, cnt) over the documents corpus.
+    The DuckDB oracle replays training round-by-round as an unrolled
+    MATERIALIZED-CTE chain — a full-pipeline oracle, not a spot check."""
+    merges = _bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, l string, r string, cnt long",
+    )
+
+
+@query(
+    "bpe_token_freq",
+    _BPE_TOKEN_FREQ_ORACLE,
+    survey_ref="training: BPE tokenizer (segmenter)",
+)
+def bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies after BPE segmentation with the trained
+    merges. Spark runs the real encoder (lowest-rank-first, memoised
+    Arrow-batched UDF); the oracle derives the same counts from the
+    training replay's final symbol table — so a green row ALSO pins the
+    encode ≡ replay-merges-in-order equivalence on every corpus word."""
+    from tipoca_stream_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = _bpe_merges(spark, sf_dir)
+    seg = bpe.segment_with_merges(docs, merges)
+    return (
+        seg.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+@query(
+    "bpe_doc_token_counts",
+    _BPE_DOC_TOKENS_ORACLE,
+    survey_ref="training: BPE tokenizer (per-doc length)",
+)
+def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts (the sequence-length column a
+    packing/sharding stage consumes)."""
+    from tipoca_stream_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = _bpe_merges(spark, sf_dir)
+    seg = bpe.segment_with_merges(docs, merges)
+    return seg.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
