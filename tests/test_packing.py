@@ -1,0 +1,99 @@
+"""Sequence packing (operators/packing.py): fixed-length chunking of a
+tokenized corpus against a driver-side reference, plus the scale pin
+that the prefix sum never routes the corpus through one task."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.operators import packing
+
+
+def _seg(spark, docs):
+    return spark.createDataFrame(docs, ["doc_id", "tokens"])
+
+
+def ref_pack(docs, seq_len):
+    """Concatenate in doc_id order, cut every seq_len tokens."""
+    stream = []
+    for _, toks in sorted(docs):
+        stream.extend(toks)
+    return {
+        i // seq_len: stream[i : i + seq_len]
+        for i in range(0, len(stream), seq_len)
+    }
+
+
+def check(spark, docs, seq_len):
+    got = {
+        r["seq_id"]: (r["n_tokens"], list(r["tokens"]))
+        for r in packing.pack_sequences(_seg(spark, docs), seq_len).collect()
+    }
+    want = {
+        sid: (len(toks), toks) for sid, toks in ref_pack(docs, seq_len).items()
+    }
+    assert got == want
+
+
+def test_pack_small_exact(spark):
+    docs = [(1, ["a", "b", "c"]), (2, ["d", "e"]), (3, ["f", "g", "h", "i"])]
+    check(spark, docs, 4)
+
+
+def test_pack_chunk_boundaries_and_tail(spark):
+    docs = [(i, [f"t{i}_{j}" for j in range(i)]) for i in range(1, 8)]
+    for seq_len in (1, 2, 5, 7, 100):
+        check(spark, docs, seq_len)
+
+
+def test_pack_skewed_giant_doc(spark):
+    # one doc spans ~80 chunks; others are tiny; ids deliberately unordered
+    rng = random.Random(7)
+    docs = [(50, [f"g{j}" for j in range(10_000)])]
+    docs += [
+        (i, [f"d{i}_{j}" for j in range(rng.randrange(0, 9))])
+        for i in list(range(1, 50)) + list(range(51, 120))
+    ]
+    check(spark, docs, 128)
+
+
+def test_pack_empty_docs_skipped(spark):
+    docs = [(1, []), (2, ["a", "b"]), (3, [])]
+    check(spark, docs, 2)
+
+
+def test_offsets_match_cumsum(spark):
+    rng = random.Random(11)
+    docs = [(i, [f"w{j}" for j in range(rng.randrange(0, 30))]) for i in range(200)]
+    off = {
+        r["doc_id"]: (r["n_tokens"], r["start"])
+        for r in packing.global_token_offsets(_seg(spark, docs)).collect()
+    }
+    acc = 0
+    for i, toks in sorted(docs):
+        assert off[i] == (len(toks), acc), i
+        acc += len(toks)
+
+
+def test_offsets_plan_has_no_single_partition_stage(spark):
+    """The 100 TB pin: the prefix sum must not be a global orderBy window
+    (which Spark executes as Exchange SinglePartition → one task holding
+    the corpus)."""
+    docs = [(i, ["a"] * (i % 5)) for i in range(100)]
+    df = packing.global_token_offsets(_seg(spark, docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    naive = _seg(spark, docs).withColumn(
+        "start",
+        F.sum(F.size("tokens")).over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                "doc_id"
+            )
+        ),
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in naive_plan  # the shape being avoided

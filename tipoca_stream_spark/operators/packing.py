@@ -1,0 +1,133 @@
+"""Sequence packing: chunk a tokenized corpus into fixed-length training
+sequences (the GPT-style pre-training layout — concatenate every
+document's token stream in a deterministic corpus order, then cut the
+stream every ``seq_len`` tokens; the final partial chunk is kept and
+flagged by its length).
+
+Reference parity note: the reference system (practo/tipoca-stream) has
+no training-data stage; this belongs to the SURVEY.md "beyond the
+reference" pipeline surface, downstream of operators/bpe.py (whose
+``segment_with_merges`` produces the (doc_id, tokens) input).
+
+100 TB design
+-------------
+The classic failure mode for this operator is the global prefix sum: a
+``Window.orderBy(doc_id)`` with no partition key moves the whole corpus
+into ONE task. Instead ``global_token_offsets`` computes offsets
+hierarchically, the standard two-level scan:
+
+- ``repartitionByRange(doc_id)`` + ``sortWithinPartitions`` lays the
+  corpus out in corpus order across P partitions (range-partitioner
+  sampling keeps them balanced), materialized once with
+  ``localCheckpoint`` so the partition layout is FROZEN — every
+  downstream job (the per-partition totals read and the final plan)
+  sees the identical partitioning instead of re-sampling boundaries;
+- ONE bounded driver read of P per-partition token totals, folded into
+  per-partition base offsets (P ≈ cores·k rows, never corpus-sized);
+- a per-partition running sum (``Window.partitionBy(partition_id)`` —
+  P parallel window tasks, each bounded by its partition's rows) added
+  to the broadcast base offset.
+
+Chunk assembly then shuffles each document's SLICES to their chunk ids
+(``explode(sequence(first_chunk, last_chunk))`` + ``slice`` — pure
+JVM-side built-ins; a document overlaps ceil(n/seq_len)+1 chunks at
+most, so the fan-out is corpus_tokens/seq_len rows regardless of
+document skew) and reassembles each chunk with one map-side-combinable
+``collect_list`` keyed on seq_id — chunks have bounded size (seq_len
+tokens), so the aggregation state per key is bounded by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def global_token_offsets(
+    seg: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, tokens) → (id, tokens, n_tokens, start): each document's
+    starting offset in the concatenated corpus token stream, in ``id_col``
+    order. Two-level scan — no corpus-sized single-task window."""
+    spark = seg.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        seg.withColumn("n_tokens", F.size(F.col(tokens_col)))
+        .repartitionByRange(p, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # freeze the sampled range boundaries
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("tot")).collect()
+    base: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        base[row["_pid"]] = acc
+        acc += row["tot"] or 0
+    base_map = F.create_map(
+        *[F.lit(x) for kv in sorted(base.items()) for x in kv]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.withColumn(
+            "start",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            + base_map[F.col("_pid")],
+        )
+        .drop("_pid")
+    )
+
+
+def pack_sequences(
+    seg: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, tokens) → (seq_id, n_tokens, tokens): fixed-length chunks of
+    the corpus token stream in ``id_col`` order. Every chunk has
+    ``seq_len`` tokens except possibly the last. Deterministic."""
+    off = global_token_offsets(seg, id_col=id_col, tokens_col=tokens_col)
+    lo = F.floor(F.col("start") / seq_len)
+    hi = F.floor((F.col("start") + F.col("n_tokens") - 1) / seq_len)
+    pieces = (
+        off.filter(F.col("n_tokens") > 0)
+        .select(
+            "start",
+            "n_tokens",
+            F.col(tokens_col).alias("_toks"),
+            F.explode(F.sequence(lo, hi)).alias("seq_id"),
+        )
+    )
+    in_doc_start = F.greatest(
+        F.col("seq_id") * seq_len - F.col("start"), F.lit(0)
+    )
+    in_doc_end = F.least(
+        F.col("n_tokens"), (F.col("seq_id") + 1) * seq_len - F.col("start")
+    )
+    pieces = pieces.select(
+        "seq_id",
+        (F.col("start") + in_doc_start).alias("_gstart"),
+        F.slice(
+            "_toks", (in_doc_start + 1).cast("int"), (in_doc_end - in_doc_start).cast("int")
+        ).alias("_piece"),
+    )
+    assembled = pieces.groupBy("seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_gstart"), F.col("_piece")))
+                ),
+                lambda s: s["_piece"],
+            )
+        ).alias("tokens")
+    )
+    return assembled.select(
+        "seq_id", F.size("tokens").cast("long").alias("n_tokens"), "tokens"
+    )

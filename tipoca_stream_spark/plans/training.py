@@ -1040,3 +1040,67 @@ def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.select(
         "doc_id", F.size("tokens").cast("long").alias("n_tokens")
     )
+
+
+# --- sequence packing -------------------------------------------------------
+
+PACK_SEQ_LEN = 128
+
+_BPE_PACK_ORACLE = (
+    _BPE_CTES
+    + f""",
+    dwp AS (
+      SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS pos
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents)
+    ),
+    wtok AS (
+      SELECT dwp.doc_id, dwp.pos, s.syms
+      FROM dwp JOIN s{BPE_NUM_MERGES} s USING (word)
+    ),
+    woff AS (
+      SELECT doc_id, pos, syms,
+             coalesce(sum(len(syms)) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS woff
+      FROM wtok
+    ),
+    doclen AS (SELECT doc_id, sum(len(syms))::BIGINT AS n FROM wtok GROUP BY doc_id),
+    docoff AS (
+      SELECT doc_id, coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS dstart
+      FROM doclen
+    ),
+    tok AS (
+      SELECT w.doc_id, d.dstart + w.tp - 1 + w.woff AS g, token
+      FROM (SELECT doc_id, woff, unnest(syms) AS token,
+                   unnest(range(1, len(syms)+1)) AS tp FROM woff) w
+      JOIN docoff d USING (doc_id)
+    )
+    SELECT (g // {PACK_SEQ_LEN})::BIGINT AS seq_id,
+           count(*)::BIGINT AS n_tokens,
+           array_to_string(list(token ORDER BY g), ' ') AS tokens_str
+    FROM tok GROUP BY 1"""
+)
+
+
+@query(
+    "bpe_pack_sequences",
+    _BPE_PACK_ORACLE,
+    survey_ref="training: sequence packing (GPT-style chunking)",
+)
+def bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training sequences: BPE-segment the corpus, then chunk
+    the concatenated doc_id-ordered token stream every PACK_SEQ_LEN tokens
+    (operators/packing.py — hierarchical prefix sum, no single-task global
+    window; slices shuffle by chunk id). The oracle replays training,
+    rebuilds the same global token offsets with window cumsums, and
+    reassembles every chunk."""
+    from tipoca_stream_spark.operators import bpe, packing
+
+    docs = _docs(spark, sf_dir)
+    merges = _bpe_merges(spark, sf_dir)
+    seg = bpe.segment_with_merges(docs, merges)
+    packed = packing.pack_sequences(seg, PACK_SEQ_LEN)
+    return packed.select(
+        "seq_id", "n_tokens", F.array_join("tokens", " ").alias("tokens_str")
+    )
