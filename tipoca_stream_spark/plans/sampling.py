@@ -271,3 +271,100 @@ def dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(term, 6).alias("chisq_term"),
         F.round(F.sum(term).over(Window.partitionBy()), 6).alias("chisq_total"),
     )
+
+
+MIX_SALT = "mix-v1"
+MIX_ALPHA = 0.5
+MIX_COEFF = 16.0
+# the documents table's 20 sources are deliberately uniform; regroup by a
+# skewed key so the temperature actually has something to flatten
+_MIX_TIER_SQL = (
+    "CASE WHEN doc_id % 7 < 1 THEN 'rare' "
+    "WHEN doc_id % 7 < 3 THEN 'mid' ELSE 'common' END"
+)
+
+_MIX_BASE = f"""
+    WITH t AS (
+      SELECT doc_id, {_MIX_TIER_SQL} AS tier FROM documents),
+    r AS (
+      SELECT tier, count(*)::BIGINT AS n_docs,
+             round({MIX_COEFF} * pow(count(*), {MIX_ALPHA}) / count(*), 9) AS rate
+      FROM t GROUP BY tier),
+    j AS (
+      SELECT t.doc_id, t.tier, r.n_docs, r.rate,
+             floor(r.rate)::BIGINT
+               + CASE WHEN (('0x' || substr(md5(t.doc_id::VARCHAR || '{MIX_SALT}'), 1, 8))::BIGINT
+                            + 0.5) / 4294967296.0
+                           < round(r.rate - floor(r.rate), 9)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM t JOIN r USING (tier))
+"""
+
+
+def _mix_tier() -> F.Column:
+    m = F.col("doc_id") % 7
+    return (
+        F.when(m < 1, "rare").when(m < 3, "mid").otherwise("common").alias("tier")
+    )
+
+
+@query(
+    "mixture_temperature_sample",
+    _MIX_BASE
+    + """
+    SELECT doc_id, tier, round(rate, 6) AS rate,
+           unnest(range(1, n_copies + 1)) AS epoch
+    FROM j
+    """,
+    survey_ref="training: temperature mixture sampling (fractional epochs)",
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training mix: every (document, epoch-copy) row under a
+    temperature-α source reweighting (operators/mixture.py). rate>1 tiers
+    upsample (floor + hash-selected extra copy), rate<1 tiers downsample —
+    all deterministic in the document id, shuffle-free past one tiny
+    per-tier count + broadcast join."""
+    from tipoca_stream_spark.operators import mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", _mix_tier())
+    samp = mixture.temperature_sample(
+        docs, "tier", "doc_id", MIX_ALPHA, MIX_COEFF, MIX_SALT
+    )
+    return samp.select(
+        "doc_id", "tier", F.round("rate", 6).alias("rate"), "epoch"
+    )
+
+
+@query(
+    "mixture_epoch_totals",
+    _MIX_BASE
+    + """
+    SELECT tier, n_docs, round(rate, 6) AS rate,
+           count(*) FILTER (n_copies > 0)::BIGINT AS n_docs_in,
+           sum(n_copies)::BIGINT AS n_emitted
+    FROM j GROUP BY tier, n_docs, rate
+    """,
+    survey_ref="training: mixture audit (realized vs target epochs)",
+)
+def mixture_epoch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture audit: per tier, the realized copy totals next to the
+    target rate — the check that the deterministic rounding lands within
+    one document of n_docs·rate."""
+    from tipoca_stream_spark.operators import mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", _mix_tier())
+    rates = mixture.source_rates(docs, "tier", MIX_ALPHA, MIX_COEFF)
+    samp = mixture.temperature_sample(
+        docs, "tier", "doc_id", MIX_ALPHA, MIX_COEFF, MIX_SALT
+    )
+    per = samp.groupBy("tier").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_in"),
+        F.count("*").cast("long").alias("n_emitted"),
+    )
+    return rates.join(per, "tier").select(
+        "tier",
+        "n_docs",
+        F.round("rate", 6).alias("rate"),
+        "n_docs_in",
+        "n_emitted",
+    )
