@@ -199,10 +199,10 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence budget per language at SEQ_LEN-token context: how many
     sequences each doc yields (ceil, doc-boundary packing) and the padding
     fraction that implies. Exact integer sums; one division at the end.
-    The greedy cross-doc packing variant is a sequential algorithm — this
-    per-doc accounting is the distributable form, and the padding_frac is
-    exactly the quantity that tells you whether cross-doc packing is worth
-    the shuffle."""
+    The padding_frac is exactly the quantity that tells you whether
+    cross-doc packing is worth the shuffle — the cross-doc packer itself
+    is operators/packing.py (hierarchical prefix sum; registered as
+    bpe_pack_sequences), which eliminates the padding entirely."""
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
     return (

@@ -890,7 +890,9 @@ BPE_NUM_MERGES = 16
 BPE_MIN_PAIR_COUNT = 2
 
 
-def _bpe_training_ctes(num_merges: int, min_pair_count: int) -> str:
+def _bpe_training_ctes(
+    num_merges: int, min_pair_count: int, docs_rel: str = "documents"
+) -> str:
     """Unrolled DuckDB CTE chain replaying BPE training round by round.
 
     Per round i: pair counts from the current symbol table (aligned dual
@@ -902,9 +904,9 @@ def _bpe_training_ctes(num_merges: int, min_pair_count: int) -> str:
     each s_i is referenced twice (chain + best-pair), so the default
     inlining would expand the plan 2^rounds-fold."""
     parts = [
-        """w AS MATERIALIZED (
+        f"""w AS MATERIALIZED (
       SELECT word, count(*)::BIGINT AS cnt FROM (
-        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        SELECT unnest(string_split(text, ' ')) AS word FROM {docs_rel}
       ) WHERE word <> '' GROUP BY word
     ),
     s0 AS MATERIALIZED (
@@ -1046,13 +1048,14 @@ def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_SEQ_LEN = 128
 
-_BPE_PACK_ORACLE = (
-    _BPE_CTES
-    + f""",
+def _pack_tail_sql(docs_rel: str = "documents") -> str:
+    """Pack-oracle tail: global token offsets via window cumsums over the
+    final symbol table, then chunk reassembly. Appends to a BPE CTE chain."""
+    return f""",
     dwp AS (
       SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS pos
       FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-            FROM documents)
+            FROM {docs_rel})
     ),
     wtok AS (
       SELECT dwp.doc_id, dwp.pos, s.syms
@@ -1080,7 +1083,9 @@ _BPE_PACK_ORACLE = (
            count(*)::BIGINT AS n_tokens,
            array_to_string(list(token ORDER BY g), ' ') AS tokens_str
     FROM tok GROUP BY 1"""
-)
+
+
+_BPE_PACK_ORACLE = _BPE_CTES + _pack_tail_sql("documents")
 
 
 @query(
@@ -1100,6 +1105,91 @@ def bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     merges = _bpe_merges(spark, sf_dir)
     seg = bpe.segment_with_merges(docs, merges)
+    packed = packing.pack_sequences(seg, PACK_SEQ_LEN)
+    return packed.select(
+        "seq_id", "n_tokens", F.array_join("tokens", " ").alias("tokens_str")
+    )
+
+
+# --- end-to-end curated training pipeline -----------------------------------
+
+def _curated_cte() -> str:
+    """The curation front half as one MATERIALIZED CTE: gopher quality
+    gate ∧ exact-dedup keeper ∧ deterministic train split. Mirrors the
+    Spark side of training_pipeline_pack stage for stage."""
+    from tipoca_stream_spark.plans.sampling import EVAL_PCT, SPLIT_SALT
+
+    return f"""curated AS MATERIALIZED (
+      WITH base AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w
+                    FROM documents),
+      feat AS (SELECT doc_id,
+                 len(w)::bigint AS n_words,
+                 (length(t) - (len(w) - 1))::double / len(w) AS mwl,
+                 length(regexp_replace(t, '[a-z0-9 ]', '', 'g'))::bigint AS n_symbols,
+                 len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::bigint AS n_alpha,
+                 len(list_filter(list_distinct(w), x -> x IN ({_STOP_LIST})))::bigint AS stop_distinct
+               FROM base),
+      g AS (SELECT doc_id FROM feat
+            WHERE n_words >= {tx.GOPHER_MIN_WORDS} AND n_words <= {tx.GOPHER_MAX_WORDS}
+              AND mwl >= {tx.GOPHER_MIN_MEAN_WORD_LEN} AND mwl <= {tx.GOPHER_MAX_MEAN_WORD_LEN}
+              AND (n_symbols::double / n_words) <= {tx.GOPHER_MAX_SYMBOL_RATIO}
+              AND (n_alpha::double / n_words) >= {tx.GOPHER_MIN_ALPHA_WORD_FRAC}
+              AND stop_distinct >= {tx.GOPHER_MIN_STOPWORDS}),
+      k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN g USING (doc_id) JOIN k USING (doc_id)
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '{SPLIT_SALT}'), 1, 8))::BIGINT
+              % 100 >= {EVAL_PCT}
+    )"""
+
+
+_PIPELINE_ORACLE = (
+    "WITH "
+    + _curated_cte()
+    + ",\n"
+    + _bpe_training_ctes(BPE_NUM_MERGES, BPE_MIN_PAIR_COUNT, docs_rel="curated")[
+        len("WITH ") :
+    ]
+    + _pack_tail_sql("curated")
+)
+
+
+@query(
+    "training_pipeline_pack",
+    _PIPELINE_ORACLE,
+    survey_ref="training: end-to-end curation pipeline (gate → dedup → split → BPE → pack)",
+)
+def training_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan: gopher quality
+    gate → exact-dedup keepers → deterministic train split → BPE trained
+    ON the curated subset → segmentation → fixed-length sequence packing.
+    Every stage is individually oracle-checked elsewhere; this row pins
+    their composition end-to-end (the oracle recomputes the full chain in
+    DuckDB, curation CTE included). Scale shape: two semi-joins + a hash
+    filter (no extra corpus shuffles beyond exact-dedup's digest groupBy),
+    then the BPE/pack plan documented in their operators."""
+    from tipoca_stream_spark.operators import bpe, packing
+    from tipoca_stream_spark.plans.sampling import EVAL_PCT, SPLIT_SALT, _bucket
+
+    docs = _docs(spark, sf_dir)
+    gate = (
+        tx.gopher_quality(docs, "text", "doc_id")
+        .filter(F.col("passes_gopher"))
+        .select("doc_id")
+    )
+    keepers = cd.exact_dedup_groups(docs, "text", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    curated = (
+        docs.join(gate, "doc_id", "left_semi")
+        .join(keepers, "doc_id", "left_semi")
+        .filter(_bucket(F.col("doc_id"), SPLIT_SALT) >= EVAL_PCT)
+        .select("doc_id", "text")
+    )
+    merges = bpe.train_bpe(
+        curated, num_merges=BPE_NUM_MERGES, min_pair_count=BPE_MIN_PAIR_COUNT
+    )
+    seg = bpe.segment_with_merges(curated, merges)
     packed = packing.pack_sequences(seg, PACK_SEQ_LEN)
     return packed.select(
         "seq_id", "n_tokens", F.array_join("tokens", " ").alias("tokens_str")
