@@ -166,3 +166,45 @@ def test_word_frequencies_plan_is_aggregate_pushdown(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_token_vocabulary_order_and_ids(spark):
+    docs = _docs(spark, CORPORA["classic"])
+    merges = bpe.train_bpe(docs, num_merges=8)
+    seg = bpe.segment_with_merges(docs, merges)
+    vocab = bpe.token_vocabulary(seg).orderBy("token_id").collect()
+    # dense ids from 0
+    assert [r["token_id"] for r in vocab] == list(range(len(vocab)))
+    # deterministic order: freq desc, token asc
+    keys = [(-r["freq"], r["token"]) for r in vocab]
+    assert keys == sorted(keys)
+    # freqs equal the segmented corpus counts
+    counts = collections.Counter(
+        t for r in seg.collect() for t in r["tokens"]
+    )
+    assert {r["token"]: r["freq"] for r in vocab} == dict(counts)
+    # the vocabulary is tokenizer-spec-bounded: every token is an initial
+    # symbol or one merge's output
+    allowed = {l + r for l, r, _ in merges} | {bpe.END_OF_WORD}
+    allowed |= {c for r in vocab for c in r["token"]}
+    assert all(r["token"] in allowed for r in vocab)
+
+
+def test_tokens_to_ids_roundtrip_and_unknown(spark):
+    docs = _docs(spark, CORPORA["classic"])
+    merges = bpe.train_bpe(docs, num_merges=8)
+    seg = bpe.segment_with_merges(docs, merges)
+    vocab_rows = bpe.token_vocabulary(seg).collect()
+    inv = {r["token_id"]: r["token"] for r in vocab_rows}
+    ids = {
+        r["doc_id"]: list(r["ids"])
+        for r in bpe.tokens_to_ids(seg, bpe.token_vocabulary(seg)).collect()
+    }
+    toks = {r["doc_id"]: list(r["tokens"]) for r in seg.collect()}
+    assert set(ids) == set(toks)
+    for d, idlist in ids.items():
+        assert [inv[i] for i in idlist] == toks[d], d
+    # dict-vocab path + unknown token -> -1
+    other = spark.createDataFrame([(9, ["zzz", "low"])], ["doc_id", "tokens"])
+    got = bpe.tokens_to_ids(other, {"low": 5}).collect()[0]
+    assert list(got["ids"]) == [-1, 5]

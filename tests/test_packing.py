@@ -97,3 +97,63 @@ def test_offsets_plan_has_no_single_partition_stage(spark):
     )
     naive_plan = naive._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in naive_plan  # the shape being avoided
+
+
+def ref_spans(docs, seq_len):
+    """Per-chunk (doc_id, start_in_chunk, len) spans, in-chunk order."""
+    spans: dict[int, list] = {}
+    g = 0
+    for doc_id, toks in sorted(docs):
+        n = len(toks)
+        if n == 0:
+            continue
+        pos = 0
+        while pos < n:
+            sid = (g + pos) // seq_len
+            take = min(n - pos, (sid + 1) * seq_len - (g + pos))
+            spans.setdefault(sid, []).append(
+                (doc_id, (g + pos) % seq_len, take)
+            )
+            pos += take
+        g += n
+    return spans
+
+
+def test_pack_with_spans_matches_reference(spark):
+    rng = random.Random(3)
+    docs = [(60, [f"g{j}" for j in range(1_000)])]  # spans many chunks
+    docs += [
+        (i, [f"d{i}_{j}" for j in range(rng.randrange(0, 9))])
+        for i in list(range(1, 60)) + list(range(61, 120))
+    ]
+    for seq_len in (7, 128):
+        got = {
+            r["seq_id"]: (
+                r["n_tokens"],
+                list(r["tokens"]),
+                [(s["doc_id"], s["start"], s["len"]) for s in r["spans"]],
+            )
+            for r in packing.pack_sequences_with_spans(
+                _seg(spark, docs), seq_len
+            ).collect()
+        }
+        want_tokens = ref_pack(docs, seq_len)
+        want_spans = ref_spans(docs, seq_len)
+        assert set(got) == set(want_tokens)
+        for sid, (n, toks, spans) in got.items():
+            assert (n, toks) == (len(want_tokens[sid]), want_tokens[sid]), sid
+            assert spans == want_spans[sid], sid
+            # spans tile the chunk exactly: contiguous, in order, full cover
+            assert spans[0][1] == 0
+            for (_, s1, l1), (_, s2, _) in zip(spans, spans[1:]):
+                assert s1 + l1 == s2
+            assert spans[-1][1] + spans[-1][2] == n
+
+
+def test_pack_with_spans_empty_docs_skipped(spark):
+    docs = [(1, []), (2, ["a", "b", "c"]), (3, []), (4, ["d"])]
+    got = {
+        r["seq_id"]: [(s["doc_id"], s["start"], s["len"]) for s in r["spans"]]
+        for r in packing.pack_sequences_with_spans(_seg(spark, docs), 2).collect()
+    }
+    assert got == {0: [(2, 0, 2)], 1: [(2, 0, 1), (4, 1, 1)]}

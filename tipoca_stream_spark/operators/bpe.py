@@ -248,6 +248,64 @@ def train_bpe(
     )
 
 
+def token_vocabulary(seg: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Segmented corpus → (token_id, token, freq): the id-assignment
+    table, deterministically ordered (freq desc, token asc; ids from 0 —
+    hot tokens get the small ids, the convention embedding tables like).
+
+    The corpus-sized stage is the explode → map-side-combined groupBy;
+    the id-assigning window then runs over the VOCABULARY, whose size is
+    bounded by the tokenizer spec itself — every emitted token is either
+    an initial symbol or one merge's output, so |vocab| ≤ |alphabet| +
+    num_merges + 1 regardless of corpus size. The single-task global
+    window is therefore bounded by construction, not by data."""
+    freqs = (
+        seg.select(F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return freqs.select(
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+        "token",
+        "freq",
+    )
+
+
+def tokens_to_ids(
+    seg: DataFrame,
+    vocab,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tokens) → (id, ids): map token strings to vocabulary ids.
+
+    ``vocab`` is a ``token_vocabulary`` DataFrame or a {token: id} dict.
+    The mapping is tokenizer-spec-sized (see ``token_vocabulary``), so it
+    collects to the driver and ships in the UDF closure — the same
+    broadcast discipline as ``segment_with_merges``'s rank table; the
+    encode itself is an Arrow-batched column map with no shuffle. Tokens
+    absent from the vocabulary map to -1 (can't happen when the vocab
+    was built from the same segmentation)."""
+    if isinstance(vocab, dict):
+        mapping = dict(vocab)
+    else:
+        mapping = {
+            r["token"]: r["token_id"]
+            for r in vocab.select("token_id", "token").collect()
+        }
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def to_ids(tok: pd.Series) -> pd.Series:
+        return pd.Series(
+            [[mapping.get(t, -1) for t in arr] for arr in tok]
+        )
+
+    return seg.select(F.col(id_col), to_ids(F.col(tokens_col)).alias("ids"))
+
+
 def segment_with_merges(
     docs: DataFrame,
     merges: list,

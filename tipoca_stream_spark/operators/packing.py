@@ -84,21 +84,20 @@ def global_token_offsets(
     )
 
 
-def pack_sequences(
-    seg: DataFrame,
-    seq_len: int,
-    id_col: str = "doc_id",
-    tokens_col: str = "tokens",
+def _chunk_pieces(
+    seg: DataFrame, seq_len: int, id_col: str, tokens_col: str
 ) -> DataFrame:
-    """(id, tokens) → (seq_id, n_tokens, tokens): fixed-length chunks of
-    the corpus token stream in ``id_col`` order. Every chunk has
-    ``seq_len`` tokens except possibly the last. Deterministic."""
+    """(id, tokens) → one row per (chunk, document-slice): the shared
+    fan-out both packers build on. Columns: seq_id, _doc (the source
+    document id), _gstart (the slice's global offset), _piece (the token
+    slice). A document emits ceil(n/seq_len)+1 rows at most."""
     off = global_token_offsets(seg, id_col=id_col, tokens_col=tokens_col)
     lo = F.floor(F.col("start") / seq_len)
     hi = F.floor((F.col("start") + F.col("n_tokens") - 1) / seq_len)
     pieces = (
         off.filter(F.col("n_tokens") > 0)
         .select(
+            F.col(id_col).alias("_doc"),
             "start",
             "n_tokens",
             F.col(tokens_col).alias("_toks"),
@@ -111,13 +110,26 @@ def pack_sequences(
     in_doc_end = F.least(
         F.col("n_tokens"), (F.col("seq_id") + 1) * seq_len - F.col("start")
     )
-    pieces = pieces.select(
+    return pieces.select(
         "seq_id",
+        "_doc",
         (F.col("start") + in_doc_start).alias("_gstart"),
         F.slice(
             "_toks", (in_doc_start + 1).cast("int"), (in_doc_end - in_doc_start).cast("int")
         ).alias("_piece"),
     )
+
+
+def pack_sequences(
+    seg: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, tokens) → (seq_id, n_tokens, tokens): fixed-length chunks of
+    the corpus token stream in ``id_col`` order. Every chunk has
+    ``seq_len`` tokens except possibly the last. Deterministic."""
+    pieces = _chunk_pieces(seg, seq_len, id_col, tokens_col)
     assembled = pieces.groupBy("seq_id").agg(
         F.flatten(
             F.transform(
@@ -130,4 +142,49 @@ def pack_sequences(
     )
     return assembled.select(
         "seq_id", F.size("tokens").cast("long").alias("n_tokens"), "tokens"
+    )
+
+
+def pack_sequences_with_spans(
+    seg: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """``pack_sequences`` plus per-chunk document-boundary metadata:
+    (seq_id, n_tokens, tokens, spans) where spans is an
+    array<struct<doc_id, start, len>> ordered by in-chunk position —
+    the block-diagonal attention-mask input ("sample packing": each
+    span attends only within itself, so the trainer needs to know where
+    documents begin and end inside every packed sequence).
+
+    Same plan as ``pack_sequences`` — the span metadata rides the slice
+    rows the chunk shuffle already carries, so the only addition is a
+    constant-width struct per (chunk, document) pair; no extra shuffle,
+    no extra pass."""
+    pieces = _chunk_pieces(seg, seq_len, id_col, tokens_col)
+    assembled = pieces.groupBy("seq_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_gstart"), F.col("_doc"), F.col("_piece")))
+        ).alias("_sorted")
+    )
+    spans = F.transform(
+        F.col("_sorted"),
+        lambda s: F.struct(
+            s["_doc"].alias("doc_id"),
+            (s["_gstart"] - F.col("seq_id") * seq_len).alias("start"),
+            F.size(s["_piece"]).cast("long").alias("len"),
+        ),
+    )
+    return assembled.select(
+        "seq_id",
+        F.flatten(F.transform(F.col("_sorted"), lambda s: s["_piece"])).alias(
+            "tokens"
+        ),
+        spans.alias("spans"),
+    ).select(
+        "seq_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "tokens",
+        "spans",
     )

@@ -1044,6 +1044,65 @@ def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ENCODE_IDS_ORACLE = (
+    _BPE_CTES
+    + f""",
+    vocab AS (
+      SELECT token,
+             (row_number() OVER (ORDER BY freq DESC, token ASC) - 1)::INTEGER AS token_id
+      FROM (SELECT token, sum(c)::BIGINT AS freq FROM (
+              SELECT unnest(syms) AS token, cnt AS c FROM s{BPE_NUM_MERGES}
+            ) GROUP BY token)
+    ),
+    dwp AS (
+      SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS pos
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents)
+    ),
+    tokstream AS (
+      SELECT dwp.doc_id, dwp.pos, t.tp, t.token
+      FROM dwp JOIN (SELECT word, unnest(syms) AS token,
+                            unnest(range(1, len(syms)+1)) AS tp
+                     FROM s{BPE_NUM_MERGES}) t USING (word)
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           string_agg(v.token_id::VARCHAR, ' ' ORDER BY pos, tp) AS ids_str
+    FROM tokstream JOIN vocab v USING (token)
+    GROUP BY doc_id"""
+)
+
+
+@query(
+    "bpe_encode_ids",
+    _BPE_ENCODE_IDS_ORACLE,
+    survey_ref="training: BPE tokenizer (id encoding)",
+)
+def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID encoding: the (token_id, token, freq) vocabulary derived
+    from the segmented corpus (ids dense from 0, freq desc / token asc —
+    deterministic), then every document's token stream mapped to ids.
+    What a trainer actually consumes — strings never reach the model.
+    The vocabulary is tokenizer-spec-sized (≤ alphabet + num_merges + 1),
+    so the id map broadcasts in the encode UDF's closure; the corpus-sized
+    work is one explode→groupBy for the freqs and one Arrow-batched map
+    for the encode. The oracle replays training, rebuilds the same
+    vocabulary ordering, and re-derives every document's id stream."""
+    from tipoca_stream_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = _bpe_merges(spark, sf_dir)
+    seg = bpe.segment_with_merges(docs, merges)
+    vocab = bpe.token_vocabulary(seg)
+    ids = bpe.tokens_to_ids(seg, vocab)
+    return ids.filter(F.size("ids") > 0).select(
+        "doc_id",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform("ids", lambda i: i.cast("string")), " "
+        ).alias("ids_str"),
+    )
+
+
 # --- sequence packing -------------------------------------------------------
 
 PACK_SEQ_LEN = 128
@@ -1109,6 +1168,74 @@ def bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "seq_id", "n_tokens", F.array_join("tokens", " ").alias("tokens_str")
     )
+
+
+_PACK_SPANS_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, n FROM d WHERE n > 0),
+    off AS (
+      SELECT doc_id, n,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS dstart
+      FROM dl
+    ),
+    tok AS (
+      SELECT doc_id, dstart + tp - 1 AS g
+      FROM (SELECT doc_id, dstart, unnest(range(1, n + 1)) AS tp FROM off)
+    ),
+    sp AS (
+      SELECT (g // {PACK_SEQ_LEN})::BIGINT AS seq_id, doc_id,
+             (min(g) % {PACK_SEQ_LEN})::BIGINT AS start, count(*)::BIGINT AS len
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT seq_id, sum(len)::BIGINT AS n_tokens,
+           string_agg(doc_id::VARCHAR || ':' || start::VARCHAR || ':' || len::VARCHAR,
+                      ' ' ORDER BY start) AS spans_str
+    FROM sp GROUP BY seq_id
+    """
+
+
+@query(
+    "pack_doc_spans",
+    _PACK_SPANS_ORACLE,
+    survey_ref="training: sample packing (document-boundary spans)",
+)
+def pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample packing with block-diagonal-attention metadata: fixed-length
+    chunks of the corpus token stream PLUS, per chunk, the ordered
+    (doc_id, start, len) spans saying where each document lives inside
+    the packed sequence — what the trainer needs to mask cross-document
+    attention. The span structs ride the slice rows the chunk shuffle
+    already carries (operators/packing.py pack_sequences_with_spans):
+    no extra shuffle, no extra pass over the tokens. Whitespace tokens
+    here so the oracle stays a pure offset recomputation; the BPE-fed
+    variant is the same operator (bpe_pack_sequences pins the token
+    path)."""
+    from tipoca_stream_spark.operators import packing
+
+    docs = _docs(spark, sf_dir)
+    seg = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("tokens"),
+    )
+    packed = packing.pack_sequences_with_spans(seg, PACK_SEQ_LEN)
+    spans_str = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws(
+                ":",
+                s["doc_id"].cast("string"),
+                s["start"].cast("string"),
+                s["len"].cast("string"),
+            ),
+        ),
+        " ",
+    )
+    return packed.select("seq_id", "n_tokens", spans_str.alias("spans_str"))
 
 
 # --- end-to-end curated training pipeline -----------------------------------
