@@ -157,3 +157,16 @@ def test_pack_with_spans_empty_docs_skipped(spark):
         for r in packing.pack_sequences_with_spans(_seg(spark, docs), 2).collect()
     }
     assert got == {0: [(2, 0, 2)], 1: [(2, 0, 1), (4, 1, 1)]}
+
+
+def test_pack_empty_corpus(spark):
+    """An empty corpus packs to an empty result — regression: the base
+    offset map used to be built as an untyped zero-entry create_map(),
+    which failed analysis."""
+    empty = spark.createDataFrame([], "doc_id long, tokens array<string>")
+    assert packing.pack_sequences(empty, 4).count() == 0
+    assert packing.pack_sequences_with_spans(empty, 4).count() == 0
+    only_empty_docs = spark.createDataFrame(
+        [(1, []), (2, [])], "doc_id long, tokens array<string>"
+    )
+    assert packing.pack_sequences(only_empty_docs, 4).count() == 0

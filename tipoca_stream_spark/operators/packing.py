@@ -66,6 +66,10 @@ def global_token_offsets(
     for row in sorted(totals, key=lambda r: r["_pid"]):
         base[row["_pid"]] = acc
         acc += row["tot"] or 0
+    if not base:
+        # empty corpus: create_map() with zero entries cannot be analyzed
+        # (untyped), and there are no rows for it to serve anyway
+        return ranged.withColumn("start", F.lit(0).cast("long")).drop("_pid")
     base_map = F.create_map(
         *[F.lit(x) for kv in sorted(base.items()) for x in kv]
     )
