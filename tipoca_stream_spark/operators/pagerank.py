@@ -55,6 +55,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # scalar to the driver — the same bounded read as k-means centroids
+    if n == 0:
+        # empty graph: no nodes to rank (and 1/n below would divide by zero)
+        return nodes.withColumn("pr", F.lit(0.0))
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):

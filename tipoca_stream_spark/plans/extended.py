@@ -453,6 +453,10 @@ def storage_zone_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not t.exists():
         t.write(ev)
     lo = ev.agg(F.min("ts")).collect()[0][0]
+    if lo is None:  # empty table: no range to read (BETWEEN NULL matches nothing)
+        return t.read().select(
+            "event_id", "user_id", "event_type", "value"
+        ).filter(F.lit(False))
     return t.read_range(
         lo + datetime.timedelta(hours=1), lo + datetime.timedelta(hours=3)
     ).select("event_id", "user_id", "event_type", "value")
@@ -695,6 +699,10 @@ def storage_routed_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not t.exists():
         t.write(li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
     key = li.agg(F.max("l_partkey")).collect()[0][0]
+    if key is None:  # empty table: `col = NULL` matches nothing
+        return t.read().select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+        ).filter(F.lit(False))
     routed = t.route_read(eq=("l_partkey", key))
     assert routed.route == "bloom"  # the router must actually take the index
     return routed.df.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
@@ -738,6 +746,10 @@ def storage_routed_composite_read(spark: SparkSession, sf_dir: str) -> DataFrame
     lo_key, hi_order = li.agg(
         F.min("l_partkey"), (F.max("l_orderkey") / 2).cast("bigint")
     ).collect()[0]
+    if lo_key is None:  # empty table: `col = NULL` matches nothing
+        return t.read().select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+        ).filter(F.lit(False))
     routed = t.route_read(
         eq=("l_partkey", lo_key), between=("l_orderkey", 1, hi_order)
     )

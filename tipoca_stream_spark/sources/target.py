@@ -1223,7 +1223,7 @@ class BucketedTargetTable(ParquetTargetTable):
                 "declared at write time)"
             )
         pp = (
-            self.spark.read.parquet(self._text_dir(vdir))
+            self._read_text_postings(v)
             .filter(F.col("term").isin(list(terms)))
             .select("doc_id", "term", F.explode("positions").alias("pos"))
         )
@@ -1293,12 +1293,31 @@ class BucketedTargetTable(ParquetTargetTable):
         summary.coalesce(1).write.mode("overwrite").parquet(self._text_summary_dir(vdir))
 
     def _sidecar_ready(self, vdir: str, sub: str) -> bool:
+        # _SUCCESS counts: a partitionBy writer given ZERO rows commits
+        # only the marker (no part files) — that sidecar is empty, not
+        # missing, and readers must serve empty results off it rather
+        # than misreport "index never declared" (empty corpora are
+        # legitimate: a curation filter can pass nothing)
         d = os.path.join(vdir, sub)
         return os.path.isdir(d) and any(
-            f.endswith(".parquet")
+            f.endswith(".parquet") or f == "_SUCCESS"
             for _, _, files in os.walk(d)
             for f in files
         )
+
+    def _read_text_postings(self, v: int) -> DataFrame:
+        """Posting sidecar of version ``v``, tolerant of the empty-corpus
+        layout (see ``_sidecar_ready``): when the committed sidecar holds
+        no parquet, derive the (empty) postings frame with the exact
+        schema the tokenizer defines instead of failing schema inference."""
+        tdir = self._text_dir(self._vdir(v))
+        has_parquet = os.path.isdir(tdir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(tdir) for f in fs
+        )
+        if has_parquet:
+            return self.spark.read.parquet(tdir)
+        postings, _ = self._text_tables(self.read(v).limit(0))
+        return postings
 
     def point_files(self, value, col: str | None = None) -> list[str] | None:
         """Bloom-qualifying files for ``col == value`` on the current
@@ -1370,7 +1389,7 @@ class BucketedTargetTable(ParquetTargetTable):
             )
         from tipoca_stream_spark.sources.invindex import okapi_score
 
-        tf = self.spark.read.parquet(self._text_dir(vdir)).filter(
+        tf = self._read_text_postings(v).filter(
             F.col("term").isin(list(query_terms))
         )
         totals = self._totals_from_summary(
