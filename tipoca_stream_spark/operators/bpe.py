@@ -349,9 +349,12 @@ def segment_with_merges(
         out = []
         for text in texts:
             toks: list = []
-            for w in str(text).split(" "):
-                if w:
-                    toks.extend(enc_word(w))
+            # NULL text segments to no tokens — str(None) would otherwise
+            # smuggle a literal "None" token into the corpus
+            if isinstance(text, str):
+                for w in text.split(" "):
+                    if w:
+                        toks.extend(enc_word(w))
             out.append(toks)
         return pd.Series(out)
 

@@ -614,7 +614,25 @@ def extract_features(media: DataFrame, frame_sample_rate: int = 10) -> DataFrame
         for pdf in batches:
             rows = []
             for kind, media_id, raw in zip(pdf["kind"], pdf["media_id"], pdf["payload"]):
-                payload = bytes(raw) if raw is not None else b""
+                if raw is None:
+                    # NULL payload is not an EMPTY payload: propagate NULL
+                    # features (byte_len/md5 of b"" would alias the two)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "kind": kind,
+                            "byte_len": None,
+                            "payload_md5": None,
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "channels": None,
+                            "sample_rate": None,
+                            "duration_ms": None,
+                        }
+                    )
+                    continue
+                payload = bytes(raw)
                 hdr = decode_image_header(payload)
                 w, h = (hdr[1], hdr[2]) if hdr else (None, None)
                 audio = decode_audio_header(payload)

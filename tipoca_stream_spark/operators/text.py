@@ -89,7 +89,10 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     distinct word set — robust to word order and repetition."""
     words = _words(F.lower(F.col(text_col)))
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
-    return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+    # NULL text → NULL fingerprint (concat_ws would silently coerce the
+    # NULL word array to '' and alias NULL docs with genuinely-empty ones)
+    fp = F.when(F.col(text_col).isNotNull(), F.md5(canon))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
 ROLLING_BASE = 31

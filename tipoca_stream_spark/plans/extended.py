@@ -102,7 +102,11 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
         F.round(sx / n / 100, 6).alias("mean_price"),
-        F.round((sxx - sx * sx / n) / (n - 1) / 10000, 4).alias("var_price"),
+        # try_divide: a single-row group has n-1 = 0; DuckDB's double
+        # division by zero yields NULL, ANSI Spark raises — NULL matches
+        F.round(
+            F.try_divide(sxx - sx * sx / n, n - 1) / 10000, 4
+        ).alias("var_price"),
     )
 
 
@@ -543,8 +547,8 @@ def storage_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus, count(*) AS n,
            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
     FROM lineitem
-    WHERE NOT (l_returnflag = 'R')
-      AND NOT (l_linestatus = 'F' AND l_quantity > 45)
+    WHERE NOT coalesce(l_returnflag = 'R', false)
+      AND NOT coalesce(l_linestatus = 'F' AND l_quantity > 45, false)
     GROUP BY l_returnflag, l_linestatus
     """,
     survey_ref="M4-family retroactive deletes: merge-on-read deletion vectors",
@@ -587,8 +591,8 @@ def storage_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus, count(*) AS n,
            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
     FROM lineitem
-    WHERE NOT (l_returnflag = 'R')
-      AND NOT (l_linestatus = 'F' AND l_quantity > 45)
+    WHERE NOT coalesce(l_returnflag = 'R', false)
+      AND NOT coalesce(l_linestatus = 'F' AND l_quantity > 45, false)
     GROUP BY l_returnflag, l_linestatus
     """,
     survey_ref="M4-family retroactive deletes: copy-on-write bucket rewrite",

@@ -189,13 +189,20 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
-        F.count("*").alias("n_days"),
+        # count("day"), not count(*): a NULL-ts group contributes one
+        # NULL-day sketch row but zero days (matches the oracle's
+        # count(DISTINCT CAST(ts AS DATE)), which skips NULLs)
+        F.count("day").alias("n_days"),
     )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users")
     )
-    return merged.join(exact, "event_type").select(
-        "event_type",
+    # eqNullSafe: GROUP BY keeps a NULL event_type group in both frames,
+    # and a plain equi-join would drop it (SQL NULL = NULL)
+    return merged.join(
+        exact, merged["event_type"].eqNullSafe(exact["event_type"])
+    ).select(
+        merged["event_type"].alias("event_type"),
         "exact_users",
         "n_days",
         (

@@ -138,12 +138,16 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((cents * cents).cast("decimal(38,0)")).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx").cast("double"), F.col("sxx").cast("double")
+    # try_divide twice: a single-row group has n-1 = 0, and a constant
+    # group has std 0 — DuckDB's double division by zero yields NULL in
+    # both spots (the NULL z never passes the |z| > 3 gate), ANSI Spark
+    # raises; NULL matches the oracle exactly
     stats = m.select(
         "event_type",
         (sx / n / 100).alias("mean_v"),
-        F.sqrt(((sxx - sx * sx / n) / (n - 1)) / 10000).alias("std_v"),
+        F.sqrt(F.try_divide(sxx - sx * sx / n, n - 1) / 10000).alias("std_v"),
     )
-    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    z = F.try_divide(F.col("value") - F.col("mean_v"), F.col("std_v"))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 3)

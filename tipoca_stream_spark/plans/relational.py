@@ -113,7 +113,8 @@ def m4_delete_op_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT
       count(*) FILTER (WHERE event_type = 'signup') AS create_events,
-      count(*) FILTER (WHERE event_type NOT IN ('signup','error')) AS update_events,
+      count(*) FILTER (WHERE event_type IS NULL
+                          OR event_type NOT IN ('signup','error')) AS update_events,
       count(*) FILTER (WHERE event_type = 'error') AS delete_events
     FROM events
     """,
@@ -160,11 +161,16 @@ SELECT
   sha256(c_acctbal::varchar || '{MASK_SALT}') AS c_acctbal,
   CASE WHEN c_mktsegment = 'BUILDING' THEN c_mktsegment
        ELSE sha256(c_mktsegment || '{MASK_SALT}') END AS c_mktsegment,
-  length(c_name)::int AS c_name_length,
+  coalesce(length(c_name), 0)::int AS c_name_length,
   substr(c_name, 1, 5) AS c_name_init5,
-  regexp_matches(lower(c_mktsegment), 'build') AS c_mktsegment_isbuild
+  coalesce(regexp_matches(lower(c_mktsegment), 'build'), false) AS c_mktsegment_isbuild
 FROM customer
 """
+# NULL-input coalesces mirror the reference exactly: LengthKey emits 0 for
+# a nil value (masker.go:100-103 `var length int; if cVal != nil {...}`)
+# and RegexPatternBooleanKeys emit "false" (mask_config.go:365-369
+# `if cValue != nil && regex.MatchString(...) else "false"`); MobileKey
+# stays nil for nil (masker.go:113-115), hence substr keeps NULL.
 
 
 @query("mask_pipeline", MASK_ORACLE, survey_ref="P5,P7,P8,P9,P10,P12,P14,P16")

@@ -133,10 +133,13 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("split") == "eval", 1)).cast("double").alias("n_e"),
     )
     w = Window.partitionBy()
+    # try_divide: a split with zero rows overall has tot = 0; DuckDB's
+    # double division by zero yields NULL and greatest() skips NULLs in
+    # BOTH engines, so the proportion floors to PSI_EPS identically
     t = c.select(
         "bin",
-        (F.col("n_t") / F.sum("n_t").over(w)).alias("p_t_raw"),
-        (F.col("n_e") / F.sum("n_e").over(w)).alias("p_e_raw"),
+        F.try_divide(F.col("n_t"), F.sum("n_t").over(w)).alias("p_t_raw"),
+        F.try_divide(F.col("n_e"), F.sum("n_e").over(w)).alias("p_e_raw"),
     )
     p = t.select(
         "bin",

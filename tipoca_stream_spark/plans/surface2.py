@@ -570,8 +570,13 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by group size (dimension-scale here; at fact scale you'd cap
     or sketch it)."""
     nation = load_table(spark, sf_dir, "nation")
+    # when-guard: string_agg over an all-NULL group is NULL in SQL;
+    # concat_ws over the (NULL-skipping) empty collect_list would be ''
     return nation.groupBy("n_regionkey").agg(
-        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("members"),
+        F.when(
+            F.size(F.collect_list("n_name")) > 0,
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))),
+        ).alias("members"),
         F.count("*").alias("n"),
     )
 

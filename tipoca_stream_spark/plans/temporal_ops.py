@@ -102,10 +102,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_rolling_hash",
     f"""
     SELECT doc_id,
-           list_reduce(
-             list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(text, '')]),
-             (acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD}
-           ) AS rolling_hash
+           CASE WHEN text IS NULL THEN NULL ELSE
+             list_reduce(
+               list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(text, '')]),
+               (acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD}
+             )
+           END AS rolling_hash
     FROM documents
     """,
     survey_ref="training: rolling-hash fingerprint",
