@@ -270,6 +270,17 @@ def main() -> None:
     extras["rolling_median_wide"] = best_of(
         2, lambda: QUERIES["window_rolling_median_wide"].fn(spark, sf_dir).count()
     )
+    # - tokenizer + packing family (round 8): BPE train/segment/chunk and
+    #   the full curation pipeline. Tracked because the trainer's only
+    #   corpus-sized stage is the word-frequency aggregate — a regression
+    #   to per-merge corpus passes would show as a cliff here — and the
+    #   packer's prefix sum must never route the corpus through one task.
+    extras["bpe_pack_sequences"] = best_of(
+        2, lambda: QUERIES["bpe_pack_sequences"].fn(spark, sf_dir).count()
+    )
+    extras["training_pipeline_pack"] = best_of(
+        2, lambda: QUERIES["training_pipeline_pack"].fn(spark, sf_dir).count()
+    )
 
     print(
         json.dumps(

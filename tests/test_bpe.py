@@ -208,3 +208,31 @@ def test_tokens_to_ids_roundtrip_and_unknown(spark):
     other = spark.createDataFrame([(9, ["zzz", "low"])], ["doc_id", "tokens"])
     got = bpe.tokens_to_ids(other, {"low": 5}).collect()[0]
     assert list(got["ids"]) == [-1, 5]
+
+
+def test_segment_roundtrip_lossless(spark):
+    """Detokenization invariant: concatenating a document's tokens and
+    replacing the </w> markers with spaces reproduces the NORMALIZED
+    text (single-space-joined non-empty words) for every doc — the
+    tokenizer is lossless, so a trainer can always recover the text."""
+    texts = [t for c in CORPORA.values() for t in c] + ["", " ", "a  b c"]
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = bpe.train_bpe(docs, num_merges=12)
+    seg = bpe.segment_with_merges(docs, merges)
+    got = {r["doc_id"]: list(r["tokens"]) for r in seg.collect()}
+    for i, t in enumerate(texts):
+        toks = got[i + 1]
+        detok = "".join(toks).replace(bpe.END_OF_WORD, " ").rstrip(" ")
+        normalized = " ".join(w for w in t.split(" ") if w)
+        assert detok == normalized, (i + 1, t, toks)
+    # and through the id layer: ids -> tokens -> text survives unchanged
+    vocab_rows = bpe.token_vocabulary(seg).collect()
+    inv = {r["token_id"]: r["token"] for r in vocab_rows}
+    ids = {r["doc_id"]: list(r["ids"])
+           for r in bpe.tokens_to_ids(seg, bpe.token_vocabulary(seg)).collect()}
+    for i, t in enumerate(texts):
+        detok = "".join(inv[x] for x in ids[i + 1]).replace(
+            bpe.END_OF_WORD, " ").rstrip(" ")
+        assert detok == " ".join(w for w in t.split(" ") if w), (i + 1, t)

@@ -66,6 +66,13 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
         F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("dv"),
     )
+    # Materialize once: three join branches (both wedge spokes + the
+    # closing-edge probe) read `oriented`, and their exchanges differ, so
+    # without a pin the dedup+degree-join subtree re-executes per branch
+    # (measured 11% of the query at sf0.1; the recompute grows with edge
+    # count). eager=True — the operators/pagerank.py discipline; the lazy
+    # variant pays the toRdd planning cost without the reuse.
+    oriented = oriented.localCheckpoint(eager=True)
     # Wedges from the lowest-ordered vertex of each triangle: two out-edges
     # (u→v1, u→v2) with (dv1, v1) < (dv2, v2); the closing edge v1→v2 is
     # then oriented exactly that way, so one equi-join confirms it.
