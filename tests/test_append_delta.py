@@ -153,3 +153,21 @@ def test_append_refuses_text_sidecar(spark, tmp_path):
     t.write(d)
     with pytest.raises(NotImplementedError):
         t.append_delta(d)
+
+
+def test_empty_base_and_empty_appends(spark, tmp_path):
+    """Degenerate commits are legitimate (a filter chain can pass
+    nothing): an EMPTY initial write, appends onto it, an EMPTY append
+    onto a real table, and compaction across the mix all stay readable
+    and correct."""
+    t = _mk(spark, tmp_path)
+    full = _frame(spark, 100)
+    empty = full.filter(F.lit(False))
+    t.write(empty)
+    assert t.read().count() == 0
+    t.append_delta(full)
+    assert t.read().count() == 100
+    t.append_delta(empty)
+    assert t.read().count() == 100
+    t.compact()
+    assert t.read().count() == 100

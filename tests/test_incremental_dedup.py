@@ -140,3 +140,21 @@ def test_screen_reads_only_the_batch_buckets(spark, tmp_path):
     d.ingest(_df(spark, [("z1", rows[0][1])]))  # 1-doc batch, exact dup
     st = d.last_screen_stats
     assert st["files_scanned"] < st["files_total"], st
+
+
+def test_empty_batches_are_safe(spark, tmp_path):
+    """Empty batches are routine in a live ingest loop (an upstream gate
+    can pass nothing): empty-first bootstrap, empty-after-real, and an
+    empty screen must all work and leave the index consistent."""
+    d = IncrementalDeduper(spark, str(tmp_path))
+    empty = _df(spark, DOCS1).filter("doc_id = 'nope'")
+    accepted, dups = d.ingest(empty)
+    assert accepted.count() == 0 and dups.count() == 0
+    accepted, dups = d.ingest(_df(spark, DOCS1))
+    assert accepted.count() == len(DOCS1)
+    assert d.screen(empty).count() == 0
+    accepted, dups = d.ingest(empty)
+    assert accepted.count() == 0 and dups.count() == 0
+    # the real corpus is still fully indexed: an exact re-ingest dedups
+    acc2, dup2 = d.ingest(_df(spark, DOCS1))
+    assert acc2.count() == 0 and dup2.count() == len(DOCS1)

@@ -313,3 +313,34 @@ def test_requantize_loser_removes_staged_seeds(spark, tmp_path):
     assert d._staged_seed_versions() == [1]
     # state intact: the winner's commit serves
     assert d.index.read().count() == 35
+
+
+def test_empty_batches_are_safe(spark, tmp_path):
+    """Empty-first bootstrap, empty-after-real ingest, and an empty
+    screen must all work (an upstream curation gate can pass nothing)."""
+    root = str(tmp_path / "semidx_empty")
+    rows = _vectors(range(0, 24))
+    seeds = spark.createDataFrame([(i, v) for i, v in rows[:4]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds)
+    df = spark.createDataFrame(rows, SCHEMA)
+    empty = df.filter("vec_id < 0")
+    n, rejected = d.ingest(empty)
+    assert n == 0 and rejected.count() == 0
+    n, rejected = d.ingest(df)
+    assert n == len(rows)
+    assert d.screen(empty).count() == 0
+    n, rejected = d.ingest(empty)
+    assert n == 0 and rejected.count() == 0
+    # exact re-ingest still rejects everything: the index is intact
+    n2, rej2 = d.ingest(df)
+    assert n2 == 0 and rej2.count() == len(rows)
+
+
+def test_bad_seed_schema_fails_loud(spark, tmp_path):
+    """A wrong seeds schema fails at staging with a clear message, not
+    later as an opaque AMBIGUOUS_REFERENCE in the assignment join."""
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(_vectors(range(4)), SCHEMA)  # vec_id/embedding
+    with _pytest.raises(ValueError, match="seed_id"):
+        IncrementalSemanticDeduper(spark, str(tmp_path / "bad"), seeds=bad)

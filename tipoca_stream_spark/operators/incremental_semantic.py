@@ -113,6 +113,15 @@ class IncrementalSemanticDeduper:
         )
 
     def _stage_seeds(self, seeds: DataFrame) -> int:
+        missing = {"seed_id", "seed_vec"} - set(seeds.columns)
+        if missing:
+            # fail loud at staging time: a wrong seeds schema otherwise
+            # surfaces later as an opaque AMBIGUOUS_REFERENCE inside the
+            # assignment crossJoin
+            raise ValueError(
+                f"seeds must have columns (seed_id, seed_vec); missing {sorted(missing)} "
+                f"(got {seeds.columns})"
+            )
         sv = (max(self._staged_seed_versions(), default=0)) + 1
         seeds.write.mode("overwrite").parquet(self._seeds_dir(sv))
         return sv
