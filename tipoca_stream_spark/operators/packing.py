@@ -192,3 +192,92 @@ def pack_sequences_with_spans(
         "tokens",
         "spans",
     )
+
+
+def harmonic_pack(
+    lengths: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_eff",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Capacity-aware WHOLE-document bin packing (no splitting — the
+    "fewer truncations" layout, vs ``pack_sequences``' concatenate-and-cut).
+    Harmonic size-class shelf scheme (Lee & Lee, JACM 1985): a document of
+    effective length n (0 < n ≤ capacity) gets class
+    ``cls = floor(capacity / n)`` — by construction ``cls`` docs of that
+    class fit in one bin (each n ≤ capacity/cls) — then docs are ranked
+    within their class by (n desc, id asc) and dealt into bins of exactly
+    ``cls`` docs: ``bin_idx = (rank-1) // cls``. Deterministic, and every
+    non-final bin of class k is filled past capacity·k/(k+1) (each member
+    is > capacity/(k+1)), so padding waste is bounded below 1/(k+1) of the
+    bin except on the ≤ one partial shelf per class.
+
+    100 TB design: the naive plan is one global window per class — but a
+    hot class (tiny documents) can hold most of the corpus, which makes
+    ``Window.partitionBy(cls)`` a single-task sort. Ranks are computed
+    hierarchically instead, the ``global_token_offsets`` two-level-scan
+    shape: range-partition by the total order (cls, n desc, id), ONE
+    bounded driver read of per-(partition, class) row counts — bounded by
+    P × |classes|, and ``floor(capacity/n)`` takes O(√capacity) distinct
+    values (the divisor trick), never corpus-sized — then a per-partition
+    row_number plus the broadcast base rank.
+
+    Input: (id_col, len_col) with 0 < len ≤ capacity (caller truncates or
+    pre-chunks longer docs). Output: input columns + cls, bin_idx,
+    pos_in_bin (0-based rank inside the bin).
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    spark = lengths.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    n = F.col(len_col)
+    classed = lengths.withColumn("cls", F.floor(F.lit(capacity) / n))
+    ranged = (
+        classed.repartitionByRange(
+            p, F.col("cls"), n.desc(), F.col(id_col)
+        )
+        .sortWithinPartitions(F.col("cls"), n.desc(), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # freeze the sampled range boundaries
+    )
+    counts = (
+        ranged.groupBy("_pid", "cls").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    # base rank for (pid, cls) = rows of the same class in lower pids
+    # (range partitioner assigns ascending (cls, n desc, id) ranges to
+    # ascending pids, so lower pid ⇒ earlier in the class's total order)
+    per_cls: dict[int, list[tuple[int, int]]] = {}
+    for row in counts:
+        per_cls.setdefault(row["cls"], []).append((row["_pid"], row["c"]))
+    base: dict[tuple[int, int], int] = {}
+    for cls, pairs in per_cls.items():
+        acc = 0
+        for pid, c in sorted(pairs):
+            base[(pid, cls)] = acc
+            acc += c
+    w = Window.partitionBy("_pid", "cls").orderBy(n.desc(), F.col(id_col))
+    ranked = ranged.withColumn("_rn", F.row_number().over(w))
+    if base:
+        base_map = F.create_map(
+            *[
+                x
+                for (pid, cls), b in sorted(base.items())
+                for x in (F.concat_ws(":", F.lit(pid), F.lit(cls)), F.lit(b))
+            ]
+        )
+        rank = (
+            base_map[F.concat_ws(":", F.col("_pid"), F.col("cls"))] + F.col("_rn")
+        )
+    else:
+        # empty input: zero-entry create_map cannot be analyzed (untyped)
+        rank = F.col("_rn").cast("long")
+    return (
+        ranked.withColumn("_r0", (rank - 1).cast("long"))
+        .select(
+            *[F.col(c) for c in lengths.columns],
+            "cls",
+            F.expr("_r0 div cls").cast("long").alias("bin_idx"),
+            (F.col("_r0") % F.col("cls")).cast("long").alias("pos_in_bin"),
+        )
+    )

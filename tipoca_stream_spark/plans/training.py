@@ -1321,3 +1321,82 @@ def training_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "seq_id", "n_tokens", F.array_join("tokens", " ").alias("tokens_str")
     )
+
+
+# --- capacity-aware whole-document bin packing -------------------------------
+
+BIN_CAPACITY = 80
+
+_HARMONIC_PACK_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, least(n, {BIN_CAPACITY})::BIGINT AS n_eff,
+             CASE WHEN n > {BIN_CAPACITY} THEN 1 ELSE 0 END AS trunc
+      FROM d WHERE n > 0
+    ),
+    c AS (SELECT *, ({BIN_CAPACITY} // n_eff)::BIGINT AS cls FROM e),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cls ORDER BY n_eff DESC, doc_id) AS rn
+      FROM c
+    )
+    SELECT cls, ((rn - 1) // cls)::BIGINT AS bin_idx,
+           count(*)::BIGINT AS n_docs,
+           sum(n_eff)::BIGINT AS fill_tokens,
+           ({BIN_CAPACITY} - sum(n_eff))::BIGINT AS waste_tokens,
+           sum(trunc)::BIGINT AS n_truncated,
+           string_agg(doc_id::VARCHAR, ' ' ORDER BY n_eff DESC, doc_id) AS docs_str
+    FROM r GROUP BY 1, 2
+    """
+
+
+@query(
+    "pack_bins_harmonic",
+    _HARMONIC_PACK_ORACLE,
+    survey_ref="training: whole-document bin packing (fewer-truncations layout)",
+)
+def pack_bins_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document bin packing into fixed-capacity training sequences —
+    the "fewer truncations" alternative to GPT-style concatenate-and-cut
+    (documents never split across sequences; padding is the cost, bounded
+    by the harmonic size-class guarantee). Docs longer than the capacity
+    are truncated to it (the standard trainer fallback; the per-bin
+    ``n_truncated`` column audits how often). The packer is
+    ``operators/packing.py harmonic_pack`` — hierarchical per-class ranks,
+    no single-task window even when one size class holds most of the
+    corpus. The oracle replays the classification and the deal-into-bins
+    arithmetic with one global window per class."""
+    from tipoca_stream_spark.operators import packing
+
+    docs = _docs(spark, sf_dir)
+    lengths = (
+        docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast(
+                "long"
+            ).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            F.least(F.col("n"), F.lit(BIN_CAPACITY)).cast("long").alias("n_eff"),
+            F.when(F.col("n") > BIN_CAPACITY, 1).otherwise(0).alias("trunc"),
+        )
+    )
+    packed = packing.harmonic_pack(lengths, BIN_CAPACITY)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos_in_bin"), F.col("doc_id")))
+    )
+    return packed.groupBy("cls", "bin_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_eff").cast("long").alias("fill_tokens"),
+        (F.lit(BIN_CAPACITY) - F.sum("n_eff")).cast("long").alias("waste_tokens"),
+        F.sum("trunc").cast("long").alias("n_truncated"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["doc_id"].cast("string")), " "
+        ).alias("docs_str"),
+    )
