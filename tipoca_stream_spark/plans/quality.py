@@ -307,3 +307,103 @@ def mask_scrub_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", "[0-9]+", "<id>").alias("scrubbed_name"),
         F.length(F.regexp_replace("c_name", "[^0-9]", "")).alias("n_digits"),
     )
+
+
+# --- Naive-Bayes quality classifier filter -----------------------------------
+
+_NB_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    train AS (SELECT * FROM words WHERE lang IS NOT NULL),
+    counts AS (
+      SELECT w,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS cpos,
+             sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::DOUBLE AS cneg
+      FROM train GROUP BY w
+    ),
+    tot AS (
+      SELECT sum(cpos) AS tpos, sum(cneg) AS tneg, count(*)::DOUBLE AS v
+      FROM counts
+    ),
+    lr AS (
+      SELECT w, ln((cpos + 1) / (tpos + v)) - ln((cneg + 1) / (tneg + v)) AS lr
+      FROM counts CROSS JOIN tot
+    ),
+    prior AS (
+      SELECT ln((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0)
+               / (sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) + 1.0)) AS prior
+      FROM documents WHERE lang IS NOT NULL
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_scored,
+           round(sum(lr) + any_value(prior), 6) AS nb_logodds,
+           round(sum(lr) + any_value(prior), 6) > 0 AS pass_nb
+    FROM words JOIN lr USING (w) CROSS JOIN prior
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "text_nb_quality_filter",
+    _NB_ORACLE,
+    survey_ref="training: Naive-Bayes quality classifier filter (CCNet/DCLM shape)",
+)
+def text_nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes document filter — the classifier-based
+    quality gate LLM curation pipelines run after the heuristic gates
+    (GPT-3's Wikipedia-vs-CommonCrawl NB, CCNet's linear filter, DCLM's
+    fastText stage all share this shape: train token log-odds on a
+    labeled seed, score every document, keep score > 0). The seed here
+    is the ``lang`` column ('en' vs the rest); the operator is the same
+    whatever the label source. Add-1 smoothing over the joint vocabulary;
+    tokens outside the training vocabulary are skipped (inner join).
+
+    Scale shape: training is ONE explode→groupBy over the seed (token
+    counts per class, map-side combinable); scoring joins the token
+    stream against the per-token log-ratio table keyed on the token —
+    vocabulary-sized, broadcast for real tokenizers — then one per-doc
+    aggregate. The pass flag thresholds the ROUNDED score so both
+    engines decide ties identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+    )
+    train = words.filter(F.col("lang").isNotNull())
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    neg = F.when(F.col("lang") != "en", 1).otherwise(0)
+    counts = train.groupBy("w").agg(
+        F.sum(pos).cast("double").alias("cpos"),
+        F.sum(neg).cast("double").alias("cneg"),
+    )
+    tot = counts.agg(
+        F.sum("cpos").alias("tpos"),
+        F.sum("cneg").alias("tneg"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.log((F.col("cpos") + 1) / (F.col("tpos") + F.col("v")))
+            - F.log((F.col("cneg") + 1) / (F.col("tneg") + F.col("v")))
+        ).alias("lr"),
+    )
+    prior = docs.filter(F.col("lang").isNotNull()).agg(
+        F.log(
+            (F.sum(pos) + F.lit(1.0)) / (F.sum(neg) + F.lit(1.0))
+        ).alias("prior")
+    )
+    score = F.round(F.sum("lr") + F.any_value("prior"), 6)
+    return (
+        words.join(F.broadcast(lr), "w")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            score.alias("nb_logodds"),
+            (score > 0).alias("pass_nb"),
+        )
+    )

@@ -371,3 +371,127 @@ def mixture_epoch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_in",
         "n_emitted",
     )
+
+
+# --- DSIR: data selection via importance resampling ---------------------------
+
+DSIR_SELECT_K = 100
+_DSIR_B = 4096  # 3 hex chars of md5 → 4096 hashed-feature buckets
+
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents)
+    ),
+    feats AS (
+      SELECT a.doc_id, a.lang, substr(md5(a.w || ' ' || b.w), 1, 3) AS f
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    tgt AS (SELECT f, count(*)::DOUBLE AS c FROM feats WHERE lang = 'en' GROUP BY f),
+    raw AS (SELECT f, count(*)::DOUBLE AS c FROM feats WHERE lang IS NOT NULL GROUP BY f),
+    nt AS (SELECT coalesce(sum(c), 0) AS n FROM tgt),
+    nr AS (SELECT coalesce(sum(c), 0) AS n FROM raw),
+    lw AS (
+      SELECT raw.f,
+             ln((coalesce(tgt.c, 0) + 1) / (nt.n + {_DSIR_B}))
+             - ln((raw.c + 1) / (nr.n + {_DSIR_B})) AS lw
+      FROM raw LEFT JOIN tgt USING (f) CROSS JOIN nt CROSS JOIN nr
+    ),
+    scored AS (
+      SELECT doc_id, count(*)::BIGINT AS n_feats, round(sum(lw), 6) AS dsir_logweight
+      FROM feats JOIN lw USING (f)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_feats, dsir_logweight,
+           row_number() OVER (ORDER BY dsir_logweight DESC, doc_id) AS sel_rank
+    FROM scored
+    ORDER BY dsir_logweight DESC, doc_id LIMIT {DSIR_SELECT_K}
+    """
+
+
+@query(
+    "corpus_dsir_select",
+    _DSIR_ORACLE,
+    survey_ref="training: importance-resampling data selection (DSIR, hashed n-grams)",
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023): weight
+    every document by how much more likely its hashed-bigram features are
+    under a target domain than under the raw pool, then keep the top-K.
+    Target here is the ``lang = 'en'`` slice, pool is every labeled doc;
+    features are 4096-bucket md5-hashed word bigrams (the paper's hashed
+    n-gram estimator — bucket collisions are part of the estimator, not a
+    shortcut). Add-1 smoothing on both distributions; features never seen
+    in the pool are skipped (inner join).
+
+    Scale shape: the two distributions are ONE explode→groupBy each over
+    a 4096-row key space (map-side combinable, broadcast-sized forever);
+    scoring joins the feature stream map-side and aggregates per doc; the
+    top-K is orderBy+limit — Spark pins TakeOrderedAndProject, a
+    distributed partial top-K, never a global sort. The final rank is a
+    window over the K survivors only (bounded single task of K rows).
+    Ranking keys use the ROUNDED weight so both engines order ties
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    # adjacent-pair bigrams without a self-join: zip the array with its
+    # own shift (two slices), one explode — no shuffle to build features
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    feats = docs.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bg")
+    ).select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("bg")), 1, 3).alias("f"),
+    )
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    raw = (
+        feats.filter(F.col("lang").isNotNull())
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).cast("double").alias("cr"))
+    )
+    nt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0.0)).alias("nt"))
+    nr = raw.agg(F.coalesce(F.sum("cr"), F.lit(0.0)).alias("nr"))
+    lw = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "f",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
+                    / (F.col("nt") + _DSIR_B)
+                )
+                - F.log((F.col("cr") + 1) / (F.col("nr") + _DSIR_B))
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lw), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum("lw"), 6).alias("dsir_logweight"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("dsir_logweight").desc(), "doc_id"
+    ).limit(DSIR_SELECT_K)
+    return topk.withColumn(
+        "sel_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("dsir_logweight").desc(), "doc_id")
+        ),
+    )

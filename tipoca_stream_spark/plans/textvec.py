@@ -641,3 +641,70 @@ def text_index_phrase_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         with open(marker, "w") as f:
             f.write("ok")
     return t.phrase_counts(list(_PHRASE))
+
+
+# --- matryoshka embedding truncation --------------------------------------
+
+MATRYOSHKA_DIM = 32  # keep the first half of the 64-dim embedding
+
+
+def _mat_cos_cte(name: str, expr: str, qexpr: str) -> str:
+    return f"""{name} AS (
+      SELECT vec_id, round(sum(x * y) / sqrt(sum(x * x) * sum(y * y)), 6) AS s
+      FROM (SELECT e.vec_id, unnest({expr})::DOUBLE AS x, unnest({qexpr})::DOUBLE AS y
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+      GROUP BY vec_id
+    ),
+    {name}10 AS (SELECT vec_id FROM {name} ORDER BY s DESC, vec_id LIMIT 10)"""
+
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    {_mat_cos_cte("fullv", "e.embedding", "q.qe")},
+    {_mat_cos_cte("truncv", f"e.embedding[1:{MATRYOSHKA_DIM}]", f"q.qe[1:{MATRYOSHKA_DIM}]")}
+    SELECT count(*)::BIGINT AS n_overlap,
+           round(count(*) / 10.0, 3) AS recall_at_10
+    FROM fullv10 JOIN truncv10 USING (vec_id)
+    """
+
+
+@query(
+    "embed_matryoshka_recall",
+    _MATRYOSHKA_ORACLE,
+    survey_ref="training: matryoshka embedding truncation (recall@k of half-dim vs full)",
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka representation audit: cosine top-10 using only the
+    FIRST half of each embedding vs the full-dimension top-10, reported
+    as recall@10 — the number that decides whether a deployment can halve
+    its vector storage/compute by truncating (MRL-trained embeddings keep
+    recall high; this measures it on the actual corpus). Both rankings
+    order by the ROUNDED score so the engines break ties identically.
+
+    Scale shape: one broadcast of the single query vector, two
+    whole-stage-codegen scans (zip_with dot products — no UDF), each
+    ending in TakeOrderedAndProject (distributed partial top-K, no global
+    sort); the final overlap joins two 10-row sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    base = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != 0)
+
+    def top10(vec, qvec):
+        return (
+            base.select(
+                "vec_id", F.round(sim.cosine(vec, qvec), 6).alias("s")
+            )
+            .orderBy(F.col("s").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    full10 = top10(F.col("embedding"), F.col("_q"))
+    trunc10 = top10(
+        F.slice(F.col("embedding"), 1, MATRYOSHKA_DIM),
+        F.slice(F.col("_q"), 1, MATRYOSHKA_DIM),
+    )
+    return full10.join(trunc10, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / 10.0, 3).alias("recall_at_10"),
+    )
