@@ -312,3 +312,40 @@ def test_phrase_match_pushes_term_filters_no_cartesian(spark):
         seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
     ]
     assert any("term" in p for p in pushed), "term filter did not reach the posting scan"
+
+
+# --- round-8 additions: curation/packing family ------------------------------
+
+def test_harmonic_pack_no_single_partition(spark):
+    # one size class can hold most of the corpus; the packer's ranks are
+    # hierarchical, so the plan must never funnel through one partition
+    plan = plan_of(spark, "pack_bins_harmonic")
+    assert "SinglePartition" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_dsir_topk_uses_take_ordered(spark):
+    # corpus-wide selection must be a distributed partial top-K; the only
+    # single-partition stage allowed is the rank window over the K
+    # survivors (bounded at DSIR_SELECT_K rows by the preceding limit)
+    plan = plan_of(spark, "corpus_dsir_select")
+    assert "TakeOrderedAndProject" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_matryoshka_recall_take_ordered_no_python(spark):
+    plan = plan_of(spark, "embed_matryoshka_recall")
+    assert "TakeOrderedAndProject" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_nb_filter_broadcasts_vocab_no_python(spark):
+    # the per-token log-ratio table is vocabulary-sized: the score join
+    # must be broadcast, never a shuffle of the corpus token stream
+    plan = plan_of(spark, "text_nb_quality_filter")
+    assert "BroadcastHashJoin" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
