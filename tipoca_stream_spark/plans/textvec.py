@@ -708,3 +708,82 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_overlap"),
         F.round(F.count(F.lit(1)) / 10.0, 3).alias("recall_at_10"),
     )
+
+
+# --- CCNet-style perplexity bucketing --------------------------------------
+
+_PPL_BUCKETS_ORACLE = """
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    vc AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    tot AS (SELECT sum(c)::DOUBLE AS total, count(*)::DOUBLE AS v FROM vc),
+    p AS (SELECT w, (c + 1) / (total + v) AS pw FROM vc CROSS JOIN tot),
+    doc_lp AS (
+      SELECT doc_id, round(avg(ln(pw)), 6) AS lp
+      FROM words JOIN p USING (w) GROUP BY doc_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(lp, 1.0/3.0) AS q33, quantile_cont(lp, 2.0/3.0) AS q67
+      FROM doc_lp
+    )
+    SELECT CASE WHEN lp >= q67 THEN 'head'
+                WHEN lp >= q33 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*)::BIGINT AS n_docs,
+           round(avg(lp), 5) AS mean_logprob,
+           round(min(lp), 6) AS min_logprob,
+           round(max(lp), 6) AS max_logprob
+    FROM doc_lp CROSS JOIN cuts
+    GROUP BY 1
+    """
+
+
+@query(
+    "text_perplexity_buckets",
+    _PPL_BUCKETS_ORACLE,
+    survey_ref="training: perplexity bucketing (CCNet head/middle/tail)",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: score every document's mean token
+    log-probability under the corpus LM (the registered unigram stand-in),
+    cut the corpus at the 1/3 and 2/3 quantiles, and report each bucket —
+    the shape CCNet ships (keep head, maybe middle, drop tail).
+
+    Scale shape: bucket CUTOFFS instead of a global ntile — ntile needs a
+    total order (Exchange SinglePartition over the whole corpus); exact
+    interpolated percentiles are one distributed aggregate, then bucket
+    assignment is a broadcast-join comparison. Scores are rounded BEFORE
+    the quantile/compare so both engines cut identical boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vc.agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    p = vc.crossJoin(F.broadcast(tot)).select(
+        "w", ((F.col("c") + 1) / (F.col("total") + F.col("v"))).alias("pw")
+    )
+    doc_lp = (
+        words.join(F.broadcast(p), "w")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log("pw")), 6).alias("lp"))
+    )
+    cuts = doc_lp.agg(
+        F.percentile("lp", F.lit(1.0 / 3.0)).alias("q33"),
+        F.percentile("lp", F.lit(2.0 / 3.0)).alias("q67"),
+    )
+    bucket = (
+        F.when(F.col("lp") >= F.col("q67"), "head")
+        .when(F.col("lp") >= F.col("q33"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        doc_lp.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("lp"), 5).alias("mean_logprob"),
+            F.round(F.min("lp"), 6).alias("min_logprob"),
+            F.round(F.max("lp"), 6).alias("max_logprob"),
+        )
+    )

@@ -1400,3 +1400,72 @@ def pack_bins_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(ordered, lambda s: s["doc_id"].cast("string")), " "
         ).alias("docs_str"),
     )
+
+
+# --- tokenizer fertility by language -----------------------------------------
+
+_BPE_FERTILITY_ORACLE = (
+    _BPE_CTES
+    + f""",
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    per_doc AS (
+      SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+             sum(len(s.syms))::BIGINT AS n_tokens
+      FROM dw JOIN s{BPE_NUM_MERGES} s USING (word) GROUP BY dw.doc_id
+    )
+    SELECT d.lang, count(*)::BIGINT AS n_docs,
+           coalesce(sum(p.n_words), 0)::BIGINT AS n_words,
+           coalesce(sum(p.n_tokens), 0)::BIGINT AS n_tokens,
+           round(coalesce(sum(p.n_tokens), 0)
+                 / nullif(coalesce(sum(p.n_words), 0), 0), 6) AS fertility
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.lang"""
+)
+
+
+@query(
+    "bpe_fertility_by_lang",
+    _BPE_FERTILITY_ORACLE,
+    survey_ref="training: tokenizer fertility audit (tokens per word, by language)",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility — BPE tokens emitted per whitespace word — per
+    language: the number multilingual tokenizer evaluations track (a
+    tokenizer trained on English-heavy data over-fragments other scripts;
+    fertility is the standard measure of that tax). Corpus-level ratio per
+    language (sum tokens / sum words), not a mean of per-doc ratios, so
+    short documents don't dominate. Languages with zero words (all-NULL or
+    empty texts) report NULL fertility rather than dividing by zero.
+
+    Scale shape: the segmenter is the registered Arrow-batched encode;
+    the audit adds one per-doc projection and one tiny groupBy(lang).
+    The oracle replays BPE training and re-derives every document's
+    segmentation from the final symbol table."""
+    from tipoca_stream_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = _bpe_merges(spark, sf_dir)
+    seg = bpe.segment_with_merges(docs, merges)
+    per_doc = seg.select(
+        "doc_id", F.coalesce(F.size("tokens"), F.lit(0)).alias("n_tokens")
+    )
+    n_words = F.coalesce(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")), F.lit(0)
+    )
+    joined = docs.select("doc_id", "lang", n_words.alias("n_words")).join(
+        per_doc, "doc_id", "left"
+    )
+    tok_sum = F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
+    word_sum = F.coalesce(F.sum("n_words"), F.lit(0)).cast("long")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        word_sum.alias("n_words"),
+        tok_sum.alias("n_tokens"),
+        F.round(
+            tok_sum / F.nullif(word_sum, F.lit(0)), 6
+        ).alias("fertility"),
+    )
