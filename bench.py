@@ -281,6 +281,17 @@ def main() -> None:
     extras["training_pipeline_pack"] = best_of(
         2, lambda: QUERIES["training_pipeline_pack"].fn(spark, sf_dir).count()
     )
+    # - curation additions (round 8, second wave): whole-doc bin packing
+    #   (hierarchical per-class ranks — a regression to a per-class global
+    #   window serializes the hot class) and DSIR importance selection
+    #   (feature explode + broadcast score join + TakeOrderedAndProject —
+    #   the costliest of the new audits at 10x in the curation probe).
+    extras["pack_bins_harmonic"] = best_of(
+        2, lambda: QUERIES["pack_bins_harmonic"].fn(spark, sf_dir).count()
+    )
+    extras["corpus_dsir_select"] = best_of(
+        2, lambda: QUERIES["corpus_dsir_select"].fn(spark, sf_dir).count()
+    )
 
     print(
         json.dumps(
