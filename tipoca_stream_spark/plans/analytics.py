@@ -749,3 +749,99 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type", "next_type", "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w_norm), 6).alias("p"),
     )
+
+
+# --- cross-source n-gram overlap audit ---------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = """
+    WITH w AS (
+      SELECT source, string_split(text, ' ') AS ws
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+      FROM (SELECT source, ws, unnest(range(1, len(ws) - 1)) AS i
+            FROM w WHERE len(ws) >= 3)
+    ),
+    sizes AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           round(n_shared / (sa.n + sb.n - n_shared), 6) AS jaccard,
+           round(n_shared / least(sa.n, sb.n), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """
+
+
+@query(
+    "analytics_source_overlap",
+    _SOURCE_OVERLAP_ORACLE,
+    survey_ref="training: cross-source contamination audit (n-gram overlap matrix)",
+)
+def analytics_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus SOURCES — the audit run
+    before mixing: how much of source B is already inside source A
+    (crawl snapshots overlap, mirrors duplicate each other, a 'curated'
+    set is often a subset of the crawl). Per ordered source pair:
+    distinct shared 3-word shingles, Jaccard, and containment (share of
+    the smaller side — the early-warning number: high containment at low
+    Jaccard means one source swallows the other).
+
+    Scale shape: the corpus-sized stage is one distinct over (source,
+    shingle); the pair join is keyed on shingle and PRUNED first to
+    shingles present in ≥2 sources (the df≥2 trick from corpus_dedup —
+    the singleton long tail, most of a real corpus, never reaches the
+    join), and a shingle shared by all S sources fans out to at most
+    S(S-1)/2 pair rows — sources are dozens, not corpus-sized. The prune
+    is answer-preserving, so the oracle skips it."""
+    from tipoca_stream_spark.operators.corpus_dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    sh = (
+        word_shingles(docs, "text", "doc_id", n=3, carry=["source"])
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    pruned = sh.join(shared, "shingle", "left_semi")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    return (
+        pairs.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_shared") / F.least(F.col("na"), F.col("nb")), 6
+            ).alias("containment"),
+        )
+    )
