@@ -6,6 +6,7 @@ bit-for-bit."""
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -184,8 +185,15 @@ N_CENTROIDS = 8
 
 
 def _centroids(dim: int = 64, k: int = N_CENTROIDS, seed: int = 7) -> list[list[float]]:
+    """Random UNIT-NORM directions. The corpus embeddings are unit-norm;
+    raw gauss vectors have norm ~√dim ≈ 8, which puts every data vector
+    in the same cell (d² ≈ 1 + |c|² − 2⟨v,c⟩ is dominated by |c|², so the
+    smallest-norm centroid wins globally) — the IVF partition the graded
+    queries exercised was ONE cell until round 8. Normalizing makes the
+    cells a real Voronoi split of the sphere by direction."""
     rng = random.Random(seed)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
+    cents = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
+    return [[x / math.sqrt(sum(y * y for y in c)) for x in c] for c in cents]
 
 
 CENTROIDS = _centroids()
@@ -759,3 +767,103 @@ def storage_routed_composite_read(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     assert routed.route == "bloom+zones", routed.route  # both indexes must fire
     return routed.df.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+# --- two-round Lloyd iteration (data-dependent re-assignment) ----------------
+
+_KMEANS_R2_ORACLE = f"""
+    WITH a1 AS ({IVF_ASSIGN_SQL}),
+    ex AS (
+      SELECT vec_id, t.i AS pos, e.embedding[t.i]::DOUBLE AS x
+      FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)
+    ),
+    c1 AS (
+      SELECT a1.centroid_id, ex.pos, avg(ex.x) AS c
+      FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT ex.vec_id, c1.centroid_id AS cid,
+             round(sum((ex.x - c1.c) * (ex.x - c1.c)), 6) AS d
+      FROM ex JOIN c1 USING (pos) GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    nm AS (SELECT cid, count(*)::BIGINT AS n_members FROM a2 GROUP BY cid)
+    SELECT a2.cid::INTEGER AS centroid_id, ex.pos::BIGINT AS pos,
+           round(avg(ex.x), 5) AS c, any_value(nm.n_members) AS n_members
+    FROM ex JOIN a2 USING (vec_id) JOIN nm ON nm.cid = a2.cid
+    GROUP BY a2.cid, ex.pos
+    """
+
+
+@query(
+    "kmeans_lloyd_round2",
+    _KMEANS_R2_ORACLE,
+    survey_ref="training: k-means iteration (round-2 Lloyd with data-dependent centroids)",
+)
+def kmeans_lloyd_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Lloyd rounds end-to-end: assign to the fixed seed centroids,
+    update, RE-assign every vector to the data-dependent round-1 means,
+    update again — the part ``kmeans_lloyd_update`` can't pin (its
+    centroids are literals; iteration correctness lives in the re-
+    assignment under computed centroids). Seeds that lose all members in
+    round 1 drop out (standard Lloyd small-k behavior; both engines
+    derive the survivor set identically). Distances are ROUNDED before
+    the argmin so last-ulp differences in the two engines' mean
+    summation order can't flip a tie.
+
+    Scale shape: round-1 assignment is the broadcast-literal argmin scan
+    (no shuffle); the round-2 distance uses the long-form (pos-keyed)
+    join because the k×dim round-1 mean table here is tiny — the
+    driver-held-centroid loop in ``operators/kmeans.py kmeans_train`` is
+    the production path for many iterations; this query pins that one
+    distributed iteration of it is exactly right."""
+    from tipoca_stream_spark.operators.kmeans import assign_to_centroids
+
+    emb = _embs(spark, sf_dir)
+    a1 = assign_to_centroids(emb, CENTROIDS).select("vec_id", "centroid_id")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x0")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    c1 = (
+        ex.join(a1, "vec_id")
+        .groupBy("centroid_id", "pos")
+        .agg(F.avg("x").alias("c"))
+        .withColumnRenamed("centroid_id", "cid")
+    )
+    d2 = (
+        ex.join(F.broadcast(c1), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 6
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    a2 = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    nm = a2.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    return (
+        ex.join(a2, "vec_id")
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("x"), 5).alias("c"))
+        .join(F.broadcast(nm), "cid")
+        .select(
+            F.col("cid").cast("int").alias("centroid_id"),
+            "pos",
+            "c",
+            "n_members",
+        )
+    )
