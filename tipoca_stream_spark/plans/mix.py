@@ -319,3 +319,56 @@ def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SOURCE_CAP)
         .select("doc_id", "source", "n_chars")
     )
+
+
+# --- deterministic epoch shuffle order ---------------------------------------
+
+SHUFFLE_SALT = "epoch-1"
+
+
+@query(
+    "corpus_shuffle_order",
+    f"""
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos_in_shard
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || '{SAMPLE_SALT}'), 1, 8))::BIGINT
+               % {N_SHARDS} AS shard,
+             md5(doc_id::VARCHAR || '-{SHUFFLE_SALT}') AS h
+      FROM documents)
+    """,
+    survey_ref="training: deterministic epoch shuffle (shard + within-shard order)",
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch-shuffle primitive a trainer consumes: every document's
+    (shard, position-in-shard) for one epoch, a pure function of
+    (doc_id, epoch salt) — reproducible across runs, engines, and cluster
+    sizes, and re-derivable for any epoch by changing the salt (never
+    ``rand()``, which is neither reproducible nor resumable). The order
+    key is an md5 over the salted id, so within-shard order is
+    pseudorandom but stable.
+
+    Scale shape: one projection, then a window PARTITIONED BY SHARD —
+    shards are sized for trainer consumption (corpus/N_SHARDS), so no
+    task sees more than one shard; there is no global sort anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % N_SHARDS
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"-{SHUFFLE_SALT}")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), h.alias("h"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .drop("h")
+    )

@@ -306,24 +306,36 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT l_partkey, sum({_REVENUE_SQL}) AS part_value
       FROM lineitem GROUP BY l_partkey)
-    WHERE CAST(part_value AS DOUBLE) > 0.0012 * (
+    WHERE CAST(part_value AS DOUBLE) > 1.5 * (
       SELECT CAST(sum({_REVENUE_SQL}) AS DOUBLE) FROM lineitem)
+      / (SELECT count(DISTINCT l_partkey) FROM lineitem)
     """,
     survey_ref="§2.10 scalar subquery, §2.5 having (TPC-H Q11)",
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock): parts whose revenue exceeds a fraction
     of the global total. No partsupp table → value measured from lineitem.
-    The scalar total is one extra map-side-combined pass broadcast into the
-    HAVING filter; both aggregates are exact DECIMAL so the threshold
-    compare is bit-identical with the oracle. Two scans of the fact, each a
-    single keyed/global aggregate — no join of big sides."""
+    The spec scales its fraction by 1/SF so the survivor count stays
+    roughly constant as data grows; the data-adaptive equivalent here is
+    a multiple of the MEAN part value (1.5 × total/n_parts — the round-8
+    degeneracy audit caught the previous fixed 0.0012 fraction returning
+    ZERO rows at sf ≥ 0.01: a threshold that doesn't scale with the data
+    stops producing evidence). The scalar total and part count are one
+    extra map-side-combined pass broadcast into the HAVING filter; both
+    aggregates are exact DECIMAL so the threshold compare is
+    bit-identical with the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(F.sum(_revenue_expr()).alias("part_value_d"))
-    total = li.agg(F.sum(_revenue_expr()).cast("double").alias("t"))
+    total = li.agg(
+        F.sum(_revenue_expr()).cast("double").alias("t"),
+        F.count_distinct(F.col("l_partkey")).alias("np"),
+    )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value_d").cast("double") > F.lit(0.0012) * F.col("t"))
+        .filter(
+            F.col("part_value_d").cast("double")
+            > F.lit(1.5) * F.col("t") / F.col("np")
+        )
         .select("l_partkey", F.col("part_value_d").cast("double").alias("part_value"))
     )
 
@@ -616,23 +628,32 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer c
       WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
                          FROM customer WHERE c_acctbal > 0.0)
-        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-02-02 00:00:00'))
     GROUP BY cntrycode
     """,
     survey_ref="§2.10 scalar subquery + anti join (TPC-H Q22)",
 )
 def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity): above-average-balance customers
-    with no orders, bucketed by the last digit of c_name (the schema has no
-    c_phone, so the "country code" is the name's final digit). The scalar
-    avg uses exact-decimal sum ÷ count; NOT EXISTS is a broadcast-able
-    anti join on the distinct order custkeys."""
+    with no RECENT orders, bucketed by the last digit of c_name (the schema
+    has no c_phone, so the "country code" is the name's final digit). The
+    spec's anti-join is against the whole orders table because its data
+    ships ~1/3 of customers orderless; this synthetic corpus gives every
+    customer orders (the round-8 degeneracy audit measured the graded
+    output at ZERO rows), so the anti-join is scoped to the final ~180
+    days of the order range — same scalar-subquery + anti-join shape,
+    non-trivial survivors at every SF (70/708/7081). The scalar avg uses
+    exact-decimal sum ÷ count; NOT EXISTS is a broadcast-able anti join
+    on the recent orders' custkeys."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
     )
-    order_keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    order_keys = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-02-02 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
