@@ -1469,3 +1469,58 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             tok_sum / F.nullif(word_sum, F.lit(0)), 6
         ).alias("fertility"),
     )
+
+
+# --- mixed-modality feature extraction ----------------------------------------
+
+_MULTIMODAL_MIXED_ORACLE = """
+    WITH m AS (
+      SELECT doc_id, doc_id % 3 AS k,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE WHEN n IS NULL THEN NULL
+                WHEN k = 0 THEN 33 + n
+                WHEN k = 1 THEN 44 + n * (1 + doc_id % 2) * 2
+                ELSE 136 END::BIGINT AS byte_len,
+           CASE WHEN n IS NOT NULL AND k = 0 THEN (n % 640) + 1 END::INTEGER AS width,
+           CASE WHEN n IS NOT NULL AND k = 0 THEN (n % 480) + 1 END::INTEGER AS height,
+           CASE WHEN n IS NULL THEN NULL
+                WHEN k = 0 THEN greatest((33 + n) // 10, 1)
+                WHEN k = 1 THEN greatest((44 + n * (1 + doc_id % 2) * 2) // 10, 1)
+                ELSE 13 END::INTEGER AS n_frames,
+           CASE WHEN n IS NOT NULL AND k = 1 THEN 1 + doc_id % 2 END::INTEGER AS channels,
+           CASE WHEN n IS NOT NULL AND k = 1 THEN 8000 * (1 + doc_id % 3) END::INTEGER
+             AS sample_rate,
+           CASE WHEN n IS NULL THEN NULL
+                WHEN k = 1 THEN n * 1000 // (8000 * (1 + doc_id % 3))
+                WHEN k = 2 THEN 500 + (doc_id % 100) * 10
+                END::BIGINT AS duration_ms
+    FROM m
+    """
+
+
+@query(
+    "multimodal_mixed_features",
+    _MULTIMODAL_MIXED_ORACLE,
+    survey_ref="training: multimodal columns (audio/video decode graded)",
+)
+def multimodal_mixed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over a MIXED image/audio/video corpus: the same
+    Arrow-batched extractor as ``multimodal_features``, fed by an adapter
+    that frames one third of the documents as PNG, one third as
+    header-valid WAV (RIFF fmt/data chunks), one third as header-valid
+    MP4 (ftyp + moov/mvhd) — so the RIFF walk and the BMFF box walk are
+    oracle-graded, not just test-covered (round-8 audit: the image-only
+    adapter left channels/sample_rate/duration_ms constant NULL in the
+    graded output). Every container parameter is a pure function of
+    (doc_id, text length), so the oracle predicts every decoded field —
+    channels, sample rate, WAV duration from byterate, MP4 duration from
+    the mvhd timescale — by arithmetic alone; a decoder that misreads a
+    single header byte mismatches. payload_md5 is image-query territory
+    (byte-exact blob reconstruction in SQL); everything else rides."""
+    docs = _docs(spark, sf_dir)
+    feats = mm.extract_features(mm.documents_as_mixed_media(docs))
+    return feats.drop("payload_md5")
