@@ -494,10 +494,16 @@ def decode_audio_header(payload: bytes) -> tuple[str, int, int, int, int | None]
 
 
 def wav_framed(
-    channels: int = 1, sample_rate: int = 16000, bits: int = 16, n_samples: int = 0
+    channels: int = 1,
+    sample_rate: int = 16000,
+    bits: int = 16,
+    n_samples: int = 0,
+    data: bytes | None = None,
 ) -> bytes:
-    """Header-valid WAV fixture builder (RIFF + fmt + data)."""
-    data = b"\x00" * (n_samples * channels * bits // 8)
+    """Header-valid WAV fixture builder (RIFF + fmt + data). Pass ``data``
+    for real PCM bytes; default zero-fills ``n_samples`` frames."""
+    if data is None:
+        data = b"\x00" * (n_samples * channels * bits // 8)
     fmt = (
         (1).to_bytes(2, "little")
         + channels.to_bytes(2, "little")
@@ -1027,3 +1033,83 @@ def documents_as_mixed_media(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return documents.select("doc_id", "text").mapInPandas(build, MEDIA_SCHEMA)
+
+
+PCM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def documents_as_pcm_audio(documents: DataFrame) -> DataFrame:
+    """Adapter: one mono 16-bit PCM WAV per document with DETERMINISTIC
+    samples — sample[i] = ((media_id·31 + i·7) mod 65536) − 32768 over
+    n_samples = 50 + media_id mod 200 frames at a media_id-derived rate —
+    so an SQL oracle can recompute the decoded SIGNAL features (RMS,
+    peak, zero crossings) arithmetically with no byte parsing, the
+    pixel-roundtrip discipline applied to audio. Derives from doc_id
+    alone (no text dependence), Arrow-batched mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ns = 50 + doc_id % 200
+                rate = 8000 * (1 + doc_id % 3)
+                i = np.arange(ns, dtype=np.int64)
+                samples = ((doc_id * 31 + i * 7) % 65536 - 32768).astype("<i2")
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "kind": "audio",
+                        "payload": wav_framed(
+                            channels=1, sample_rate=rate, bits=16,
+                            data=samples.tobytes(),
+                        ),
+                        "mime": "audio/wav",
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return documents.select("doc_id").mapInPandas(build, MEDIA_SCHEMA)
+
+
+def extract_pcm_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched PCM signal features over WAV payloads — the REAL
+    numpy decode in ``wav_pcm_features`` (frombuffer → mono mixdown →
+    RMS/peak/zero-crossings). NULL payloads and non-PCM-16 payloads get
+    NULL features."""
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for media_id, raw in zip(pdf["media_id"], pdf["payload"]):
+                feats = wav_pcm_features(bytes(raw)) if raw is not None else None
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": feats["sample_rate"] if feats else None,
+                        "channels": feats["channels"] if feats else None,
+                        "duration_ms": feats["duration_ms"] if feats else None,
+                        "rms": feats["rms"] if feats else None,
+                        "peak": feats["peak"] if feats else None,
+                        "zero_crossings": feats["zero_crossings"] if feats else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PCM_FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(extract, PCM_FEATURE_SCHEMA)

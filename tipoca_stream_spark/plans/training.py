@@ -1524,3 +1524,69 @@ def multimodal_mixed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     feats = mm.extract_features(mm.documents_as_mixed_media(docs))
     return feats.drop("payload_md5")
+
+
+# --- PCM audio signal round-trip ----------------------------------------------
+
+_AUDIO_ROUNDTRIP_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, 50 + doc_id % 200 AS ns, 8000 * (1 + doc_id % 3) AS rate
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i, ((doc_id * 31 + i * 7) % 65536 - 32768) AS v
+      FROM (SELECT doc_id, unnest(range(0, ns)) AS i FROM p)
+    ),
+    m AS (SELECT doc_id, i, v / 32768.0 AS x FROM s),
+    agg AS (
+      SELECT doc_id, round(sqrt(avg(x * x)), 6) AS rms,
+             round(max(abs(x)), 6) AS peak
+      FROM m GROUP BY doc_id
+    ),
+    z AS (
+      SELECT doc_id,
+             count(*) FILTER (WHERE prev IS NOT NULL AND sg <> prev)::BIGINT AS zc
+      FROM (SELECT doc_id,
+                   CASE WHEN v > 0 THEN 1 ELSE -1 END AS sg,
+                   lag(CASE WHEN v > 0 THEN 1 ELSE -1 END)
+                     OVER (PARTITION BY doc_id ORDER BY i) AS prev
+            FROM s WHERE v <> 0)
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           p.rate::INTEGER AS sample_rate,
+           1::INTEGER AS channels,
+           (p.ns * 1000 // p.rate)::BIGINT AS duration_ms,
+           agg.rms, agg.peak,
+           coalesce(z.zc, 0)::BIGINT AS zero_crossings
+    FROM p JOIN agg ON agg.doc_id = p.doc_id
+    LEFT JOIN z ON z.doc_id = p.doc_id
+    """
+
+
+@query(
+    "multimodal_audio_roundtrip",
+    _AUDIO_ROUNDTRIP_ORACLE,
+    survey_ref="training: PCM audio signal features (encode→decode roundtrip)",
+)
+def multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode→decode SIGNAL round-trip for audio — the pixel-roundtrip
+    discipline applied to PCM: each document becomes a mono 16-bit WAV
+    whose samples are a pure function of (media_id, sample index), the
+    REAL numpy decode (frombuffer → normalize → RMS/peak/zero-crossings,
+    operators/multimodal.py wav_pcm_features) extracts the features, and
+    the DuckDB oracle recomputes them arithmetically with no byte
+    parsing — a bug anywhere in the RIFF walk, the little-endian int16
+    decode, or the normalization breaks the hash. RMS rounds to 6 (numpy
+    pairwise summation vs SQL sequential); peak is exact (k/2^15 doubles)."""
+    docs = _docs(spark, sf_dir)
+    feats = mm.extract_pcm_features(mm.documents_as_pcm_audio(docs))
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+    )
