@@ -737,6 +737,26 @@ _PPL_BUCKETS_ORACLE = """
     """
 
 
+def unigram_doc_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, lp): per-doc mean add-1 unigram log-probability, rounded
+    to 6 — the shared scoring stage of text_perplexity_buckets and the
+    curation funnel. Two aggregates + one broadcast vocab join."""
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vc.agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    p = vc.crossJoin(F.broadcast(tot)).select(
+        "w", ((F.col("c") + 1) / (F.col("total") + F.col("v"))).alias("pw")
+    )
+    return (
+        words.join(F.broadcast(p), "w")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log("pw")), 6).alias("lp"))
+    )
+
+
 @query(
     "text_perplexity_buckets",
     _PPL_BUCKETS_ORACLE,
@@ -754,20 +774,7 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a broadcast-join comparison. Scores are rounded BEFORE
     the quantile/compare so both engines cut identical boundaries."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    vc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = vc.agg(
-        F.sum("c").cast("double").alias("total"),
-        F.count(F.lit(1)).cast("double").alias("v"),
-    )
-    p = vc.crossJoin(F.broadcast(tot)).select(
-        "w", ((F.col("c") + 1) / (F.col("total") + F.col("v"))).alias("pw")
-    )
-    doc_lp = (
-        words.join(F.broadcast(p), "w")
-        .groupBy("doc_id")
-        .agg(F.round(F.avg(F.log("pw")), 6).alias("lp"))
-    )
+    doc_lp = unigram_doc_logprob(docs)
     cuts = doc_lp.agg(
         F.percentile("lp", F.lit(1.0 / 3.0)).alias("q33"),
         F.percentile("lp", F.lit(2.0 / 3.0)).alias("q67"),

@@ -1590,3 +1590,123 @@ def multimodal_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("peak", 6).alias("peak"),
         F.col("zero_crossings").cast("long").alias("zero_crossings"),
     )
+
+
+# --- curation funnel report ---------------------------------------------------
+
+def _funnel_oracle() -> str:
+    from tipoca_stream_spark.plans.quality import _NB_ORACLE
+
+    gopher_pass = f"""
+      (n_words >= {tx.GOPHER_MIN_WORDS} AND n_words <= {tx.GOPHER_MAX_WORDS})
+      AND (mwl >= {tx.GOPHER_MIN_MEAN_WORD_LEN} AND mwl <= {tx.GOPHER_MAX_MEAN_WORD_LEN})
+      AND (n_symbols::double / n_words) <= {tx.GOPHER_MAX_SYMBOL_RATIO}
+      AND (n_alpha::double / n_words) >= {tx.GOPHER_MIN_ALPHA_WORD_FRAC}
+      AND stop_distinct >= {tx.GOPHER_MIN_STOPWORDS}"""
+    return f"""
+    WITH fb AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w
+                FROM documents),
+    ffeat AS (SELECT doc_id,
+                len(w)::bigint AS n_words,
+                (length(t) - (len(w) - 1))::double / len(w) AS mwl,
+                length(regexp_replace(t, '[a-z0-9 ]', '', 'g'))::bigint AS n_symbols,
+                len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::bigint AS n_alpha,
+                len(list_filter(list_distinct(w), x -> x IN ({_STOP_LIST})))::bigint AS stop_distinct
+              FROM fb),
+    gop AS (SELECT doc_id FROM ffeat WHERE {gopher_pass}),
+    kp AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    nb AS (SELECT doc_id FROM ({_NB_ORACLE}) WHERE pass_nb),
+    fw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    fvc AS (SELECT w, count(*) AS c FROM fw GROUP BY w),
+    ftot AS (SELECT sum(c)::DOUBLE AS total, count(*)::DOUBLE AS v FROM fvc),
+    fp AS (SELECT w, (c + 1) / (total + v) AS pw FROM fvc CROSS JOIN ftot),
+    flp AS (SELECT doc_id, round(avg(ln(pw)), 6) AS lp
+            FROM fw JOIN fp USING (w) GROUP BY doc_id),
+    fcut AS (SELECT quantile_cont(lp, 1.0/3.0) AS q33 FROM flp),
+    ppl AS (SELECT doc_id FROM flp CROSS JOIN fcut WHERE lp >= q33),
+    s2 AS (SELECT doc_id FROM gop),
+    s3 AS (SELECT doc_id FROM s2 WHERE doc_id IN (SELECT doc_id FROM kp)),
+    s4 AS (SELECT doc_id FROM s3 WHERE doc_id IN (SELECT doc_id FROM nb)),
+    s5 AS (SELECT doc_id FROM s4 WHERE doc_id IN (SELECT doc_id FROM ppl)),
+    tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+    stages AS (
+      SELECT 1 AS stage_no, 'total' AS stage, (SELECT n FROM tot) AS n_docs
+      UNION ALL SELECT 2, 'gopher_pass', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'dedup_keeper', (SELECT count(*) FROM s3)
+      UNION ALL SELECT 4, 'nb_pass', (SELECT count(*) FROM s4)
+      UNION ALL SELECT 5, 'ppl_head_middle', (SELECT count(*) FROM s5)
+    )
+    SELECT stage_no::INTEGER AS stage_no, stage, n_docs::BIGINT AS n_docs,
+           round(n_docs::DOUBLE / nullif((SELECT n FROM tot), 0), 4) AS pct_of_total
+    FROM stages
+    """
+
+
+@query(
+    "training_curation_funnel",
+    _funnel_oracle(),
+    survey_ref="training: curation funnel report (gate-by-gate survivor counts)",
+)
+def training_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL: survivor counts through the pipeline's gates
+    in order — total → gopher heuristics → exact-dedup keeper →
+    Naive-Bayes classifier → perplexity head+middle — the one-page
+    report a data-curation run publishes before training starts. Each
+    stage is the INTERSECTION with all previous gates (pipeline order,
+    not independent gate rates); the LM and its quantile cutoffs are
+    corpus-level, as in text_perplexity_buckets. Composes the registered
+    gate operators rather than re-deriving them; the oracle recomputes
+    every gate in one CTE chain.
+
+    Scale shape: four left-semi joins on doc_id over gate outputs whose
+    own plans are documented at their queries; the stage counts are five
+    1-row aggregates unioned — nothing here adds a corpus-sized shuffle
+    beyond the gates themselves."""
+    from tipoca_stream_spark.plans.quality import text_nb_quality_filter
+    from tipoca_stream_spark.plans.textvec import unigram_doc_logprob
+
+    docs = _docs(spark, sf_dir)
+    gop = (
+        tx.gopher_quality(docs, "text", "doc_id")
+        .filter(F.col("passes_gopher"))
+        .select("doc_id")
+    )
+    kp = cd.exact_dedup_groups(docs, "text", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    nb = text_nb_quality_filter(spark, sf_dir).filter(F.col("pass_nb")).select("doc_id")
+    lp = unigram_doc_logprob(docs)
+    cut = lp.agg(F.percentile("lp", F.lit(1.0 / 3.0)).alias("q33"))
+    ppl = (
+        lp.crossJoin(F.broadcast(cut))
+        .filter(F.col("lp") >= F.col("q33"))
+        .select("doc_id")
+    )
+    s2 = docs.select("doc_id").join(gop, "doc_id", "left_semi")
+    s3 = s2.join(kp, "doc_id", "left_semi")
+    s4 = s3.join(nb, "doc_id", "left_semi")
+    s5 = s4.join(ppl, "doc_id", "left_semi")
+
+    def cnt(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    stages = (
+        cnt(docs, 1, "total")
+        .unionByName(cnt(s2, 2, "gopher_pass"))
+        .unionByName(cnt(s3, 3, "dedup_keeper"))
+        .unionByName(cnt(s4, 4, "nb_pass"))
+        .unionByName(cnt(s5, 5, "ppl_head_middle"))
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("tot_n"))
+    return stages.crossJoin(F.broadcast(total)).select(
+        "stage_no",
+        "stage",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.nullif(F.col("tot_n"), F.lit(0)), 4
+        ).alias("pct_of_total"),
+    )
