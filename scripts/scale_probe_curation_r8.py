@@ -42,6 +42,13 @@ NAMES = [
     "text_perplexity_buckets",
     "embed_matryoshka_recall",
     "bpe_fertility_by_lang",
+    # second wave: audits, mixed-modality decode, funnel, epoch shuffle
+    "analytics_source_overlap",
+    "kmeans_lloyd_round2",
+    "multimodal_mixed_features",
+    "multimodal_audio_roundtrip",
+    "corpus_shuffle_order",
+    "training_curation_funnel",
 ]
 
 
@@ -62,6 +69,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reps = int(os.environ.get("PROBE_REPS", "2"))
     out: dict[str, dict[str, float]] = {}
+    # warm the Arrow python-UDF workers once (first-ever mapInPandas pays
+    # ~6 s of worker spawn + numpy/pandas import; that's session setup,
+    # not operator cost — measured both ways in SCALE.md)
+    QUERIES["multimodal_mixed_features"].fn(spark, SMALL).count()
     for label, sf in (("sf0.1", SMALL), ("sf1", BIG)):
         spark.read.parquet(f"{sf}/documents.parquet").count()  # warm FS/JIT
         for name in NAMES:
