@@ -1050,7 +1050,7 @@ PCM_FEATURE_SCHEMA = T.StructType(
 
 def documents_as_pcm_audio(documents: DataFrame) -> DataFrame:
     """Adapter: one mono 16-bit PCM WAV per document with DETERMINISTIC
-    samples — sample[i] = ((media_id·31 + i·7) mod 65536) − 32768 over
+    samples — sample[i] = ((media_id·31 + i·2857) mod 65536) − 32768 over
     n_samples = 50 + media_id mod 200 frames at a media_id-derived rate —
     so an SQL oracle can recompute the decoded SIGNAL features (RMS,
     peak, zero crossings) arithmetically with no byte parsing, the
@@ -1067,7 +1067,7 @@ def documents_as_pcm_audio(documents: DataFrame) -> DataFrame:
                 ns = 50 + doc_id % 200
                 rate = 8000 * (1 + doc_id % 3)
                 i = np.arange(ns, dtype=np.int64)
-                samples = ((doc_id * 31 + i * 7) % 65536 - 32768).astype("<i2")
+                samples = ((doc_id * 31 + i * 2857) % 65536 - 32768).astype("<i2")
                 rows.append(
                     {
                         "media_id": doc_id,

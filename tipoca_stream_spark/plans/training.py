@@ -1534,7 +1534,7 @@ _AUDIO_ROUNDTRIP_ORACLE = """
       FROM documents
     ),
     s AS (
-      SELECT doc_id, i, ((doc_id * 31 + i * 7) % 65536 - 32768) AS v
+      SELECT doc_id, i, ((doc_id * 31 + i * 2857) % 65536 - 32768) AS v
       FROM (SELECT doc_id, unnest(range(0, ns)) AS i FROM p)
     ),
     m AS (SELECT doc_id, i, v / 32768.0 AS x FROM s),
