@@ -806,10 +806,15 @@ def analytics_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("source").isNotNull() & F.col("text").isNotNull()
     )
+    # materialize the distinct (source, shingle) set ONCE — it feeds four
+    # downstream consumers (sizes, the df≥2 prune, and both join sides);
+    # without the checkpoint Spark re-executes the corpus explode+distinct
+    # per consumer
     sh = (
         word_shingles(docs, "text", "doc_id", n=3, carry=["source"])
         .select("source", "shingle")
         .distinct()
+        .localCheckpoint()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     shared = (

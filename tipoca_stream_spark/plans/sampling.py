@@ -451,32 +451,29 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.substring(F.md5(F.col("bg")), 1, 3).alias("f"),
     )
-    tgt = (
-        feats.filter(F.col("lang") == "en")
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
-    )
-    raw = (
+    # both distributions in ONE pass over the feature stream (conditional
+    # sums per bucket) — the naive two-groupBy form re-executes the
+    # corpus-sized bigram explode once per distribution
+    dist = (
         feats.filter(F.col("lang").isNotNull())
         .groupBy("f")
-        .agg(F.count(F.lit(1)).cast("double").alias("cr"))
-    )
-    nt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0.0)).alias("nt"))
-    nr = raw.agg(F.coalesce(F.sum("cr"), F.lit(0.0)).alias("nr"))
-    lw = (
-        raw.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
-        .select(
-            "f",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
-                    / (F.col("nt") + _DSIR_B)
-                )
-                - F.log((F.col("cr") + 1) / (F.col("nr") + _DSIR_B))
-            ).alias("lw"),
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("double")
+            .alias("ct"),
+            F.count(F.lit(1)).cast("double").alias("cr"),
         )
+    )
+    tots = dist.agg(
+        F.coalesce(F.sum("ct"), F.lit(0.0)).alias("nt"),
+        F.coalesce(F.sum("cr"), F.lit(0.0)).alias("nr"),
+    )
+    lw = dist.crossJoin(F.broadcast(tots)).select(
+        "f",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + _DSIR_B))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + _DSIR_B))
+        ).alias("lw"),
     )
     scored = (
         feats.join(F.broadcast(lw), "f")
