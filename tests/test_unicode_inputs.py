@@ -40,6 +40,7 @@ UNICODE_TEXTS = [
 TEXT_FAMILY_PREFIXES = (
     "text_", "bpe_", "dedup_", "corpus_", "training_", "pack_",
     "mixture_", "dq_", "mask_scrub", "analytics_source_overlap",
+    "quality_calibration",
 )
 
 NAMES = [

@@ -407,3 +407,71 @@ def text_nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score > 0).alias("pass_nb"),
         )
     )
+
+
+# --- per-source score calibration ---------------------------------------------
+
+_CALIBRATION_ORACLE = (
+    """
+    WITH nb AS (SELECT doc_id, nb_logodds FROM ("""
+    + _NB_ORACLE
+    + """) ),
+    scored AS (
+      SELECT d.source, nb.nb_logodds AS s
+      FROM nb JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+      SELECT source,
+             quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM scored GROUP BY source
+    )
+    SELECT scored.source,
+           (1 + len(list_filter(qs, q -> s > q)))::INTEGER AS decile,
+           count(*)::BIGINT AS n_docs,
+           round(min(s), 6) AS lo_score,
+           round(max(s), 6) AS hi_score
+    FROM scored JOIN cuts USING (source)
+    GROUP BY scored.source, 2
+    """
+)
+
+
+@query(
+    "quality_calibration_by_source",
+    _CALIBRATION_ORACLE,
+    survey_ref="training: per-source classifier-score calibration (decile cutoffs)",
+)
+def quality_calibration_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE calibration of the classifier score: a raw quality
+    score is not comparable across domains (a forum and an encyclopedia
+    have different score distributions), so pipelines bucket each
+    document against its OWN source's quantiles before thresholding.
+    Reports each (source, decile) cell with its count and score range;
+    deciles come from exact per-source quantile CUTOFFS — one
+    source-keyed aggregate producing a 9-value array per source, then a
+    broadcast join and an array comparison; no per-source global window,
+    no corpus-wide sort. Both engines compute identical interpolated
+    cutoffs over the ROUNDED scores, and assignment uses strict >, so
+    ties land identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    nb = text_nb_quality_filter(spark, sf_dir).select("doc_id", "nb_logodds")
+    scored = nb.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", F.col("nb_logodds").alias("s")
+    )
+    cuts = scored.groupBy("source").agg(
+        F.percentile(
+            "s", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("qs")
+    )
+    decile = (
+        F.size(F.filter("qs", lambda q: F.col("s") > q)) + 1
+    ).cast("int")
+    return (
+        scored.join(F.broadcast(cuts), "source")
+        .groupBy("source", decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("s"), 6).alias("lo_score"),
+            F.round(F.max("s"), 6).alias("hi_score"),
+        )
+    )
