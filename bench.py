@@ -292,6 +292,12 @@ def main() -> None:
     extras["corpus_dsir_select"] = best_of(
         2, lambda: QUERIES["corpus_dsir_select"].fn(spark, sf_dir).count()
     )
+    # - curation funnel: composes gopher + exact-dedup + NB + perplexity
+    #   gates in one plan — a regression in ANY gate's plan shape (or a
+    #   semi-join degrading to a shuffle of the corpus) surfaces here.
+    extras["training_curation_funnel"] = best_of(
+        2, lambda: QUERIES["training_curation_funnel"].fn(spark, sf_dir).count()
+    )
 
     print(
         json.dumps(

@@ -349,3 +349,21 @@ def test_nb_filter_broadcasts_vocab_no_python(spark):
     assert "BroadcastHashJoin" in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_calibration_broadcasts_cutoffs_no_python(spark):
+    # per-source decile cutoffs are a sources×9 array table: the
+    # assignment join must broadcast it, never shuffle the scored corpus
+    plan = plan_of(spark, "quality_calibration_by_source")
+    assert "BroadcastHashJoin" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_shuffle_order_no_global_sort(spark):
+    # the epoch shuffle ranks WITHIN shards only — a global ordering
+    # would be an Exchange SinglePartition over the corpus
+    plan = plan_of(spark, "corpus_shuffle_order")
+    assert "SinglePartition" not in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
