@@ -794,3 +794,81 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("lp"), 6).alias("max_logprob"),
         )
     )
+
+
+# --- binary (sign) embedding quantization ----------------------------------
+
+def _ham_cte() -> str:
+    return f"""
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    ham AS (
+      SELECT vec_id,
+             sum(CASE WHEN (x > 0) <> (y > 0) THEN 1 ELSE 0 END)::BIGINT AS hd
+      FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+                   unnest(q.qe)::DOUBLE AS y
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+      GROUP BY vec_id
+    ),
+    ham10 AS (SELECT vec_id FROM ham ORDER BY hd, vec_id LIMIT 10),
+    {_mat_cos_cte("exact", "e.embedding", "q.qe")}"""
+
+
+_BINARY_HAMMING_ORACLE = f"""
+    WITH {_ham_cte()}
+    SELECT count(*)::BIGINT AS n_overlap,
+           round(count(*) / 10.0, 3) AS recall_at_10
+    FROM exact10 JOIN ham10 USING (vec_id)
+    """
+
+
+@query(
+    "embed_binary_hamming_recall",
+    _BINARY_HAMMING_ORACLE,
+    survey_ref="training: binary embedding quantization (sign sketch, hamming recall@k)",
+)
+def embed_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third embedding-compression axis beside matryoshka truncation
+    and PQ: BINARY quantization — keep only each dimension's SIGN (64
+    dims → 64 bits, a 32× storage cut) and rank by Hamming distance to
+    the query's sign pattern; recall@10 against the exact cosine top-10
+    is the number that decides whether the cheap first-pass ranking can
+    front a re-rank stage. Sign agreement is order-equivalent to
+    Hamming distance on the packed bits, and integer distances tie-break
+    by vec_id identically in both engines (no float rounding anywhere in
+    the ranking).
+
+    Scale shape: one broadcast query vector, one codegen scan computing
+    the sign-disagreement count per vector (zip_with + aggregate — at
+    deployment the packed bits live in a long column and this is a
+    popcount of XOR), TakeOrderedAndProject top-K, then a 10-row
+    overlap join with the exact side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    base = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != 0)
+    hd = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("_q"),
+            lambda a, b: ((a > 0) != (b > 0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ham10 = (
+        base.select("vec_id", hd.alias("hd"))
+        .orderBy("hd", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    exact10 = (
+        base.select(
+            "vec_id", F.round(sim.cosine(F.col("embedding"), F.col("_q")), 6).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact10.join(ham10, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / 10.0, 3).alias("recall_at_10"),
+    )
