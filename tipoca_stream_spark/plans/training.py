@@ -1710,3 +1710,101 @@ def training_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.nullif(F.col("tot_n"), F.lit(0)), 4
         ).alias("pct_of_total"),
     )
+
+
+# --- fill-in-middle (FIM) transform -------------------------------------------
+
+FIM_SENTINEL = "<|fim|>"
+
+_FIM_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    d AS (
+      SELECT doc_id, ws, len(ws) AS n,
+             ('0x' || substr(md5(doc_id::VARCHAR || '-fim1'), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(doc_id::VARCHAR || '-fim2'), 1, 8))::BIGINT AS h2
+      FROM w
+    ),
+    cut AS (
+      SELECT doc_id, ws, n,
+             1 + (h1 % (n - 1)) AS p1,
+             1 + (h1 % (n - 1)) + 1 + (h2 % (n - (1 + (h1 % (n - 1))))) AS p2
+      FROM d WHERE n >= 3
+    )
+    SELECT doc_id, TRUE AS fim_applied,
+           p1::BIGINT AS p1, p2::BIGINT AS p2,
+           coalesce(array_to_string(ws[1:p1], ' '), '')
+             || '{FIM_SENTINEL}' || coalesce(array_to_string(ws[p2+1:n], ' '), '')
+             || '{FIM_SENTINEL}' || coalesce(array_to_string(ws[p1+1:p2], ' '), '') AS sample
+    FROM cut
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, coalesce(array_to_string(ws, ' '), '')
+    FROM d WHERE n < 3
+    """
+
+
+@query(
+    "training_fim_transform",
+    _FIM_ORACLE,
+    survey_ref="training: fill-in-middle sample transform (PSM order)",
+)
+def training_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle training samples (the code-model pretraining
+    transform): split each document at two DETERMINISTIC positions —
+    md5-derived from doc_id, so the transform is reproducible and
+    engine-checkable, never rand() — and emit the PSM reordering
+    prefix <|fim|> suffix <|fim|> middle. Documents under 3 words pass
+    through unchanged with fim_applied = false (the standard fallback).
+    One codegen projection — slices and joins over the token array, no
+    shuffle, no UDF; the oracle recomputes the cut points and the
+    reassembly with the identical md5 arithmetic."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.size(ws).cast("long").alias("n"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-fim1"))), 1, 8),
+            16, 10,
+        ).cast("long").alias("h1"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-fim2"))), 1, 8),
+            16, 10,
+        ).cast("long").alias("h2"),
+    )
+    p1 = F.lit(1) + (F.col("h1") % (F.col("n") - 1))
+    p2 = p1 + 1 + (F.col("h2") % (F.col("n") - p1))
+    cut = d.filter(F.col("n") >= 3).select(
+        "doc_id",
+        F.lit(True).alias("fim_applied"),
+        p1.cast("long").alias("p1"),
+        p2.cast("long").alias("p2"),
+        F.concat(
+            F.array_join(F.slice("ws", 1, p1.cast("int")), " "),
+            F.lit(FIM_SENTINEL),
+            F.array_join(
+                F.slice(
+                    "ws",
+                    (p2 + 1).cast("int"),
+                    (F.col("n") - p2).cast("int"),
+                ),
+                " ",
+            ),
+            F.lit(FIM_SENTINEL),
+            F.array_join(
+                F.slice("ws", (p1 + 1).cast("int"), (p2 - p1).cast("int")), " "
+            ),
+        ).alias("sample"),
+    )
+    passthrough = d.filter(F.col("n") < 3).select(
+        "doc_id",
+        F.lit(False).alias("fim_applied"),
+        F.lit(None).cast("long").alias("p1"),
+        F.lit(None).cast("long").alias("p2"),
+        F.array_join("ws", " ").alias("sample"),
+    )
+    return cut.unionByName(passthrough)
