@@ -867,3 +867,109 @@ def kmeans_lloyd_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# --- recall-vs-nprobe operating curve ----------------------------------------
+
+NPROBE_CURVE = (1, 2, 4, 8)
+
+
+def _recall_curve_oracle() -> str:
+    blocks, selects = [], []
+    for p in NPROBE_CURVE:
+        blocks.append(
+            f"""probes{p} AS (SELECT cid FROM qdall ORDER BY d, cid LIMIT {p}),
+    ivf{p} AS (SELECT s.vec_id FROM sims s
+               JOIN assign a ON a.vec_id = s.vec_id
+               JOIN probes{p} pr ON a.centroid_id = pr.cid
+               ORDER BY round(s.s, 6) DESC, s.vec_id LIMIT 10),
+    r{p} AS (SELECT {p} AS nprobe, count(*)::BIGINT AS n_overlap,
+                    round(count(*) / 10.0, 3) AS recall_at_10
+             FROM exact10 JOIN ivf{p} USING (vec_id))"""
+        )
+        selects.append(f"SELECT * FROM r{p}")
+    return (
+        _COSINE_CTE_REF.format(qid=0)
+        + f""",
+    assign AS ({IVF_ASSIGN_SQL}),
+    exact10 AS (SELECT vec_id FROM sims ORDER BY round(s, 6) DESC, vec_id LIMIT 10),
+    qexpl AS (
+      SELECT vec_id, unnest(embedding)::double AS x,
+       {_CENTROID_UNNESTS}
+      FROM embeddings WHERE vec_id = 0),
+    qd AS (SELECT vec_id, {_CENTROID_D2} FROM qexpl GROUP BY vec_id),
+    qdall AS ({_QD_UNION}),
+    """
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+@query(
+    "similarity_ivf_recall_curve",
+    _recall_curve_oracle(),
+    survey_ref="training: ANN operating curve (recall@10 vs nprobe)",
+)
+def similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-nprobe OPERATING CURVE — one row per probe count
+    (1, 2, 4, 8): the table an ANN deployment reads to pick its
+    latency/recall point. Meaningful only now that the cells are a real
+    partition (round-8 fix: with every vector in one cell, this curve
+    was flat 1.0 at every nprobe). The candidate set grows with the
+    probed cells and recall must be non-decreasing in nprobe — the
+    monotone staircase is itself evidence the quantizer discriminates.
+
+    Scale shape: ONE persisted assignment pass shared by all curve
+    points; each point is a broadcast probe-list join + partial top-K;
+    the exact side is one brute-force scan reused across points (at
+    100 TB the exact side runs on a sampled query set)."""
+    from tipoca_stream_spark.plans.training import similarity_cosine_topk
+
+    emb = _embs(spark, sf_dir)
+    assign = ivf_assign(emb).persist()
+    exact10 = similarity_cosine_topk(spark, sf_dir).select("vec_id")
+    qvec = emb.filter(F.col("vec_id") == 0)
+    qd = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, c in enumerate(CENTROIDS)
+    ]
+    qdall = qvec.select(*qd).select(
+        F.posexplode(
+            F.array(*[F.col(f"d{i}") for i in range(N_CENTROIDS)])
+        ).alias("cid", "d")
+    )
+    q = qvec.select(F.col("embedding").alias("_q"))
+    out = None
+    for p in NPROBE_CURVE:
+        probes = qdall.orderBy("d", "cid").limit(p).select("cid")
+        cands = (
+            emb.join(assign, "vec_id")
+            .join(F.broadcast(probes), F.col("centroid_id") == F.col("cid"))
+            .filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+        )
+        ivf10 = (
+            cands.select(
+                "vec_id",
+                F.round(sim.cosine(F.col("embedding"), F.col("_q")), 6).alias("s"),
+            )
+            .orderBy(F.col("s").desc(), "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        row = exact10.join(ivf10, "vec_id").agg(
+            F.lit(p).cast("int").alias("nprobe"),
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+            F.round(F.count(F.lit(1)) / 10.0, 3).alias("recall_at_10"),
+        ).select("nprobe", "n_overlap", "recall_at_10")
+        out = row if out is None else out.unionByName(row)
+    return out
