@@ -1808,3 +1808,179 @@ def training_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("ws", " ").alias("sample"),
     )
     return cut.unionByName(passthrough)
+
+
+# --- T5-style span corruption ---------------------------------------------
+
+T5_BLOCK = 3   # tokens per corruption block
+T5_RATE = 5    # corrupt blocks where hash % T5_RATE == 0 (~20%, T5 uses 15%)
+
+_T5_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (
+      SELECT doc_id, i - 1 AS i, ws[i] AS tok
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+    ),
+    c AS (
+      SELECT doc_id, i, tok,
+             (('0x' || substr(md5(doc_id::VARCHAR || '-t5-' || ((i // {T5_BLOCK})::VARCHAR)), 1, 8))::BIGINT
+               % {T5_RATE} = 0) AS corrupt
+      FROM t
+    ),
+    isl AS (
+      SELECT *, i - row_number() OVER (PARTITION BY doc_id, corrupt ORDER BY i) AS grp
+      FROM c
+    ),
+    spans AS (
+      SELECT doc_id, grp, min(i) AS span_start
+      FROM isl WHERE corrupt GROUP BY doc_id, grp
+    ),
+    numbered AS (
+      SELECT doc_id, grp, span_start,
+             row_number() OVER (PARTITION BY doc_id ORDER BY span_start) AS span_no
+      FROM spans
+    ),
+    joined AS (
+      SELECT isl.doc_id, isl.i, isl.tok, isl.corrupt, n.span_no, n.span_start
+      FROM isl LEFT JOIN numbered n
+        ON n.doc_id = isl.doc_id AND n.grp = isl.grp AND isl.corrupt
+    ),
+    input_toks AS (
+      SELECT doc_id, i,
+             CASE WHEN NOT corrupt THEN tok
+                  WHEN i = span_start THEN '<X_' || span_no || '>'
+             END AS tok
+      FROM joined
+      WHERE NOT corrupt OR i = span_start
+    ),
+    tgt_spans AS (
+      SELECT doc_id, span_no,
+             '<X_' || span_no || '> ' || string_agg(tok, ' ' ORDER BY i) AS piece
+      FROM joined WHERE corrupt GROUP BY doc_id, span_no
+    )
+    SELECT it.doc_id,
+           coalesce(ns.n_spans, 0)::BIGINT AS n_spans,
+           string_agg(it.tok, ' ' ORDER BY it.i) AS input_str,
+           coalesce(any_value(tg.target_str), '') AS target_str
+    FROM input_toks it
+    LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n_spans FROM tgt_spans GROUP BY doc_id) ns
+      ON ns.doc_id = it.doc_id
+    LEFT JOIN (SELECT doc_id, string_agg(piece, ' ' ORDER BY span_no) AS target_str
+               FROM tgt_spans GROUP BY doc_id) tg
+      ON tg.doc_id = it.doc_id
+    GROUP BY it.doc_id, ns.n_spans
+    """
+
+
+@query(
+    "training_t5_span_corruption",
+    _T5_ORACLE,
+    survey_ref="training: T5 span-corruption denoising samples",
+)
+def training_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption samples: ~20% of each document's 3-token
+    blocks are masked — DETERMINISTICALLY, md5 of (doc_id, block), never
+    rand() — consecutive masked blocks merge into one span
+    (gaps-and-islands), the input keeps one numbered sentinel <X_k> per
+    span, and the target lists every span behind its sentinel. The
+    denoising counterpart to the FIM transform; documents whose hash
+    masks nothing pass through with n_spans = 0.
+
+    Scale shape: one projection + per-DOC windows (doc-bounded keys, no
+    global ordering anywhere) + two per-doc aggregates. The oracle
+    replays the block hash, the island numbering, and both
+    reassemblies."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    t = docs.select("doc_id", F.posexplode(ws).alias("i", "tok"))
+    block = F.floor(F.col("i") / T5_BLOCK).cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("-t5-"),
+                    block.cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    c = t.withColumn("corrupt", (h % T5_RATE) == 0)
+    wi = Window.partitionBy("doc_id", "corrupt").orderBy("i")
+    isl = c.withColumn("grp", F.col("i") - F.row_number().over(wi))
+    spans = (
+        isl.filter("corrupt")
+        .groupBy("doc_id", "grp")
+        .agg(F.min("i").alias("span_start"))
+    )
+    wn = Window.partitionBy("doc_id").orderBy("span_start")
+    numbered = spans.withColumn("span_no", F.row_number().over(wn))
+    joined = isl.join(
+        numbered.withColumnRenamed("doc_id", "_d").withColumnRenamed("grp", "_g"),
+        (F.col("doc_id") == F.col("_d"))
+        & (F.col("grp") == F.col("_g"))
+        & F.col("corrupt"),
+        "left",
+    ).select("doc_id", "i", "tok", "corrupt", "span_no", "span_start")
+    sentinel = F.concat(F.lit("<X_"), F.col("span_no").cast("string"), F.lit(">"))
+    input_toks = joined.filter(
+        ~F.col("corrupt") | (F.col("i") == F.col("span_start"))
+    ).select(
+        "doc_id",
+        "i",
+        F.when(~F.col("corrupt"), F.col("tok")).otherwise(sentinel).alias("tok"),
+    )
+    tgt_spans = (
+        joined.filter("corrupt")
+        .groupBy("doc_id", "span_no")
+        .agg(
+            F.concat(
+                F.lit("<X_"),
+                F.col("span_no").cast("string"),
+                F.lit("> "),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("i"), F.col("tok")))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ),
+            ).alias("piece")
+        )
+    )
+    inputs = input_toks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("tok")))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("input_str")
+    )
+    targets = tgt_spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("span_no"), F.col("piece")))),
+                lambda s: s["piece"],
+            ),
+            " ",
+        ).alias("target_str"),
+    )
+    return inputs.join(targets, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        "input_str",
+        F.coalesce(F.col("target_str"), F.lit("")).alias("target_str"),
+    )
