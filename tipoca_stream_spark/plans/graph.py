@@ -323,3 +323,95 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     return kcore(edges, k=KCORE_K, src="a", dst="b", rounds=KCORE_ROUNDS)
+
+
+# --- local clustering coefficient ---------------------------------------------
+
+_CLUSTERING_ORACLE = """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+    pernode AS (
+      SELECT node, count(*)::BIGINT AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY node),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node)
+    SELECT d.node, d.degree,
+           coalesce(p.n_triangles, 0)::BIGINT AS n_triangles,
+           round(2.0 * coalesce(p.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+    FROM deg d LEFT JOIN pernode p ON p.node = d.node
+    WHERE d.degree >= 2
+    ORDER BY round(2.0 * coalesce(p.n_triangles, 0)
+                   / (d.degree * (d.degree - 1)), 6) DESC, d.node
+    LIMIT 20
+    """
+
+
+@query(
+    "graph_clustering_coefficient",
+    _CLUSTERING_ORACLE,
+    survey_ref="training: local clustering coefficient (neighborhood density)",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient — 2·triangles / (deg·(deg−1)) per
+    node — the neighborhood-density audit that separates genuinely
+    cohesive near-dup/template families (neighbors that also co-occur
+    with each other) from hub artifacts (a boilerplate shingle touching
+    everything but whose neighbors are strangers). Top-20 by the
+    ROUNDED coefficient with node tie-break so both engines rank ties
+    identically; nodes need degree ≥ 2 for the ratio to exist.
+
+    Scale shape: the triangle side is the registered degree-ordered
+    O(m^1.5) wedge plan; degrees are one map-side-combined aggregate of
+    the same edge table; the division is a broadcast-free projection and
+    the top-20 is TakeOrderedAndProject."""
+    edges = cooccurrence_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        key_col="l_orderkey",
+        item_col="l_partkey",
+        out_a="a",
+        out_b="b",
+        n_col="n_orders",
+        min_count=1,
+        max_group_size=256,
+        observation="clustering_edge_hot_group_drops",
+    )
+    counts = triangle_counts(edges, "a", "b")
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    cc = F.round(
+        2.0
+        * F.coalesce(F.col("n_triangles"), F.lit(0))
+        / (F.col("degree") * (F.col("degree") - 1)),
+        6,
+    )
+    return (
+        deg.join(counts, deg.node == counts.node, "left")
+        .select(
+            deg.node.alias("node"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            cc.alias("clustering_coeff"),
+        )
+        .filter(F.col("degree") >= 2)
+        .orderBy(F.col("clustering_coeff").desc(), "node")
+        .limit(20)
+    )
