@@ -63,6 +63,12 @@ ALLOW = {
     ("setop_except_inactive_customers", "*"),  # all synthetic customers are active
     ("multimodal_features", "*"),  # registered adapter wraps image payloads only;
                                    # WAV/MP4 extraction is test-covered
+    ("multimodal_audio_roundtrip", "*"),  # mono by design — the signal roundtrip
+                                          # isolates PCM decode; multi-channel is
+                                          # graded by multimodal_mixed_features
+    ("training_fim_transform", "*"),  # every sf0.01 doc has >= 10 words; the
+                                      # <3-word passthrough branch is exercised
+                                      # by the NULL/empty sweeps
 }
 
 
