@@ -850,3 +850,63 @@ def analytics_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# --- full referential-integrity matrix ----------------------------------------
+
+_FK_EDGES = [
+    # (rule, fact, fk, dim, pk)
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_FK_MATRIX_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{rule}' AS edge,
+           (SELECT count(*) FROM {fact} WHERE {fk} IS NOT NULL)::BIGINT AS n_rows,
+           (SELECT count(*) FROM {fact} f WHERE f.{fk} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk}))::BIGINT
+             AS n_orphans"""
+    for rule, fact, fk, dim, pk in _FK_EDGES
+)
+
+
+@query(
+    "dq_fk_matrix",
+    _FK_MATRIX_ORACLE,
+    survey_ref="DQ: full referential-integrity matrix (every FK edge)",
+)
+def dq_fk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete referential-integrity audit — one row per FK edge of
+    the schema (7 edges) with the referencing-row count and the orphan
+    count: the table a warehouse DQ dashboard renders after every load
+    (dq_orders_fk_gate checks the two hot edges; this is the full
+    matrix). Each edge is one left-anti join against the dimension's
+    distinct keys — dims broadcast, the two fact scans are per-edge
+    column-pruned projections."""
+    from tipoca_stream_spark.operators.quality_gate import fk_violations
+
+    out = None
+    for rule, fact, fk, dim, pk in _FK_EDGES:
+        f = load_table(spark, sf_dir, fact).select(fk)
+        d = load_table(spark, sf_dir, dim).select(F.col(pk).alias(fk))
+        n_rows = f.filter(F.col(fk).isNotNull()).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows")
+        )
+        viol = fk_violations(f, fk, d, fk).select(
+            F.col("n_violations").alias("n_orphans")
+        )
+        row = (
+            n_rows.crossJoin(viol)
+            .select(
+                F.lit(rule).alias("edge"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
