@@ -1984,3 +1984,39 @@ def training_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "input_str",
         F.coalesce(F.col("target_str"), F.lit("")).alias("target_str"),
     )
+
+
+# --- language-ID evaluation (confusion matrix) --------------------------------
+
+def _langid_confusion_oracle() -> str:
+    from tipoca_stream_spark.plans.registry import QUERIES as _Q
+
+    return f"""
+    WITH lid AS ({_Q["text_langid"].oracle})
+    SELECT d.lang, l.lang_guess, count(*)::BIGINT AS n_docs
+    FROM lid l JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "text_langid_confusion",
+    _langid_confusion_oracle(),
+    survey_ref="training: language-ID evaluation (label vs guess confusion matrix)",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-ID EVALUATION artifact: the confusion matrix of the
+    dataset's lang label against the detector's guess — the table that
+    decides whether the detector is good enough to gate a mix on. On
+    this synthetic corpus it also DOCUMENTS a data property the audit
+    adjudicated: non-English rows carry English tokens, so the detector
+    can only answer en/und — the matrix makes that visible instead of
+    burying it. Composes the registered detector; one tiny groupBy on
+    top (|langs|² cells)."""
+    docs = _docs(spark, sf_dir)
+    lid = text_langid(spark, sf_dir).select("doc_id", "lang_guess")
+    return (
+        lid.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
