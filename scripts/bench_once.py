@@ -60,6 +60,16 @@ def main() -> None:
         "x_dedup_components": "dedup_components",
         "x_dedup_semantic": "dedup_semantic",
     }
+    # round-8 additions — in every checkout from r8-close on, so the r9
+    # A/B can adjudicate them; skipped silently when the A side predates
+    # them (cross-round totals compare only shared keys)
+    for label, qname in {
+        "x_pack_bins_harmonic": "pack_bins_harmonic",
+        "x_corpus_dsir_select": "corpus_dsir_select",
+        "x_training_curation_funnel": "training_curation_funnel",
+    }.items():
+        if qname in QUERIES:
+            extras[label] = qname
     for label, qname in extras.items():
         t0 = time.perf_counter()
         QUERIES[qname].fn(spark, sf_dir).count()
