@@ -973,3 +973,104 @@ def similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("nprobe", "n_overlap", "recall_at_10")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- change-data-feed read -----------------------------------------------------
+
+_CDF_ORACLE = """
+    WITH base AS (
+      SELECT user_id, count(*)::BIGINT AS n_events,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_cents
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    v1 AS (SELECT * FROM base),
+    v2 AS (
+      SELECT user_id, n_events,
+             total_cents + CASE WHEN user_id % 7 = 0 THEN 100 ELSE 0 END AS total_cents
+      FROM base WHERE user_id % 11 <> 0
+      UNION ALL
+      SELECT user_id + 1000000, n_events, total_cents + 5
+      FROM base WHERE user_id % 13 = 0
+    ),
+    ins AS (SELECT v2.* FROM v2 WHERE user_id NOT IN (SELECT user_id FROM v1)),
+    del AS (SELECT v1.* FROM v1 WHERE user_id NOT IN (SELECT user_id FROM v2)),
+    upd AS (
+      SELECT v1.user_id, v1.n_events AS n1, v1.total_cents AS t1,
+             v2.n_events AS n2, v2.total_cents AS t2
+      FROM v1 JOIN v2 USING (user_id)
+      WHERE v1.n_events IS DISTINCT FROM v2.n_events
+         OR v1.total_cents IS DISTINCT FROM v2.total_cents
+    ),
+    tagged AS (
+      SELECT 'insert' AS _change_type, user_id, total_cents FROM ins
+      UNION ALL SELECT 'delete', user_id, total_cents FROM del
+      UNION ALL SELECT 'update_preimage', user_id, t1 FROM upd
+      UNION ALL SELECT 'update_postimage', user_id, t2 FROM upd
+    )
+    SELECT _change_type, count(*)::BIGINT AS n_rows,
+           sum(user_id)::BIGINT AS sum_user_id,
+           sum(total_cents)::BIGINT AS sum_total_cents
+    FROM tagged GROUP BY _change_type
+    """
+
+
+@query(
+    "storage_cdf_read",
+    _CDF_ORACLE,
+    survey_ref="storage: change-data-feed between versions (Delta CDF vocabulary)",
+)
+def storage_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two committed versions of a versioned
+    target, graded end to end: v1 is a per-user aggregate of the events
+    table, v2 applies a deterministic update/delete/insert mix, and
+    ``ParquetTargetTable.changes(v1, v2, keys)`` must tag every row with
+    the Delta CDF vocabulary (insert / delete / update_preimage /
+    update_postimage) — the consumer contract that lets a cache or
+    reverse-ETL sink apply O(changed rows). The oracle recomputes both
+    version row sets and classifies the diff itself, so a mis-tagged or
+    missed row breaks the hash. (The O(touched-buckets) inode-pruned CDF
+    path is pinned separately in tests/test_timetravel.py; this grades
+    the ANSWER contract.)"""
+    import hashlib
+    import os
+    import tempfile
+
+    from tipoca_stream_spark.sources.target import ParquetTargetTable
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+            "total_cents"
+        ),
+    )
+    v2_df = (
+        base.filter(F.col("user_id") % 11 != 0)
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.col("total_cents")
+                + F.when(F.col("user_id") % 7 == 0, 100).otherwise(0)
+            ).cast("long").alias("total_cents"),
+        )
+        .unionByName(
+            base.filter(F.col("user_id") % 13 == 0).select(
+                (F.col("user_id") + 1000000).alias("user_id"),
+                "n_events",
+                (F.col("total_cents") + 5).cast("long").alias("total_cents"),
+            )
+        )
+    )
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:cdf".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"cdf_ev_{tag}")
+    t = ParquetTargetTable(spark, root, "events_cdf")
+    if t.current_version() != 2:
+        t.write(base)
+        t.write(v2_df)
+    ch = t.changes(1, 2, keys=["user_id"])
+    return ch.groupBy("_change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("user_id").cast("long").alias("sum_user_id"),
+        F.sum("total_cents").cast("long").alias("sum_total_cents"),
+    )
