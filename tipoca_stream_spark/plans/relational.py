@@ -671,3 +671,57 @@ def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("p", 3), 6).alias("p99_cents"),
         )
     )
+
+
+# --- hopping (sliding) windows -------------------------------------------------
+
+_HOPPING_ORACLE = """
+    WITH hops AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '15 minutes', ts)
+               - (k * INTERVAL '15 minutes') AS window_start
+      FROM events, unnest(range(0, 4)) AS t(k)
+      WHERE ts IS NOT NULL
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM hops GROUP BY 1, 2
+    """
+
+
+@query(
+    "events_hopping_window_agg",
+    _HOPPING_ORACLE,
+    survey_ref="T1/T2 family: hopping (overlapping) windows, batch form",
+)
+def events_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING-window aggregation — 1-hour windows sliding every 15
+    minutes, so each event lands in exactly four overlapping windows
+    (the smoothing shape dashboards want where tumbling windows flicker).
+    Spark's native ``window(ts, '1 hour', '15 minutes')`` does the
+    4-window fan-out inside codegen; the oracle reproduces it as an
+    explicit unnest over the four epoch-aligned hop starts — both
+    engines align buckets to the epoch, so the window sets are
+    identical. One map-side-combinable aggregate after a 4× row
+    expansion; streaming runs the same expression behind a watermark
+    (streaming/pipeline.py)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
