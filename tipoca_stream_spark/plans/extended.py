@@ -1074,3 +1074,83 @@ def storage_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").cast("long").alias("sum_user_id"),
         F.sum("total_cents").cast("long").alias("sum_total_cents"),
     )
+
+
+# --- time-travel read -----------------------------------------------------------
+
+_TIME_TRAVEL_ORACLE = """
+    WITH base AS (
+      SELECT user_id, count(*)::BIGINT AS n_events,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_cents
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT 1 AS version, count(*)::BIGINT AS n_rows,
+           sum(user_id)::BIGINT AS sum_user_id,
+           sum(total_cents)::BIGINT AS sum_total_cents
+    FROM base
+    UNION ALL
+    SELECT 2, count(*)::BIGINT, sum(user_id)::BIGINT, sum(total_cents)::BIGINT
+    FROM (
+      SELECT user_id, total_cents
+      FROM base WHERE user_id % 11 <> 0
+      UNION ALL
+      SELECT user_id + 1000000, total_cents + 5
+      FROM base WHERE user_id % 13 = 0
+    )
+    """
+
+
+@query(
+    "storage_time_travel_read",
+    _TIME_TRAVEL_ORACLE,
+    survey_ref="storage: time-travel reads (every retained version answerable)",
+)
+def storage_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel graded end-to-end: commit two versions of a versioned
+    target, then read BOTH — ``read(version=1)`` must still answer
+    exactly after v2 is committed (versions are immutable; the pointer
+    flip never mutates history), and the oracle recomputes each
+    version's content independently. One summary row per version so a
+    stale read, a leaked v2 row into v1, or a hard-link gone wrong
+    breaks the hash. (Refuse-uncommitted and janitor semantics are
+    pinned in tests/test_timetravel.py; this grades the answer.)"""
+    import hashlib
+    import os
+    import tempfile
+
+    from tipoca_stream_spark.sources.target import ParquetTargetTable
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias(
+            "total_cents"
+        ),
+    )
+    v2_df = (
+        base.filter(F.col("user_id") % 11 != 0)
+        .select("user_id", "n_events", "total_cents")
+        .unionByName(
+            base.filter(F.col("user_id") % 13 == 0).select(
+                (F.col("user_id") + 1000000).alias("user_id"),
+                "n_events",
+                (F.col("total_cents") + 5).cast("long").alias("total_cents"),
+            )
+        )
+    )
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:tt".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"tt_ev_{tag}")
+    t = ParquetTargetTable(spark, root, "events_tt")
+    if t.current_version() != 2:
+        t.write(base)
+        t.write(v2_df)
+
+    def summarize(version: int) -> DataFrame:
+        return t.read(version=version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("user_id").cast("long").alias("sum_user_id"),
+            F.sum("total_cents").cast("long").alias("sum_total_cents"),
+        ).select("version", "n_rows", "sum_user_id", "sum_total_cents")
+
+    return summarize(1).unionByName(summarize(2))
