@@ -232,7 +232,23 @@ def harmonic_pack(
     spark = lengths.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     n = F.col(len_col)
-    classed = lengths.withColumn("cls", F.floor(F.lit(capacity) / n))
+    # contract guard (ADVICE r8): a row with n > capacity would get
+    # cls = 0 and `div cls` / `% cls` would yield NULL bin_idx/pos_in_bin
+    # SILENTLY. Enforce 0 < n ≤ capacity in the classing expression itself
+    # — raise_error fires executor-side on first violation, no extra
+    # validation pass over the corpus.
+    n_ok = F.when(
+        (n.isNull()) | (n <= 0) | (n > capacity),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"harmonic_pack: {len_col} outside contract (0, {capacity}]: "
+                ),
+                n.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(n)
+    classed = lengths.withColumn("cls", F.floor(F.lit(capacity) / n_ok))
     ranged = (
         classed.repartitionByRange(
             p, F.col("cls"), n.desc(), F.col(id_col)

@@ -878,7 +878,7 @@ def _recall_curve_oracle() -> str:
     blocks, selects = [], []
     for p in NPROBE_CURVE:
         blocks.append(
-            f"""probes{p} AS (SELECT cid FROM qdall ORDER BY d, cid LIMIT {p}),
+            f"""probes{p} AS (SELECT cid FROM qdall ORDER BY round(d, 6), cid LIMIT {p}),
     ivf{p} AS (SELECT s.vec_id FROM sims s
                JOIN assign a ON a.vec_id = s.vec_id
                JOIN probes{p} pr ON a.centroid_id = pr.cid
@@ -950,7 +950,14 @@ def similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = qvec.select(F.col("embedding").alias("_q"))
     out = None
     for p in NPROBE_CURVE:
-        probes = qdall.orderBy("d", "cid").limit(p).select("cid")
+        # round before ordering (ADVICE r8): the cross-engine discipline
+        # for every other argmin in this file — a last-ulp summation
+        # difference between Spark's fold order and DuckDB's aggregate
+        # order must not flip a near-tied probe choice (ties at 6
+        # decimals resolve by cid on both sides)
+        probes = (
+            qdall.orderBy(F.round(F.col("d"), 6), "cid").limit(p).select("cid")
+        )
         cands = (
             emb.join(assign, "vec_id")
             .join(F.broadcast(probes), F.col("centroid_id") == F.col("cid"))
@@ -1033,6 +1040,7 @@ def storage_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANSWER contract.)"""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from tipoca_stream_spark.sources.target import ParquetTargetTable
@@ -1066,6 +1074,13 @@ def storage_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"cdf_ev_{tag}")
     t = ParquetTargetTable(spark, root, "events_cdf")
     if t.current_version() != 2:
+        # partial state (crash between the two writes would leave v=1):
+        # rebuilding ON TOP would land base+v2 as versions 2-3 and
+        # changes(1,2) would silently diff base against base — wipe and
+        # rebuild from scratch instead (ADVICE r8)
+        if t.current_version() is not None:
+            shutil.rmtree(root, ignore_errors=True)
+            t = ParquetTargetTable(spark, root, "events_cdf")
         t.write(base)
         t.write(v2_df)
     ch = t.changes(1, 2, keys=["user_id"])
@@ -1116,6 +1131,7 @@ def storage_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_timetravel.py; this grades the answer.)"""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from tipoca_stream_spark.sources.target import ParquetTargetTable
@@ -1142,6 +1158,12 @@ def storage_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"tt_ev_{tag}")
     t = ParquetTargetTable(spark, root, "events_tt")
     if t.current_version() != 2:
+        # same partial-state hazard as storage_cdf_read: a v=1 leftover
+        # must not shift base/v2 to versions 2-3 (version 1 would then BE
+        # the base) — wipe and rebuild (ADVICE r8)
+        if t.current_version() is not None:
+            shutil.rmtree(root, ignore_errors=True)
+            t = ParquetTargetTable(spark, root, "events_tt")
         t.write(base)
         t.write(v2_df)
 

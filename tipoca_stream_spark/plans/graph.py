@@ -259,7 +259,9 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KCORE_K = 2  # the synthetic co-purchase n>=2 graph is near-regular and sparse at
 # larger SF: k=3 peels to ZERO rows at sf0.1 (round-8 degeneracy audit); k=2
-# survives AND discriminates at every SF (200 / 1535 / 22 survivors)
+# survives AND discriminates at every SF (200 / 1535 / 13 survivors at
+# sf0.001/0.01/0.1 — re-measured round 9; ROUND8_NOTES.md:399 had it right,
+# this comment previously said 22)
 KCORE_ROUNDS = 3
 
 
@@ -372,6 +374,15 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything but whose neighbors are strangers). Top-20 by the
     ROUNDED coefficient with node tie-break so both engines rank ties
     identically; nodes need degree ≥ 2 for the ratio to exist.
+
+    Oracle data assumption (ADVICE r8, same adjudication as the
+    triangle/kcore/lpa queries): the Spark side passes
+    ``max_group_size=256`` to ``cooccurrence_pairs`` (hot-group cap —
+    an order with thousands of distinct parts would otherwise expand
+    quadratically in one task) but the DuckDB oracle models NO cap.
+    Equality therefore assumes no order exceeds 256 distinct parts —
+    true of the TPC-H-shaped testdata (≤ 7 parts/order at every SF);
+    on wilder data, mirror the cap in the oracle or raise it.
 
     Scale shape: the triangle side is the registered degree-ordered
     O(m^1.5) wedge plan; degrees are one map-side-combined aggregate of
