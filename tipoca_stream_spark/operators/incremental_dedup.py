@@ -68,6 +68,7 @@ class IncrementalDeduper:
         band_size: int = 2,
         threshold: float = 0.5,
         index_buckets: int = 32,
+        policy=None,
     ):
         self.spark = spark
         self.n_hashes = n_hashes
@@ -76,6 +77,12 @@ class IncrementalDeduper:
         self.index = BucketedTargetTable(
             spark, root, "lsh_band_index", buckets=index_buckets, keys=["band_key"]
         )
+        # automatic maintenance (operators/index_maintenance.py): consulted
+        # after every ingest commit, so a pipeline that only ever calls
+        # ingest() keeps append chains bounded — the reference's loader
+        # does its maintenance inside each batch cycle too
+        # (pkg/redshiftloader/load_processor.go:386-444)
+        self.policy = policy
         # (files_scanned, files_total) of the last screen's index read —
         # the file-pruning evidence: scanned ∝ batch's band buckets
         self.last_screen_stats: dict = {}
@@ -195,4 +202,9 @@ class IncrementalDeduper:
             # the advertised retry path (ConcurrentWriteError) must not
             # strand a persisted signature frame per attempt
             sig_new.unpersist()
+        if self.policy is not None:
+            # AFTER the commit: the batch is durable whatever maintenance
+            # does; a maintenance CAS loss is recorded and re-evaluated on
+            # the next batch, never blocks this one
+            self.policy.after_ingest(self.index)
         return accepted, pairs

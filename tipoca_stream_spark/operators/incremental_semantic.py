@@ -84,8 +84,15 @@ class IncrementalSemanticDeduper:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         index_buckets: int = 32,
+        policy=None,
     ):
         self.spark = spark
+        # automatic maintenance (operators/index_maintenance.py): runs
+        # after every ingest commit — density-triggered requantize keeps
+        # k ∝ n and chain-triggered bucket compaction bounds files/bucket,
+        # with no scheduler outside the ingest loop (reference anchor:
+        # load_processor.go:386-444 — maintenance inside the batch cycle)
+        self.policy = policy
         self.threshold = threshold
         self.id_col = id_col
         self.vec_col = vec_col
@@ -263,6 +270,11 @@ class IncrementalSemanticDeduper:
             )
         finally:
             accepted.unpersist()
+        if self.policy is not None:
+            # AFTER the commit: the batch is durable regardless of what
+            # maintenance does; requantize runs first (it resets chains),
+            # then chain-scoped compaction — see IndexMaintenancePolicy
+            self.policy.after_ingest(self.index, requantizer=self)
         return n_accepted, flagged
 
     # --- re-quantization --------------------------------------------------------
@@ -295,31 +307,78 @@ class IncrementalSemanticDeduper:
             shutil.rmtree(self._seeds_dir(sv_new), ignore_errors=True)
             raise
 
-    def grown_seeds(self, target_per_cluster: int) -> DataFrame:
-        """A deterministic larger quantizer: the ceil(n/target) smallest-id
-        stored vectors as seeds (id tie-break keeps any two engines in
-        agreement — the registered queries' oracle recomputes it). A
-        production pipeline drops k-means centroids in instead
-        (operators/kmeans.kmeans_train emits the same (seed_id, seed_vec)
-        shape); the protocol — stage seeds, re-assign, one CAS flip — is
-        identical."""
-        idx = self.index.read()
-        n = idx.count()
+    def _grown_k(self, target_per_cluster: int, slack: float = 1.0) -> int:
+        n = self.index.read().count()
         k_cur = self.seeds.count()
-        k_new = max(k_cur, -(-n // max(target_per_cluster, 1)))
-        return (
-            idx.select(
-                F.col(self.id_col).alias("seed_id"),
-                F.col(self.vec_col).alias("seed_vec"),
+        want = int(-(-n * slack // max(target_per_cluster, 1)))
+        return max(k_cur, want, 1)
+
+    def grown_seeds(
+        self,
+        target_per_cluster: int,
+        trained: bool = False,
+        n_iter: int = 2,
+        slack: float = 1.0,
+    ) -> DataFrame:
+        """A larger quantizer at k = ceil(n/target).
+
+        ``trained=False`` (the oracle-gradable default the registered
+        queries use): the k smallest-id stored vectors as seeds — a pure
+        projection any engine recomputes identically.
+
+        ``trained=True`` (the one you'd ship — VERDICT r8 #3): k-means
+        centroids from ``operators/kmeans.kmeans_train``, whose init is
+        itself deterministic (the k smallest-id vectors) so the trained
+        quantizer is run-reproducible too — just not SQL-expressible
+        (Lloyd iterations). Same (seed_id, seed_vec) contract either way;
+        the requantize protocol — stage seeds, re-assign, one CAS flip —
+        is identical. Scale shape: centroids are k×dim driver floats,
+        each Lloyd step is one broadcast assignment pass + one k-row
+        aggregate (operators/kmeans.py docstring).
+
+        ``slack`` > 1 over-grows k to ceil(n·slack/target) so the
+        post-requantize density sits at target/slack instead of exactly
+        at the trigger threshold — without it, a steadily-growing corpus
+        re-trips a full-rewrite requantize on EVERY batch (density is
+        restored to precisely the trigger point); with slack=2 the next
+        trigger needs the corpus to double, i.e. O(log growth)
+        requantizes amortized over the ingest that caused them — the
+        doubling-array argument. The ingest-loop policy passes its
+        configured slack; 1.0 (exact density) is kept as the default for
+        the one-shot callers and probes that pin k == ceil(n/target)."""
+        idx = self.index.read()
+        k_new = self._grown_k(target_per_cluster, slack)
+        if not trained:
+            return (
+                idx.select(
+                    F.col(self.id_col).alias("seed_id"),
+                    F.col(self.vec_col).alias("seed_vec"),
+                )
+                .orderBy("seed_id")
+                .limit(k_new)
             )
-            .orderBy("seed_id")
-            .limit(k_new)
+        from tipoca_stream_spark.operators.kmeans import kmeans_train
+
+        centroids = kmeans_train(
+            idx, k=k_new, n_iter=n_iter, id_col=self.id_col, vec_col=self.vec_col
+        )
+        return self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "seed_id long, seed_vec array<double>",
         )
 
-    def maybe_requantize(self, target_per_cluster: int) -> int | None:
+    def maybe_requantize(
+        self,
+        target_per_cluster: int,
+        trained: bool = False,
+        n_iter: int = 2,
+        slack: float = 1.0,
+    ) -> int | None:
         """Requantize iff mean cluster density exceeds the target (the
         ingest-loop hook that keeps k ∝ n without a scheduler). Returns
-        the new version, or None when density is fine."""
+        the new version, or None when density is fine. ``trained`` picks
+        the k-means quantizer over the smallest-id one; ``slack`` > 1
+        over-grows k for amortized-doubling triggers (see grown_seeds)."""
         base = self.index.current_version()
         if base is None:
             return None
@@ -327,4 +386,8 @@ class IncrementalSemanticDeduper:
         k = self.seeds_at(base).count()
         if n <= target_per_cluster * k:
             return None
-        return self.requantize(self.grown_seeds(target_per_cluster))
+        return self.requantize(
+            self.grown_seeds(
+                target_per_cluster, trained=trained, n_iter=n_iter, slack=slack
+            )
+        )

@@ -44,19 +44,27 @@ def assign_to_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, centroid_id, d2): nearest centroid by squared L2, ties to the
-    lower index (matches the IVF quantizer's argmin)."""
+    lower index (matches the IVF quantizer's argmin).
+
+    Argmin via array_min + first-occurrence array_position — LINEAR-size
+    expressions in k. The previous chained-``when`` form embedded each
+    running best twice per step (``best_d_i = when(d_i < best_d_{i-1},
+    ...).otherwise(best_d_{i-1})`` with the condition holding its own
+    copy), doubling the expression tree per centroid: 2^k nodes, which
+    OOMed the ANALYZER around k ≈ 25 (found by the round-9 maintenance
+    soak the moment a grown quantizer crossed that k — the registered
+    IVF's fixed k=8 never tripped it). First-occurrence position keeps
+    the lower-index tie-break bit-identical to the old form."""
     with_d = emb.select(
         id_col,
         vec_col,
         *[_d2(vec_col, c).alias(f"_d{i}") for i, c in enumerate(centroids)],
     )
-    best, best_d = F.lit(0), F.col("_d0")
-    for i in range(1, len(centroids)):
-        cond = F.col(f"_d{i}") < best_d
-        best = F.when(cond, F.lit(i)).otherwise(best)
-        best_d = F.when(cond, F.col(f"_d{i}")).otherwise(best_d)
+    d_arr = F.array(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    best_d = F.array_min(d_arr)
+    best = (F.array_position(d_arr, best_d) - 1).cast("int")
     return with_d.select(
-        id_col, vec_col, best.cast("int").alias("centroid_id"), best_d.alias("d2")
+        id_col, vec_col, best.alias("centroid_id"), best_d.alias("d2")
     )
 
 
