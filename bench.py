@@ -10,6 +10,7 @@ also work; count exercises the whole plan including the final aggregation).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -298,6 +299,99 @@ def main() -> None:
     extras["training_curation_funnel"] = best_of(
         2, lambda: QUERIES["training_curation_funnel"].fn(spark, sf_dir).count()
     )
+    # - streaming plane steady state (round 9, VERDICT r8 next #4): the
+    #   actual readStream → foreachBatch → bucketed-merge deployment shape
+    #   (streaming/pipeline.CdcPipeline) had soak tests but no bench row.
+    #   One untimed bootstrap micro-batch, then N file-fed micro-batches
+    #   through a fresh availableNow run with maxFilesPerTrigger=1:
+    #   streaming_microbatch_latency = wall seconds per steady micro-batch
+    #   (transform + LWW dedupe + bucket-delta merge + CAS commit),
+    #   streaming_throughput_mb_per_s = raw envelope MiB/s over the same
+    #   run. BASELINE.md envelope: the reference sizes batches >=0.8 MiB
+    #   and flushes within 450 s (~0.0018 MiB/s floor); the merge latency
+    #   histogram brackets a batch at 10-900 s.
+    from tipoca_stream_spark.streaming.pipeline import (
+        CdcPipeline,
+        CdcPipelineConfig,
+    )
+
+    stream_root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        from pyspark.sql import types as T
+
+        row_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        raw_schema = (
+            "topic string, partition int, offset long, value string"
+        )
+        in_dir = os.path.join(stream_root, "in")
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "event_type", "value")
+            .limit(20000)
+        )
+        env = ev.select(
+            F.lit("db.server.bench_stream").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.monotonically_increasing_id().alias("offset"),
+            F.to_json(
+                F.struct(
+                    F.lit(None).cast(row_schema).alias("before"),
+                    F.struct("user_id", "event_type", "value").alias("after"),
+                    F.lit("c").alias("op"),
+                    F.monotonically_increasing_id().alias("ts_ms"),
+                )
+            ).alias("value"),
+        )
+        n_steady = 8
+        env.repartition(n_steady + 1).write.mode("overwrite").json(in_dir)
+        cfg = CdcPipelineConfig(
+            table="bench_stream",
+            primary_keys=["user_id"],
+            row_schema=row_schema,
+            target_root=os.path.join(stream_root, "targets"),
+            checkpoint_dir=os.path.join(stream_root, "ckpt"),
+            catalog_buckets=32,
+        )
+        p = CdcPipeline(spark, cfg)
+
+        def run_stream():
+            raw = (
+                spark.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(in_dir)
+            )
+            q = p.start(raw, trigger_available_now=True)
+            q.awaitTermination()
+
+        # bootstrap: drain ONE file untimed (first-batch full target write)
+        first = sorted(glob.glob(os.path.join(in_dir, "part-*.json")))
+        hold = [f for f in first[1:]]
+        held_dir = os.path.join(stream_root, "held")
+        os.makedirs(held_dir, exist_ok=True)
+        for f in hold:
+            os.rename(f, os.path.join(held_dir, os.path.basename(f)))
+        run_stream()
+        # steady state: release the remaining files, time the drain
+        steady_bytes = 0
+        for f in os.listdir(held_dir):
+            src = os.path.join(held_dir, f)
+            steady_bytes += os.path.getsize(src)
+            os.rename(src, os.path.join(in_dir, f))
+        t0 = time.perf_counter()
+        run_stream()
+        dt = time.perf_counter() - t0
+        extras["streaming_microbatch_latency"] = round(dt / n_steady, 3)
+        extras["streaming_throughput_mb_per_s"] = round(
+            steady_bytes / 1048576 / dt, 3
+        )
+    finally:
+        shutil.rmtree(stream_root, ignore_errors=True)
 
     print(
         json.dumps(
