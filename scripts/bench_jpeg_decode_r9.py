@@ -78,12 +78,12 @@ def main() -> None:
         delta = np.abs(a.astype(int) - b.astype(int))
         assert delta.max() <= 1, name  # rounding-boundary pixels only
         # pure-python side of the current decoder (LUT, no C)
-        saved, new._NATIVE_FN = new._NATIVE_FN, None
+        saved, new._NATIVE = new._NATIVE, None
         try:
             c = new.decode_jpeg(payload)
             t_pure = _best_of(new.decode_jpeg, payload)
         finally:
-            new._NATIVE_FN = saved
+            new._NATIVE = saved
         assert (b == c).all(), name  # native == pure, bit-exact
         t_old = _best_of(old.decode_jpeg, payload)
         t_new = _best_of(new.decode_jpeg, payload)

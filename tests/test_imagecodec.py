@@ -1471,11 +1471,11 @@ def test_native_and_pure_entropy_paths_agree():
         with open(p, "rb") as f:
             payload = f.read()
         fast = ic.decode_jpeg(payload)
-        saved, ic._NATIVE_FN = ic._NATIVE_FN, None
+        saved, ic._NATIVE = ic._NATIVE, None
         try:
             pure = ic.decode_jpeg(payload)
         finally:
-            ic._NATIVE_FN = saved
+            ic._NATIVE = saved
         assert fast.shape == pure.shape and (fast == pure).all(), p
 
 
@@ -1492,10 +1492,10 @@ def test_native_path_restart_and_subsampled_parity():
     px = rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)
     payload, expected = jpeg_encode(px, chroma_sub=(2, 2), restart_interval=3)
     fast = ic.decode_jpeg(payload)
-    saved, ic._NATIVE_FN = ic._NATIVE_FN, None
+    saved, ic._NATIVE = ic._NATIVE, None
     try:
         pure = ic.decode_jpeg(payload)
     finally:
-        ic._NATIVE_FN = saved
+        ic._NATIVE = saved
     assert (fast == pure).all()
     assert np.array_equal(fast, expected)

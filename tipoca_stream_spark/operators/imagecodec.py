@@ -286,21 +286,161 @@ int jpeg_decode_scan_segment(
     }
     return 0;
 }
+
+static int read_bit1(bitreader *r) {
+    if (r->nbits < 1) fill(r, 1);
+    r->nbits -= 1;
+    return (int)((r->acc >> r->nbits) & 1);
+}
+
+/* Decode one destuffed entropy segment of a PROGRESSIVE scan (T.81 G.2)
+   into the per-component coefficient grids — a line-for-line C
+   translation of _decode_progressive_scan's four branches (DC first /
+   DC refine / AC first / AC refine), including EOB-run and
+   correction-bit semantics.  Units are (ci, by, bx) triplets, unit_size
+   triplets per restart unit (the MCU composition when interleaved, one
+   block otherwise); eobrun and pred never cross a restart boundary so
+   they are per-call state.  Coefficient grids are int64 (matching the
+   numpy dtype the accumulating scans share with the Python path).
+   Returns 0, -1 invalid code, -3 run past band end, -4 invalid
+   refinement magnitude. */
+int jpeg_decode_prog_segment(
+    const uint8_t *data, long nbytes,
+    long n_units, int unit_size,
+    const int32_t *trip,
+    int64_t **grid_ptrs,
+    const int32_t *gb_w,
+    const int16_t *dc_sym, const uint8_t *dc_len,
+    const int16_t *ac_sym, const uint8_t *ac_len,
+    int ss, int se, int ah, int al,
+    int32_t *pred)
+{
+    bitreader r = {data, nbytes, 0, 0, 0};
+    long eobrun = 0;
+    int64_t p1 = ((int64_t)1) << al;
+    int64_t m1 = -p1;
+    long u;
+    int e;
+    for (u = 0; u < n_units; u++) {
+        for (e = 0; e < unit_size; e++) {
+            const int32_t *t = trip + (u * unit_size + e) * 3;
+            int ci = t[0];
+            long by = t[1], bx = t[2];
+            int64_t *block = grid_ptrs[ci] + (by * gb_w[ci] + bx) * 64;
+            if (ss == 0 && ah == 0) {
+                const int16_t *ds = dc_sym + (long)ci * 65536;
+                const uint8_t *dl = dc_len + (long)ci * 65536;
+                int v = peek16(&r);
+                int L = dl[v];
+                int s, diff;
+                if (L == 0) return -1;
+                r.nbits -= L;
+                s = ds[v];
+                diff = s ? extend_v(read_bits(&r, s), s) : 0;
+                pred[ci] += diff;
+                block[0] = (int64_t)pred[ci] * p1;
+            } else if (ss == 0) {
+                if (read_bit1(&r)) block[0] = block[0] | p1;
+            } else if (ah == 0) {
+                const int16_t *as = ac_sym + (long)ci * 65536;
+                const uint8_t *al_tab = ac_len + (long)ci * 65536;
+                int k;
+                if (eobrun) { eobrun--; continue; }
+                k = ss;
+                while (k <= se) {
+                    int v = peek16(&r);
+                    int L = al_tab[v];
+                    int rs, rr, s;
+                    if (L == 0) return -1;
+                    r.nbits -= L;
+                    rs = as[v];
+                    rr = rs >> 4;
+                    s = rs & 15;
+                    if (s == 0) {
+                        if (rr == 15) { k += 16; continue; }
+                        eobrun = (1L << rr) - 1;
+                        if (rr) eobrun += read_bits(&r, rr);
+                        break;
+                    }
+                    k += rr;
+                    if (k > se) return -3;
+                    block[ZIGZAG[k]] =
+                        (int64_t)extend_v(read_bits(&r, s), s) * p1;
+                    k += 1;
+                }
+            } else {
+                const int16_t *as = ac_sym + (long)ci * 65536;
+                const uint8_t *al_tab = ac_len + (long)ci * 65536;
+                int k = ss;
+                if (eobrun == 0) {
+                    while (k <= se) {
+                        int v = peek16(&r);
+                        int L = al_tab[v];
+                        int rs, rr, s;
+                        int64_t val = 0;
+                        if (L == 0) return -1;
+                        r.nbits -= L;
+                        rs = as[v];
+                        rr = rs >> 4;
+                        s = rs & 15;
+                        if (s == 0) {
+                            if (rr < 15) {
+                                eobrun = 1L << rr;
+                                if (rr) eobrun += read_bits(&r, rr);
+                                break;
+                            }
+                            /* rr == 15: skip 16 zero-history coefficients */
+                        } else {
+                            if (s != 1) return -4;
+                            val = read_bit1(&r) ? p1 : m1;
+                        }
+                        while (k <= se) {
+                            int z = ZIGZAG[k];
+                            int64_t c = block[z];
+                            if (c != 0) {
+                                if (read_bit1(&r) && (c & p1) == 0)
+                                    block[z] = c + (c >= 0 ? p1 : m1);
+                            } else {
+                                if (rr == 0) break;
+                                rr -= 1;
+                            }
+                            k += 1;
+                        }
+                        if (val && k <= se) block[ZIGZAG[k]] = val;
+                        k += 1;
+                    }
+                }
+                if (eobrun > 0) {
+                    while (k <= se) {
+                        int z = ZIGZAG[k];
+                        int64_t c = block[z];
+                        if (c != 0 && read_bit1(&r) && (c & p1) == 0)
+                            block[z] = c + (c >= 0 ? p1 : m1);
+                        k += 1;
+                    }
+                    eobrun -= 1;
+                }
+            }
+        }
+    }
+    return 0;
+}
 """
 
-_NATIVE_FN = None
+_NATIVE = None  # {"scan": fn, "prog": fn} once loaded
 _NATIVE_TRIED = False
 
 
-def _native_entropy():
-    """Compile-and-load the C scan decoder, once per process; any failure
-    (no compiler, read-only tmp, exotic platform) falls back to the pure
-    Python path — same answers, slower. The cache key is the source hash
-    so a code change can never load a stale binary; the rename is atomic
-    so concurrent executor workers race safely to the same file."""
-    global _NATIVE_FN, _NATIVE_TRIED
+def _native_lib():
+    """Compile-and-load the C entropy decoders, once per process; any
+    failure (no compiler, read-only tmp, exotic platform) falls back to
+    the pure Python path — same answers, slower. The cache key is the
+    source hash so a code change can never load a stale binary; the
+    rename is atomic so concurrent executor workers race safely to the
+    same file."""
+    global _NATIVE, _NATIVE_TRIED
     if _NATIVE_TRIED:
-        return _NATIVE_FN
+        return _NATIVE
     _NATIVE_TRIED = True
     import os
 
@@ -329,26 +469,48 @@ def _native_entropy():
             )
             os.replace(tmp_so, so)
         lib = ctypes.CDLL(so)
-        fn = lib.jpeg_decode_scan_segment
-        fn.restype = ctypes.c_int
-        fn.argtypes = [
+        scan = lib.jpeg_decode_scan_segment
+        scan.restype = ctypes.c_int
+        scan.argtypes = [
             ctypes.c_char_p,
             ctypes.c_long,
             ctypes.c_long,
             ctypes.c_int,
-            ctypes.c_void_p,  # comp_of_unit int32*
-            ctypes.c_void_p,  # dc_sym int16*
-            ctypes.c_void_p,  # dc_len uint8*
-            ctypes.c_void_p,  # ac_sym int16*
-            ctypes.c_void_p,  # ac_len uint8*
-            ctypes.c_void_p,  # quant int32*
+        ] + [ctypes.c_void_p] * 8
+        prog = lib.jpeg_decode_prog_segment
+        prog.restype = ctypes.c_int
+        prog.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_void_p,  # trip int32*
+            ctypes.c_void_p,  # grid_ptrs int64**
+            ctypes.c_void_p,  # gb_w int32*
+            ctypes.c_void_p,  # dc_sym
+            ctypes.c_void_p,  # dc_len
+            ctypes.c_void_p,  # ac_sym
+            ctypes.c_void_p,  # ac_len
+            ctypes.c_int,  # ss
+            ctypes.c_int,  # se
+            ctypes.c_int,  # ah
+            ctypes.c_int,  # al
             ctypes.c_void_p,  # pred int32*
-            ctypes.c_void_p,  # out int32*
         ]
-        _NATIVE_FN = fn
+        _NATIVE = {"scan": scan, "prog": prog}
     except Exception:
-        _NATIVE_FN = None
-    return _NATIVE_FN
+        _NATIVE = None
+    return _NATIVE
+
+
+def _native_entropy():
+    lib = _native_lib()
+    return lib["scan"] if lib else None
+
+
+def _native_entropy_prog():
+    lib = _native_lib()
+    return lib["prog"] if lib else None
 
 
 class _HuffTable:
@@ -1824,6 +1986,90 @@ def _decode_jpeg_progressive(payload: bytes):
     return _planes_to_image(out_planes)
 
 
+def _decode_prog_scan_native(
+    native, grids, comps, sel, ss, se, ah, al, huff, segments,
+    restart_interval, units,
+):
+    """Drive the compiled progressive-scan decoder: same restart walk
+    (predictor/EOB-run reset, segment advance) as the Python loop. The
+    unit list is flattened to (ci, by, bx) int32 triplets — every unit
+    has the same composition (the MCU pattern when interleaved, one
+    block otherwise), so restart offsets are plain slices. Writes into
+    the SAME int64 numpy grids the Python path uses; raises the same
+    ValueErrors on the same malformed streams."""
+    import ctypes
+
+    import numpy as np
+
+    ncomp = len(comps)
+    # per-scan table requirements mirror the Python branches: DC scans
+    # (ss == 0, ah == 0) consume a DC table, AC scans an AC table
+    for ci, dc_id, ac_id in sel:
+        if ss == 0 and ah == 0 and (0, dc_id) not in huff:
+            raise ValueError("missing Huffman table")
+        if ss != 0 and (1, ac_id) not in huff:
+            raise ValueError("missing Huffman table")
+    unit_size = len(units[0])
+    trip = np.asarray(
+        [t for unit in units for t in unit], dtype=np.int32
+    ).reshape(-1, 3)
+    dc_sym = np.empty((ncomp, 65536), np.int16)
+    dc_len = np.zeros((ncomp, 65536), np.uint8)
+    ac_sym = np.empty((ncomp, 65536), np.int16)
+    ac_len = np.zeros((ncomp, 65536), np.uint8)
+    for ci, dc_id, ac_id in sel:
+        if (0, dc_id) in huff:
+            s, ln = huff[(0, dc_id)].np_tables()
+            dc_sym[ci], dc_len[ci] = s, ln
+        if (1, ac_id) in huff:
+            s, ln = huff[(1, ac_id)].np_tables()
+            ac_sym[ci], ac_len[ci] = s, ln
+    grid_ptrs = (ctypes.c_void_p * ncomp)(
+        *[g.ctypes.data for g in grids]
+    )
+    gb_w = np.asarray([g.shape[1] for g in grids], np.int32)
+    pred = np.zeros(ncomp, np.int32)
+    n_units = len(units)
+    done, seg_idx = 0, 0
+    while done < n_units:
+        if seg_idx >= len(segments):
+            raise ValueError("missing JPEG restart segment")
+        if seg_idx > 0:
+            pred[:] = 0
+        n_seg = (
+            min(restart_interval, n_units - done)
+            if restart_interval
+            else n_units
+        )
+        seg = segments[seg_idx]
+        rc = native(
+            seg,
+            len(seg),
+            n_seg,
+            unit_size,
+            trip[done * unit_size :].ctypes.data,
+            ctypes.addressof(grid_ptrs),
+            gb_w.ctypes.data,
+            dc_sym.ctypes.data,
+            dc_len.ctypes.data,
+            ac_sym.ctypes.data,
+            ac_len.ctypes.data,
+            ss,
+            se,
+            ah,
+            al,
+            pred.ctypes.data,
+        )
+        if rc == -1:
+            raise ValueError("invalid JPEG Huffman code")
+        if rc == -3:
+            raise ValueError("progressive AC run past band end")
+        if rc == -4:
+            raise ValueError("invalid AC refinement magnitude")
+        done += n_seg
+        seg_idx += 1
+
+
 def _decode_progressive_scan(
     grids, comps, geom, nonint, sel, ss, se, ah, al, huff, segments, restart_interval
 ):
@@ -1858,6 +2104,14 @@ def _decode_progressive_scan(
         ci = sel[0][0]
         nb_h, nb_w = nonint[ci]
         units = [[(ci, by, bx)] for by in range(nb_h) for bx in range(nb_w)]
+
+    native = _native_entropy_prog()
+    if native is not None and units:
+        _decode_prog_scan_native(
+            native, grids, comps, sel, ss, se, ah, al, huff, segments,
+            restart_interval, units,
+        )
+        return
 
     pred = [0] * len(comps)
     eobrun = 0
