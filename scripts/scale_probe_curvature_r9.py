@@ -6,6 +6,15 @@ appears as the shuffle working set doubles again (a linear operator
 stays ≤ ~2.1× per doubling; a spill onset shows as a jump well past 2×
 between consecutive doublings even though the algorithm is linear).
 
+Each SF point runs in a FRESH JVM (subprocess): the first run shared one
+16 GiB JVM across all points and died of cumulative heap pressure at
+sf4 — earlier points' localCheckpoint blocks are freed by the
+ContextCleaner only after their RDDs are GC'd, which lazily trails the
+allocation spike of the next point's wedge join. One JVM per point makes
+every measurement independent (the bench_ab discipline) and is itself
+the honest deployment analogue: a real cluster job doesn't carry a
+previous job's block manager state.
+
 Requires `.scale/sf1`, `.scale/sf2`, `.scale/sf4`
 (scripts/make_scale_dataset.py --mult 10 / 20 / 40).
 
@@ -17,11 +26,10 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
-import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, ROOT)
 
 NAMES = [
     "corpus_dsir_select",
@@ -36,29 +44,60 @@ POINTS = (
     ("sf4", ".scale/sf4"),
 )
 
+_POINT_SCRIPT = """
+import json, sys, time
+sys.path.insert(0, {root!r})
+from tipoca_stream_spark.plans import QUERIES
+from tipoca_stream_spark.session import get_spark
+spark = get_spark("curvature_r9_point")
+spark.sparkContext.setLogLevel("ERROR")
+out = {{}}
+for name in {names!r}:
+    best = float("inf")
+    for _ in range({reps}):
+        t0 = time.perf_counter()
+        QUERIES[name].fn(spark, {sf!r}).count()
+        best = min(best, time.perf_counter() - t0)
+    out[name] = round(best, 3)
+print("POINT_RESULT " + json.dumps(out))
+spark.stop()
+"""
+
 
 def main() -> None:
-    from tipoca_stream_spark.plans import QUERIES
-    from tipoca_stream_spark.session import get_spark
-
-    spark = get_spark("scale_probe_curvature_r9")
-    spark.sparkContext.setLogLevel("ERROR")
     reps = int(os.environ.get("PROBE_REPS", "2"))
+    per_point: dict[str, dict[str, float]] = {}
+    for label, sf in POINTS:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             _POINT_SCRIPT.format(root=ROOT, names=NAMES, reps=reps, sf=sf)],
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+        )
+        line = next(
+            (ln for ln in proc.stdout.splitlines()
+             if ln.startswith("POINT_RESULT ")),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            raise RuntimeError(
+                f"point {label} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+            )
+        per_point[label] = json.loads(line[len("POINT_RESULT "):])
     out: dict[str, dict[str, float]] = {}
     for name in NAMES:
-        row: dict[str, float] = {}
-        for label, sf in POINTS:
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                QUERIES[name].fn(spark, sf).count()
-                best = min(best, time.perf_counter() - t0)
-            row[label] = round(best, 3)
+        row = {label: per_point[label][name] for label, _ in POINTS}
         row["r10"] = round(row["sf1"] / row["sf0.1"], 2)
         row["d2"] = round(row["sf2"] / row["sf1"], 2)  # second doubling
         row["d3"] = round(row["sf4"] / row["sf2"], 2)  # third doubling
         out[name] = row
-    res = {"probe": "curvature_r9", "reps": reps, "rows": out}
+    res = {
+        "probe": "curvature_r9",
+        "reps": reps,
+        "isolation": "fresh JVM per SF point",
+        "rows": out,
+    }
     with open(os.path.join(ROOT, "SCALE_PROBE_r09_curvature.json"), "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))

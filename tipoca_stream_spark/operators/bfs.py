@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
 
 def bfs_distances(
     edges: DataFrame,
@@ -48,7 +50,7 @@ def bfs_distances(
         seeds.select(F.col(node).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     )
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
@@ -60,11 +62,11 @@ def bfs_distances(
         fresh = (
             neighbors.join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .localCheckpoint()
+            .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
         )
         if fresh.isEmpty():
             break
-        visited = visited.union(fresh).localCheckpoint()
+        visited = visited.union(fresh).localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
         frontier = fresh.select("node")
     edges.unpersist()
     return visited

@@ -55,6 +55,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
 END_OF_WORD = "</w>"
 
 #: (left, right, weighted_count) — the count is the pair's corpus
@@ -189,7 +191,7 @@ def _train_distributed(
     min_pair_count: int,
     checkpoint_every: int,
 ) -> list[Merge]:
-    symbols = symbols.localCheckpoint()
+    symbols = symbols.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     merges: list[Merge] = []
     for round_no in range(num_merges):
         top = (
@@ -216,7 +218,7 @@ def _train_distributed(
             ),
         )
         if (round_no + 1) % checkpoint_every == 0:
-            symbols = symbols.localCheckpoint()
+            symbols = symbols.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     return merges
 
 
@@ -239,7 +241,7 @@ def train_bpe(
     ``collect_threshold`` rows, distributed otherwise — both paths are
     equality-pinned in tests."""
     vocab = word_frequencies(docs, text_col=text_col, min_count=min_count)
-    vocab = vocab.localCheckpoint()
+    vocab = vocab.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     if vocab.count() <= collect_threshold:
         rows = [(r["word"], r["cnt"]) for r in vocab.collect()]
         return _train_local(rows, num_merges, min_pair_count)

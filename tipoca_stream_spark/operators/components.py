@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
@@ -40,7 +42,7 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)  # reused every round — pin it
+    sym = sym.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)  # reused every round — pin it
 
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -69,7 +71,7 @@ def connected_components(
                 ).alias("label"),
                 "old_label",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
         labels = new_labels.select("node", "label")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
 
 def _degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count("*").alias("deg"))
@@ -40,7 +42,7 @@ def kcore(
     ``edges`` must be symmetric (both directions present) — degree is
     out-degree of the symmetrized table. Self-loops count like any edge;
     drop them upstream if the semantics require."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     prev_n = e.count() if until_stable else -1
     i = 0
     while True:
@@ -55,7 +57,7 @@ def kcore(
             e.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
         )
         e = pruned
         if until_stable:

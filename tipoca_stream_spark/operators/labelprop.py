@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
 
 def label_propagation(
     edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3
@@ -41,7 +43,7 @@ def label_propagation(
     sym = (
         e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
         eager=True
@@ -72,6 +74,6 @@ def label_propagation(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
         )
     return labels

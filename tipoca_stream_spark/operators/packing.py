@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
 
 def global_token_offsets(
     seg: DataFrame,
@@ -58,7 +60,7 @@ def global_token_offsets(
         .repartitionByRange(p, F.col(id_col))
         .sortWithinPartitions(id_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()  # freeze the sampled range boundaries
+        .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)  # freeze the sampled range boundaries
     )
     totals = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("tot")).collect()
     base: dict[int, int] = {}
@@ -255,7 +257,7 @@ def harmonic_pack(
         )
         .sortWithinPartitions(F.col("cls"), n.desc(), F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()  # freeze the sampled range boundaries
+        .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)  # freeze the sampled range boundaries
     )
     counts = (
         ranged.groupBy("_pid", "cls").agg(F.count(F.lit(1)).alias("c")).collect()

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
 
 def pagerank(
     edges: DataFrame,
@@ -47,12 +49,12 @@ def pagerank(
     # every iteration's join reshuffles only the node-sized rank table —
     # the edge table never moves again. At 10^10 edges this turns
     # 3 edge-shuffles into zero.
-    weighted = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    weighted = e.join(deg, "src").repartition("src").localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     )
     n = nodes.count()  # scalar to the driver — the same bounded read as k-means centroids
     if n == 0:
@@ -70,5 +72,5 @@ def pagerank(
             "node",
             (F.lit(base) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("pr"),
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     return ranks

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
 
 def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Per-node triangle counts for an undirected simple graph given as an
@@ -72,7 +74,7 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # (measured 11% of the query at sf0.1; the recompute grows with edge
     # count). eager=True — the operators/pagerank.py discipline; the lazy
     # variant pays the toRdd planning cost without the reuse.
-    oriented = oriented.localCheckpoint(eager=True)
+    oriented = oriented.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     # Wedges from the lowest-ordered vertex of each triangle: two out-edges
     # (u→v1, u→v2) with (dv1, v1) < (dv2, v2); the closing edge v1→v2 is
     # then oriented exactly that way, so one equi-join confirms it.

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from tipoca_stream_spark.plans.registry import query
 from tipoca_stream_spark.sources.tables import load_table
 
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -814,7 +816,7 @@ def analytics_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles(docs, "text", "doc_id", n=3, carry=["source"])
         .select("source", "shingle")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     shared = (
