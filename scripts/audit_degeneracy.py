@@ -69,6 +69,13 @@ ALLOW = {
     ("training_fim_transform", "*"),  # every sf0.01 doc has >= 10 words; the
                                       # <3-word passthrough branch is exercised
                                       # by the NULL/empty sweeps
+    ("dq_fk_matrix", "*"),  # n_orphans=0 on all 7 edges: the synthetic data
+                            # maintains referential integrity by construction
+                            # (TESTDATA.md / make_scale_dataset FK offsets);
+                            # orphan DETECTION is pinned with planted orphans
+                            # in tests/test_quality_gate.py::test_fk_violations_detects_orphans
+                            # (registered after r8's final audit run, which is
+                            # why the r8 artifact didn't carry this entry)
 }
 
 
