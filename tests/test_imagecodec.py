@@ -1499,3 +1499,159 @@ def test_native_path_restart_and_subsampled_parity():
         ic._NATIVE = saved
     assert (fast == pure).all()
     assert np.array_equal(fast, expected)
+
+
+# --- progressive restarts (round 9): hand-assembled DRI stream --------------
+
+
+def jpeg_encode_progressive_gray_dri(px, dri=3, dc_al=1):
+    """Grayscale progressive stream WITH restart markers — the one Annex-G
+    shape no fixture covered (the libjpeg board has no DRI and the main
+    synthetic progressive encoder never emits one). Three scans — DC first
+    at Al, DC refinement to 0, full-band AC first — each entropy stream
+    split into restart intervals of ``dri`` blocks with predictor/EOB-run
+    reset per segment (T.81 G.1 restart semantics). Returns
+    (jpeg_bytes, expected_pixels); all coefficient bits are delivered, so
+    a correct decoder reproduces the baseline reconstruction exactly."""
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape[:2]
+    (qblocks, quants, samp, comp_classes, geom, gray, expected) = (
+        _quantize_and_expect(px)
+    )
+    assert gray
+    blocks = [b.reshape(64) for b in qblocks[0]]
+
+    def dc_first_segs():
+        segs, ev, pred = [], [], 0
+        for i, blk in enumerate(blocks):
+            if i and i % dri == 0:
+                segs.append(ev)
+                ev, pred = [], 0
+            v = int(blk[0]) >> dc_al
+            diff = v - pred
+            pred = v
+            s = _category(diff)
+            ev.append(("sym", s))
+            if s:
+                ev.append(("bits", _magnitude_bits(diff, s), s))
+        segs.append(ev)
+        return segs
+
+    def dc_refine_segs():
+        segs, ev = [], []
+        for i, blk in enumerate(blocks):
+            if i and i % dri == 0:
+                segs.append(ev)
+                ev = []
+            ev.append(("bits", int(blk[0]) & 1, 1))
+        segs.append(ev)
+        return segs
+
+    def ac_first_segs():
+        segs, ev = [], []
+        eob = 0
+
+        def flush():
+            nonlocal eob
+            if eob:
+                nbits = eob.bit_length() - 1
+                ev.append(("sym", nbits << 4))
+                if nbits:
+                    ev.append(("bits", eob - (1 << nbits), nbits))
+                eob = 0
+
+        for i, blk in enumerate(blocks):
+            if i and i % dri == 0:
+                flush()  # an EOB run must not cross a restart boundary
+                segs.append(ev)
+                ev = []
+            zz = [int(blk[_ZIGZAG[k]]) for k in range(1, 64)]
+            if not any(zz):
+                eob += 1
+                continue
+            flush()
+            run = 0
+            for v in zz:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ev.append(("sym", 0xF0))
+                    run -= 16
+                s = _category(v)
+                ev.append(("sym", (run << 4) | s))
+                ev.append(("bits", _magnitude_bits(v, s), s))
+                run = 0
+            if run:
+                eob += 1
+        flush()
+        segs.append(ev)
+        return segs
+
+    dc_segs, ref_segs, ac_segs = dc_first_segs(), dc_refine_segs(), ac_first_segs()
+    dc_counts, dc_syms, dc_codes = _fixed_table(
+        [e[1] for seg in dc_segs for e in seg if e[0] == "sym"] or [0]
+    )
+    ac_counts, ac_syms, ac_codes = _fixed_table(
+        [e[1] for seg in ac_segs for e in seg if e[0] == "sym"] or [0]
+    )
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    flat = _QT_LUMA.reshape(64)
+    segment(0xDB, bytes([0]) + bytes(int(flat[_ZIGZAG[i]]) for i in range(64)))
+    segment(
+        0xC2,
+        bytes(bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0])),
+    )
+    segment(0xDD, dri.to_bytes(2, "big"))
+
+    def emit_scan(segs, codes, ss, se, ah, al):
+        segment(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        for i, ev in enumerate(segs):
+            wtr = _BitWriter()
+            for e in ev:
+                if e[0] == "sym":
+                    length, code = codes[e[1]]
+                    wtr.write(code, length)
+                else:
+                    wtr.write(e[1], e[2])
+            wtr.flush()
+            out.extend(wtr.out)
+            if i < len(segs) - 1:
+                out.extend(bytes([0xFF, 0xD0 + (i % 8)]))
+
+    segment(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    emit_scan(dc_segs, dc_codes, 0, 0, 0, dc_al)
+    emit_scan(ref_segs, {}, 0, 0, 1, 0)  # raw correction bits only
+    segment(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    emit_scan(ac_segs, ac_codes, 1, 63, 0, 0)
+    out.extend(b"\xff\xd9")
+    return bytes(out), expected
+
+
+def test_jpeg_progressive_restart_markers_both_paths():
+    """Progressive + DRI through BOTH entropy paths: predictor and
+    EOB-run reset at every restart, segments advanced identically —
+    4 restart segments across 10 blocks, three scan types."""
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    px = (np.add.outer(np.arange(40) * 7, np.arange(16) * 3) % 256).astype(
+        np.uint8
+    )
+    payload, expected = jpeg_encode_progressive_gray_dri(px, dri=3)
+    fast = decode_jpeg(payload)
+    assert np.array_equal(fast, expected)
+    if ic._native_lib() is not None:
+        saved, ic._NATIVE = ic._NATIVE, None
+        try:
+            pure = decode_jpeg(payload)
+        finally:
+            ic._NATIVE = saved
+        assert (fast == pure).all()
