@@ -234,3 +234,33 @@ def test_policy_on_soak_semantic(spark, tmp_path):
     )
     got = {(r["vec_id"], r["dup_of"]) for r in d.screen(dup).collect()}
     assert got == {(500250, 250)}
+
+
+def test_maintenance_cas_loss_is_recorded_not_raised(spark, tmp_path):
+    """A maintenance action losing its CAS race must be RECORDED and
+    skipped — the triggering ingest already committed; raising would
+    fail a durable batch for an optional cleanup. The next batch's
+    policy pass re-evaluates against the new head and compacts then."""
+    from tipoca_stream_spark.sources.target import ConcurrentWriteError
+
+    pol = IndexMaintenancePolicy(compact_files_per_bucket=1)
+    d = IncrementalDeduper(spark, str(tmp_path), policy=pol)
+    d.ingest(_docs(spark, "a", 3, seed=1))
+
+    real = d.index.write_bucket_delta
+    calls = {"n": 0}
+
+    def lose_first(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentWriteError("foreign commit won")
+        return real(*args, **kwargs)
+
+    d.index.write_bucket_delta = lose_first
+    accepted, _ = d.ingest(_docs(spark, "b", 3, seed=2))  # must not raise
+    assert accepted.count() == 3  # the batch itself is durable
+    lost = [r for r in pol.history if "compact" in r["lost_race"]]
+    assert lost, pol.history
+    # next ingest's policy pass retries against the new head and wins
+    d.ingest(_docs(spark, "c", 3, seed=3))
+    assert any(r["compacted_buckets"] for r in pol.history[-1:]), pol.history
