@@ -533,6 +533,155 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.screen(batch)
 
 
+# --- semantic incremental with the maintenance policy ON (requantize) -------
+
+SEMMAINT_K0 = 4  # deliberately tiny bootstrap quantizer so density trips
+SEMMAINT_TARGET = 32  # policy target_per_cluster
+SEMMAINT_SLACK = 2  # policy requantize_slack (amortized doubling)
+
+SEMDEDUP_MAINT_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings WHERE vec_id % 2 = 0),
+batch AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_COPY_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * 1.5) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0),
+-- replay the density-triggered requantize arithmetic: epoch 0 = even ids
+-- below the midpoint, epoch 1 = the rest; the policy checks n > target*k
+-- after each epoch and grows k to max(k, ceil(n*slack/target)) when it
+-- trips. grown seeds (trained=False) are the k smallest-id stored
+-- vectors — dense even ids, so "vec_id < 2*k" IS the seed set.
+prm AS (SELECT count(*) // 2 AS c FROM embeddings),
+n0_ AS (SELECT count(*) AS n0 FROM corpus, prm WHERE vec_id < c),
+nt_ AS (SELECT count(*) AS n FROM corpus),
+k1_ AS (SELECT CASE WHEN n0 > {SEMMAINT_TARGET} * {SEMMAINT_K0}
+               THEN greatest({SEMMAINT_K0},
+                             (n0 * {SEMMAINT_SLACK} + {SEMMAINT_TARGET} - 1)
+                               // {SEMMAINT_TARGET})
+               ELSE {SEMMAINT_K0} END AS k1 FROM n0_),
+k2_ AS (SELECT CASE WHEN n > {SEMMAINT_TARGET} * k1
+               THEN greatest(k1,
+                             (n * {SEMMAINT_SLACK} + {SEMMAINT_TARGET} - 1)
+                               // {SEMMAINT_TARGET})
+               ELSE k1 END AS k2 FROM nt_, k1_),
+seeds AS (SELECT vec_id AS seed_id, embedding AS se FROM corpus, k2_
+          WHERE vec_id < 2 * k2),
+allv AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+sexpl AS (SELECT c.vec_id, s.seed_id, unnest(c.embedding)::double AS x,
+                 unnest(s.se)::double AS y
+          FROM allv c CROSS JOIN seeds s),
+scs AS (SELECT vec_id, seed_id,
+               round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+        FROM sexpl GROUP BY vec_id, seed_id),
+assign AS (SELECT vec_id, seed_id AS cluster_id FROM
+           (SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, seed_id) AS rn
+            FROM scs) z
+           WHERE rn = 1),
+cand AS (SELECT b.vec_id AS b_id, c.vec_id AS c_id, ab.cluster_id
+         FROM batch b JOIN assign ab ON ab.vec_id = b.vec_id
+              JOIN assign ac ON ac.cluster_id = ab.cluster_id
+              JOIN corpus c ON c.vec_id = ac.vec_id),
+pexpl AS (SELECT p.b_id, p.c_id, p.cluster_id,
+                 unnest(eb.embedding)::double AS x, unnest(ec.embedding)::double AS y
+          FROM cand p JOIN batch eb ON eb.vec_id = p.b_id
+                      JOIN corpus ec ON ec.vec_id = p.c_id),
+near AS (SELECT b_id, c_id, cluster_id,
+                round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+         FROM pexpl GROUP BY b_id, c_id, cluster_id)
+SELECT b_id AS vec_id, cluster_id, min(c_id) AS dup_of
+FROM near WHERE cs >= {SEMDEDUP_THRESHOLD} GROUP BY b_id, cluster_id
+"""
+
+
+@query(
+    "dedup_semantic_maintained",
+    SEMDEDUP_MAINT_ORACLE,
+    survey_ref="training: maintained semantic index (policy-on requantize under the oracle)",
+)
+def dedup_semantic_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REQUANTIZE path under the oracle (round 9 — the semantic
+    sibling of ``dedup_incremental_maintained``): the even-id corpus is
+    ingested in two ordered epochs with the `IndexMaintenancePolicy` ON
+    and a deliberately tiny bootstrap quantizer (k0={SEMMAINT_K0}), so
+    the density trigger (target={SEMMAINT_TARGET},
+    slack={SEMMAINT_SLACK}) genuinely fires mid-build at the graded SFs
+    — a full Strategy-3 index rebuild under new seeds, committed with
+    the seeds in one CAS flip — with compaction and vacuum enabled too
+    (the rebuild resets every chain to one file, so the compaction
+    trigger itself is exercised by the lexical maintained query, where
+    no rebuild intervenes). The oracle REPLAYS the trigger arithmetic: it computes
+    whether each epoch trips (n > target·k), grows k to
+    max(k, ceil(n·slack/target)), derives the grown smallest-id seed
+    set ('vec_id < 2k' — even ids are dense), and screens the same
+    batch as dedup_semantic_incremental against the final quantizer's
+    assignments. Seed versioning, the mid-build rebuild, compaction,
+    vacuum, and the metadata n_rows accounting (which feeds the trigger)
+    must ALL be answer-invisible — a wrong row count, a stale quantizer,
+    or a seeds/index version mismatch changes cluster_id or the flagged
+    set and breaks the hash. (The epoch ACCEPTANCE chain is trivially
+    all-accept here — max natural pairwise cosine ≈ 0.51 — which is what
+    lets the replay isolate the requantize arithmetic; the lexical
+    maintained query grades the acceptance-chain half.)"""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tipoca_stream_spark.operators.incremental_semantic import (
+        IncrementalSemanticDeduper,
+    )
+    from tipoca_stream_spark.operators.index_maintenance import (
+        IndexMaintenancePolicy,
+    )
+
+    emb = _embs(spark, sf_dir)
+    mid = emb.count() // 2
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeds = corpus.filter(F.col("vec_id") < 2 * SEMMAINT_K0).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    batch = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + SEMDEDUP_COPY_OFFSET).alias("vec_id"),
+                F.transform("embedding", lambda x: x.cast("double") * 1.5).alias(
+                    "embedding"
+                ),
+            )
+        )
+    )
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:semmaint".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"semmaint_{tag}")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        pol = IndexMaintenancePolicy(
+            compact_files_per_bucket=1,
+            target_per_cluster=SEMMAINT_TARGET,
+            requantize_trained=False,
+            requantize_slack=float(SEMMAINT_SLACK),
+            vacuum_keep=2,
+        )
+        d = IncrementalSemanticDeduper(
+            spark, root, seeds=seeds, threshold=SEMDEDUP_THRESHOLD, policy=pol
+        )
+        d.ingest(corpus.filter(F.col("vec_id") < mid))
+        d.ingest(corpus.filter(F.col("vec_id") >= mid))
+        with open(marker, "w") as f:
+            f.write("ok")
+    else:
+        d = IncrementalSemanticDeduper(spark, root, threshold=SEMDEDUP_THRESHOLD)
+    return d.screen(batch)
+
+
 CONTAINMENT_THRESHOLD = 0.5
 
 
