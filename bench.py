@@ -76,6 +76,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # noop-sink forcing (round 9): count() lets Catalyst ELIDE computed
+    # columns that nothing downstream consumes — a projection-only query
+    # (mask_pipeline, the scalar suites, text_fingerprint) measures
+    # 2-5x more work under a sink that materializes every column
+    # (discovered by the round-9 assignment probe, where a bare count()
+    # read flat-in-k because the argmax itself was elided). The count()
+    # rows above stay as the cross-round-comparable legacy metric; these
+    # are the honest full-materialization numbers. Correctness is
+    # unaffected either way (oracles collect full frames).
+    noop_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qdef = QUERIES[name]
+        noop_timings[name] = best_of(
+            2,
+            lambda: qdef.fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+    noop_total = round(sum(noop_timings.values()), 3)
+
     # out-of-HEADLINE extras (HEADLINE stays stable for round-over-round
     # comparability):
     # - cdc_merge_lww steady-state: the headline number is first-run and
@@ -400,6 +421,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "noop_total": noop_total,
+                "queries_noop": noop_timings,
                 "extras": extras,
                 "sf": sf,
             }
