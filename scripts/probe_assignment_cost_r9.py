@@ -47,35 +47,48 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     batch = _vecs(spark, BATCH, seed=1).persist()
     batch.count()
+    from pyspark.sql import functions as F
+
+    from tipoca_stream_spark.operators.semantic_dedup import (
+        assign_by_cosine_two_level,
+    )
+
     out = {}
+    out2 = {}
     for k in KS:
         seeds = _vecs(spark, k, seed=7, id_offset=10_000_000).selectExpr(
             "vec_id as seed_id", "embedding as seed_vec"
         ).persist()
         seeds.count()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            # consume cluster_id: a bare count() lets Catalyst ELIDE the
-            # unused argmax aggregate (and with it every cosine) — the
-            # first run of this probe read flat-in-k for exactly that
-            # reason
-            from pyspark.sql import functions as F
 
-            assign_by_cosine(batch, seeds, "vec_id", "embedding").agg(
-                F.sum("cluster_id")
-            ).collect()
-            best = min(best, time.perf_counter() - t0)
+        def timed(fn):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                # consume cluster_id: a bare count() lets Catalyst ELIDE
+                # the unused argmax aggregate (and with it every cosine)
+                # — the first run of this probe read flat-in-k for
+                # exactly that reason
+                fn(batch, seeds, "vec_id", "embedding").agg(
+                    F.sum("cluster_id")
+                ).collect()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+
+        out[f"k{k}"] = timed(assign_by_cosine)
+        out2[f"k{k}"] = timed(assign_by_cosine_two_level)
         seeds.unpersist()
-        out[f"k{k}"] = round(best, 3)
     res = {
         "probe": "assignment_cost_r9",
         "batch": BATCH,
         "dim": DIM,
-        "seconds_by_k": out,
+        "flat_seconds_by_k": out,
+        "two_level_seconds_by_k": out2,
         "reading": (
-            "linear in k past fixed costs; the two-level prune is due when "
-            "the per-batch assignment term passes the screen+commit cost"
+            "flat assignment is linear in k past fixed costs; the "
+            "two-level (supercluster) assignment trades ~2*sqrt(k) "
+            "cosines for k and wins past k~1e3 (fixed costs — three "
+            "aggregate jobs + broadcasts — dominate below that)"
         ),
     }
     with open(os.path.join(ROOT, "SCALE_PROBE_r09_assignment.json"), "w") as f:

@@ -76,6 +76,81 @@ def assign_by_cosine(
     return scored.groupBy(id_col).agg(pick.getField("_sid").alias("cluster_id"))
 
 
+def assign_by_cosine_two_level(
+    emb: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_id_col: str = "seed_id",
+    seed_vec_col: str = "seed_vec",
+    n_super: int | None = None,
+) -> DataFrame:
+    """(id, cluster_id): TWO-LEVEL nearest-seed assignment — route to the
+    nearest of ceil(√k) SUPER-seeds (the smallest-id prefix of the seed
+    set), then argmax only over the seeds routed to that super-seed.
+
+    Why it exists (round-9 probe, SCALE_PROBE_r09_assignment.json): the
+    flat assignment is batch×k cosines, and the maintenance policy grows
+    k ∝ corpus — measured 1.6 s/batch at k=1024 and 12 s at k=8192, so
+    past k≈10³ the assignment term dominates the semantic screen. Two
+    levels cut the work to ~batch×2√k (k=8192: ~180 cosines/vector
+    instead of 8192, ~45× less).
+
+    Semantics: deterministic at BOTH levels (rounded cosine, smaller-id
+    ties), so any two engines agree on every assignment — and cosine's
+    scale-invariance still guarantees a vector and its scaled copy land
+    in the SAME cluster, the property cluster-confined dedup needs. The
+    assignment may DIFFER from the flat argmax (a query can route to a
+    super-seed whose group lacks the globally nearest seed) — the same
+    contract as one-level quantization itself: the quantizer defines
+    comparison neighborhoods, it never promises the global nearest.
+    Every super-seed routes to itself (cosine 1.0), so no group is empty
+    and every query finds candidates. A pathologically hot super-group
+    is the familiar quantizer failure mode — the skew answer is more
+    supers (n_super) or retrained seeds, as with flat clusters."""
+    import math
+
+    k = seeds.count()
+    s = n_super or (math.isqrt(max(k - 1, 0)) + 1)  # ceil(sqrt(k)), k >= 1
+    supers = (
+        seeds.orderBy(seed_id_col)
+        .limit(s)
+        .select(
+            F.col(seed_id_col).alias("super_id"),
+            F.col(seed_vec_col).alias("super_vec"),
+        )
+    )
+    # one-time seed routing: k × √k cosines
+    routing = assign_by_cosine(
+        seeds, supers, id_col=seed_id_col, vec_col=seed_vec_col,
+        seed_id_col="super_id", seed_vec_col="super_vec",
+    ).withColumnRenamed("cluster_id", "super_id")
+    routed = seeds.join(routing, seed_id_col)
+    # level 1: query → super (n × √k cosines)
+    q_super = assign_by_cosine(
+        emb, supers, id_col=id_col, vec_col=vec_col,
+        seed_id_col="super_id", seed_vec_col="super_vec",
+    ).withColumnRenamed("cluster_id", "super_id")
+    # level 2: argmax within the routed group (n × ~k/√k cosines; the
+    # group join is keyed on super_id and the seed side is broadcastable)
+    cand = (
+        emb.select(id_col, vec_col)
+        .join(q_super, id_col)
+        .join(
+            F.broadcast(routed.select("super_id", seed_id_col, seed_vec_col)),
+            "super_id",
+        )
+    )
+    pick = F.max(
+        F.struct(
+            F.round(cosine(F.col(vec_col), F.col(seed_vec_col)), 6).alias("_cs"),
+            (-F.col(seed_id_col)).alias("_neg"),
+            F.col(seed_id_col).alias("_sid"),
+        )
+    )
+    return cand.groupBy(id_col).agg(pick.getField("_sid").alias("cluster_id"))
+
+
 def salt_factor(df: DataFrame, n_clusters: int) -> int:
     """How many ways to split each cluster so the pair join can use every
     core: a join keyed on cluster_id alone has at most k distinct keys —
@@ -95,6 +170,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: int | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Dropped rows ``(id, cluster_id, dup_of)``: every vector with a
     smaller-id neighbor at cosine ≥ threshold inside its cluster, with
@@ -112,7 +188,10 @@ def semantic_dedup(
     n_clusters = seeds.count()
     s = salt if salt is not None else salt_factor(emb, n_clusters)
     p = emb.sparkSession.sparkContext.defaultParallelism
-    assign = assign_by_cosine(emb, seeds, id_col, vec_col)
+    # assign= lets a caller swap the quantizer (e.g. the two-level
+    # assignment above) while keeping the pair-join/gate machinery
+    if assign is None:
+        assign = assign_by_cosine(emb, seeds, id_col, vec_col)
     # NOTE on materializing `sided` once: both pair sides consume it, and
     # each branch re-executes the assignment subtree. Round-8 measured the
     # obvious remedies at sf1 and REJECTED them: localCheckpoint(lazy)

@@ -533,6 +533,119 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.screen(batch)
 
 
+# --- two-level (supercluster) quantizer -------------------------------------
+
+TWO_LEVEL_K_SQL = "(SELECT count(*) // 2 FROM embeddings)"
+
+SEMDEDUP_2L_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_COPY_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * 1.5) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0),
+seeds AS (SELECT vec_id AS seed_id, embedding AS se FROM embeddings
+          WHERE vec_id < {TWO_LEVEL_K_SQL}),
+sup AS (SELECT seed_id AS super_id, se AS sv FROM seeds
+        WHERE seed_id < CAST(ceil(sqrt((SELECT count(*) FROM seeds))) AS BIGINT)),
+-- seed routing: every seed to its nearest super (rounded cosine,
+-- smaller super id on ties; a super routes to itself at cosine 1.0)
+rexpl AS (SELECT d.seed_id, s.super_id, unnest(d.se)::double AS x,
+                 unnest(s.sv)::double AS y
+          FROM seeds d CROSS JOIN sup s),
+rcs AS (SELECT seed_id, super_id,
+               round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+        FROM rexpl GROUP BY seed_id, super_id),
+route AS (SELECT seed_id, super_id FROM
+          (SELECT seed_id, super_id,
+                  row_number() OVER (PARTITION BY seed_id
+                                     ORDER BY cs DESC, super_id) AS rn
+           FROM rcs) z WHERE rn = 1),
+-- level 1: query → super
+qexpl AS (SELECT c.vec_id, s.super_id, unnest(c.embedding)::double AS x,
+                 unnest(s.sv)::double AS y
+          FROM corpus c CROSS JOIN sup s),
+qcs AS (SELECT vec_id, super_id,
+               round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+        FROM qexpl GROUP BY vec_id, super_id),
+qsup AS (SELECT vec_id, super_id FROM
+         (SELECT vec_id, super_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, super_id) AS rn
+          FROM qcs) z WHERE rn = 1),
+-- level 2: argmax within the routed group only
+lexpl AS (SELECT q.vec_id, r.seed_id, unnest(c.embedding)::double AS x,
+                 unnest(d.se)::double AS y
+          FROM qsup q
+          JOIN route r ON r.super_id = q.super_id
+          JOIN corpus c ON c.vec_id = q.vec_id
+          JOIN seeds d ON d.seed_id = r.seed_id),
+lcs AS (SELECT vec_id, seed_id,
+               round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+        FROM lexpl GROUP BY vec_id, seed_id),
+assign AS (SELECT vec_id, seed_id AS cluster_id FROM
+           (SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, seed_id) AS rn
+            FROM lcs) z WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cluster_id
+          FROM assign a JOIN assign b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+pexpl AS (SELECT p.a_id, p.b_id, p.cluster_id,
+                 unnest(ea.embedding)::double AS x, unnest(eb.embedding)::double AS y
+          FROM pairs p JOIN corpus ea ON ea.vec_id = p.a_id
+                       JOIN corpus eb ON eb.vec_id = p.b_id),
+near AS (SELECT a_id, b_id, cluster_id,
+                round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+         FROM pexpl GROUP BY a_id, b_id, cluster_id)
+SELECT b_id AS vec_id, cluster_id, min(a_id) AS dup_of
+FROM near WHERE cs >= {SEMDEDUP_THRESHOLD} GROUP BY b_id, cluster_id
+"""
+
+
+@query(
+    "dedup_semantic_two_level",
+    SEMDEDUP_2L_ORACLE,
+    survey_ref="training: two-level (supercluster) quantizer — the k ∝ n assignment fix",
+)
+def dedup_semantic_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup under the TWO-LEVEL quantizer
+    (``assign_by_cosine_two_level``): route to the nearest of ceil(√k)
+    super-seeds, argmax within the routed group — ~2√k cosines per
+    vector instead of k. This is the remedy for the measured next
+    bottleneck (SCALE_PROBE_r09_assignment.json: flat assignment is
+    linear in k, 12 s/batch at k=8192, and the maintenance policy grows
+    k ∝ corpus). Exercised here at k = n/2 (250 seeds, 16 supers at the
+    graded SF — a genuinely two-level regime, not a degenerate
+    one-super). The oracle replays BOTH argmax levels and the seed
+    routing with the same rounding/tie discipline, then runs the same
+    cluster-confined gate as dedup_semantic: the planted ×1.5 copies
+    must each land in their original's cluster (cosine scale-invariance
+    survives the two-level route) and be flagged against it; the
+    natural corpus (max pairwise cosine ≈ 0.51) must pass clean."""
+    from tipoca_stream_spark.operators.semantic_dedup import (
+        assign_by_cosine_two_level,
+        semantic_dedup,
+    )
+
+    emb = _embs(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + SEMDEDUP_COPY_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(copies)
+    k = emb.count() // 2
+    seeds = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    assign = assign_by_cosine_two_level(corpus, seeds)
+    return semantic_dedup(
+        corpus, seeds, SEMDEDUP_THRESHOLD, assign=assign
+    )
+
+
 # --- semantic incremental with the maintenance policy ON (requantize) -------
 
 SEMMAINT_K0 = 4  # deliberately tiny bootstrap quantizer so density trips
