@@ -344,3 +344,61 @@ def test_bad_seed_schema_fails_loud(spark, tmp_path):
     bad = spark.createDataFrame(_vectors(range(4)), SCHEMA)  # vec_id/embedding
     with _pytest.raises(ValueError, match="seed_id"):
         IncrementalSemanticDeduper(spark, str(tmp_path / "bad"), seeds=bad)
+
+
+def test_two_level_assign_mode_persists_and_screens(spark, tmp_path):
+    """assign_mode='two_level': the rule is part of the index version's
+    identity — a RESTARTED instance (default flat config) must still
+    screen with the stored two-level rule, and scaled copies of accepted
+    members are flagged exactly (cosine scale-invariance survives the
+    two-level route)."""
+    root = str(tmp_path / "sem2l")
+    rows = _vectors(range(0, 60))
+    seeds = spark.createDataFrame([(i, v) for i, v in rows[:9]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(
+        spark, root, seeds=seeds, threshold=0.999, assign_mode="two_level"
+    )
+    n, flagged = d.ingest(spark.createDataFrame(rows, SCHEMA))
+    assert n == 60 and flagged.count() == 0
+    # restarted instance with DEFAULT config: honors the stored mode
+    d2 = IncrementalSemanticDeduper(spark, root, threshold=0.999)
+    copies = _scaled(rows[:5], 70_000)
+    got = {r["vec_id"]: r["dup_of"] for r in
+           d2.screen(spark.createDataFrame(copies, SCHEMA)).collect()}
+    assert got == {i + 70_000: i for i, _ in rows[:5]}
+    # and the stored cluster ids were computed two-level: they must equal
+    # a fresh two-level assignment of the same vectors under the same seeds
+    from tipoca_stream_spark.operators.semantic_dedup import (
+        assign_by_cosine_two_level,
+    )
+
+    stored = {r["vec_id"]: r["cluster_id"] for r in d2.index.read().collect()}
+    fresh = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_by_cosine_two_level(
+            spark.createDataFrame(rows, SCHEMA), d2.seeds
+        ).collect()
+    }
+    assert stored == fresh
+
+
+def test_requantize_migrates_assign_mode(spark, tmp_path):
+    """A flat-built index requantized by a two_level-configured instance
+    migrates the rule (requantize re-assigns every row anyway); screens
+    before and after both flag scaled copies of accepted members."""
+    root = str(tmp_path / "semmig")
+    rows = _vectors(range(0, 50))
+    seeds = spark.createDataFrame([(i, v) for i, v in rows[:4]], SEED_SCHEMA)
+    d = IncrementalSemanticDeduper(spark, root, seeds=seeds, threshold=0.999)
+    d.ingest(spark.createDataFrame(rows, SCHEMA))
+    assert d._mode_at(d.index.current_version()) == "flat"
+    d2 = IncrementalSemanticDeduper(
+        spark, root, threshold=0.999, assign_mode="two_level"
+    )
+    v = d2.maybe_requantize(target_per_cluster=8)  # 50 > 4*8 → fires
+    assert v is not None
+    assert d2._mode_at(v) == "two_level"
+    copies = _scaled(rows[:3], 80_000)
+    got = {r["vec_id"]: r["dup_of"] for r in
+           d2.screen(spark.createDataFrame(copies, SCHEMA)).collect()}
+    assert got == {i + 80_000: i for i, _ in rows[:3]}

@@ -85,7 +85,22 @@ class IncrementalSemanticDeduper:
         vec_col: str = "embedding",
         index_buckets: int = 32,
         policy=None,
+        assign_mode: str = "flat",
     ):
+        if assign_mode not in ("flat", "two_level"):
+            raise ValueError(f"assign_mode must be flat|two_level, got {assign_mode!r}")
+        # the quantizer's ASSIGNMENT RULE is part of an index version's
+        # identity, exactly like its seeds: stored rows carry cluster ids
+        # computed under some rule, and a screen must assign its batch
+        # under the SAME rule or co-membership breaks. So the mode is
+        # persisted in each commit's metadata; reads honor the version
+        # being read, and the configured mode applies to fresh indexes
+        # and (the natural migration point, since it re-assigns every
+        # row anyway) to requantize commits. "two_level" =
+        # assign_by_cosine_two_level — ~2√k cosines/vector instead of k;
+        # the probe-measured win past k≈10³
+        # (SCALE_PROBE_r09_assignment.json).
+        self.assign_mode = assign_mode
         self.spark = spark
         # automatic maintenance (operators/index_maintenance.py): runs
         # after every ingest commit — density-triggered requantize keeps
@@ -161,6 +176,14 @@ class IncrementalSemanticDeduper:
         except (FileNotFoundError, ValueError):
             return {}
 
+    def _mode_at(self, base: int | None) -> str:
+        """Assignment rule of index version ``base`` — from ITS commit
+        metadata (pre-r9 indexes without the field are flat). base None
+        (bootstrap) → the configured mode."""
+        if base is None:
+            return self.assign_mode
+        return self._meta_at(base).get("assign_mode", "flat")
+
     def _rows_at(self, base: int) -> int:
         """Stored row count of index version ``base`` — from its commit
         metadata when present (every round-9+ commit records ``n_rows``),
@@ -177,7 +200,9 @@ class IncrementalSemanticDeduper:
 
     # --- screen -------------------------------------------------------------
 
-    def _assigned(self, batch: DataFrame, seeds: DataFrame) -> DataFrame:
+    def _assigned(
+        self, batch: DataFrame, seeds: DataFrame, mode: str = "flat"
+    ) -> DataFrame:
         # the assigned batch feeds several consumers (touched-bucket
         # collect + pair-join probe side in _screen; the accepted
         # anti-join in ingest), each re-running the batch×k assignment
@@ -197,7 +222,16 @@ class IncrementalSemanticDeduper:
         p = batch.sparkSession.sparkContext.defaultParallelism
         if batch.rdd.getNumPartitions() < p:
             batch = batch.repartition(p)
-        assign = assign_by_cosine(batch, seeds, self.id_col, self.vec_col)
+        if mode == "two_level":
+            from tipoca_stream_spark.operators.semantic_dedup import (
+                assign_by_cosine_two_level,
+            )
+
+            assign = assign_by_cosine_two_level(
+                batch, seeds, self.id_col, self.vec_col
+            )
+        else:
+            assign = assign_by_cosine(batch, seeds, self.id_col, self.vec_col)
         return batch.select(self.id_col, self.vec_col).join(assign, self.id_col)
 
     def screen(self, batch: DataFrame) -> DataFrame:
@@ -211,10 +245,10 @@ class IncrementalSemanticDeduper:
 
         seeds = self.seeds_at(base)
         if base is None:
-            return self._assigned(batch, seeds).select(
+            return self._assigned(batch, seeds, self._mode_at(base)).select(
                 self.id_col, "cluster_id", F.lit(None).cast("long").alias("dup_of")
             ).limit(0)
-        assigned = self._assigned(batch, seeds)
+        assigned = self._assigned(batch, seeds, self._mode_at(base))
         # the batch's clusters hash to a bounded set of index buckets —
         # schedule only those buckets' FILES (the route_read discipline
         # applied to the index itself; ≤ min(clusters, buckets) ids ever
@@ -275,7 +309,9 @@ class IncrementalSemanticDeduper:
         base = self.index.current_version()
         sv = self._seeds_version_of(base)
         flagged = self._screen(batch, base)
-        accepted = self._assigned(batch, self.seeds_at(base)).join(
+        accepted = self._assigned(
+            batch, self.seeds_at(base), self._mode_at(base)
+        ).join(
             flagged.select(self.id_col), self.id_col, "left_anti"
         ).persist()
         try:
@@ -285,7 +321,13 @@ class IncrementalSemanticDeduper:
             n_prev = self._rows_at(base) if base is not None else 0
             self.index.append_delta(
                 accepted.select(self.id_col, "cluster_id", self.vec_col),
-                metadata={"seeds_version": sv, "n_rows": n_prev + n_accepted},
+                metadata={
+                    "seeds_version": sv,
+                    "n_rows": n_prev + n_accepted,
+                    # appended rows were assigned under the base's rule —
+                    # the mode carries with the version like the seeds do
+                    "assign_mode": self._mode_at(base),
+                },
                 expected_base=base,
             )
         finally:
@@ -315,12 +357,15 @@ class IncrementalSemanticDeduper:
         sv_new = self._stage_seeds(new_seeds)
         try:
             vectors = self.index.read(base).select(self.id_col, self.vec_col)
-            reassigned = self._assigned(vectors, new_seeds)
+            # requantize re-assigns EVERY row, so it is the natural
+            # migration point to the instance's configured rule
+            reassigned = self._assigned(vectors, new_seeds, self.assign_mode)
             return self.index.write(
                 reassigned.select(self.id_col, "cluster_id", self.vec_col),
                 metadata={
                     "seeds_version": sv_new,
                     "n_rows": self._rows_at(base),
+                    "assign_mode": self.assign_mode,
                 },
                 expected_base=base,
             )
