@@ -286,6 +286,15 @@ def main() -> None:
     extras["dedup_semantic"] = best_of(
         2, lambda: QUERIES["dedup_semantic"].fn(spark, sf_dir).count()
     )
+    # - two-level quantizer (round 9): routes to ceil(sqrt(k)) supers then
+    #   argmaxes within the routed group — tracked at k = n/2 (2500 seeds
+    #   at this SF, 50 supers), a k 32x larger than dedup_semantic's
+    #   (n/64), where flat assignment would be ~10x the cost (probe:
+    #   SCALE_PROBE_r09_assignment.json). A regression to a flat-shaped
+    #   plan shows as a time cliff here.
+    extras["dedup_semantic_two_level"] = best_of(
+        2, lambda: QUERIES["dedup_semantic_two_level"].fn(spark, sf_dir).count()
+    )
     # - wide-frame rolling median (round 7): the skiplist order-statistic
     #   path (applyInPandas); a silent fallback to the per-row-sort
     #   expression plan would regress ~7x at this width.
