@@ -1655,3 +1655,32 @@ def test_jpeg_progressive_restart_markers_both_paths():
         finally:
             ic._NATIVE = saved
         assert (fast == pure).all()
+
+
+def test_so_cache_is_user_private_and_verified(tmp_path):
+    """ADVICE r9: the compiled .so must live in a user-private (0700)
+    cache and be ownership/permission-verified before ctypes.CDLL — a
+    world-writable predictable path lets another local user pre-plant
+    code that would run inside every executor decoding a JPEG."""
+    import os
+    import stat
+
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    # the live cache dir (if the native path compiled) is 0700 and ours
+    d = ic._so_cache_dir("testhash")
+    st = os.lstat(d)
+    assert st.st_uid == os.getuid()
+    assert not st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)
+    os.rmdir(d)
+
+    # a group/world-writable cached object is rejected
+    bad = tmp_path / "evil.so"
+    bad.write_bytes(b"not a real so")
+    os.chmod(bad, 0o666)
+    import pytest as _pytest
+
+    with _pytest.raises(PermissionError):
+        ic._verify_private_file(str(bad))
+    os.chmod(bad, 0o600)
+    ic._verify_private_file(str(bad))  # ours + private: accepted

@@ -171,3 +171,53 @@ def test_survivors_are_the_complement(spark, corpus):
     # dedup on survivors alone drops nothing
     surviving_df = emb.filter(F.col("vec_id").isin([int(x) for x in survivors]))
     assert semantic_dedup(surviving_df, seed_df, 0.999).count() == 0
+
+
+def test_two_level_super_tie_never_drops_rows(spark):
+    """ADVICE r9 (medium): a super-seed whose cosine against a SMALLER-id
+    super ROUNDS to 1.0 (6-dp) used to route away from itself on the
+    tie-break, leaving its group empty — a query strictly nearest to it
+    still routed there at level 1, found zero level-2 candidates, and
+    silently vanished from the assignment output (downstream inner joins
+    in IncrementalSemanticDeduper then neither flag nor append it: data
+    loss). Pin: the forced identity routing keeps coverage total.
+
+    Geometry (2-D embedded in DIM): super A at angle 0, super B at angle
+    1e-4 (cos rounds to 1.000000 — a genuine rounded tie), query q at
+    angle 1e-4 + 0.7 so round(cos(q,B),6) > round(cos(q,A),6) — q routes
+    to B strictly. Pre-fix, B routed to A and q was dropped."""
+    from tipoca_stream_spark.operators.semantic_dedup import (
+        assign_by_cosine_two_level,
+    )
+
+    def at_angle(theta: float) -> list[float]:
+        return [math.cos(theta), math.sin(theta)] + [0.0] * (DIM - 2)
+
+    eps = 1e-4
+    # k=4 seeds -> ceil(sqrt(4)) = 2 supers: ids 0 (A) and 1 (B)
+    seeds = [
+        (0, at_angle(0.0)),
+        (1, at_angle(eps)),
+        (2, at_angle(0.3)),  # routes to A-or-B; irrelevant
+        (3, at_angle(1.2)),
+    ]
+    assert round(_cos(seeds[0][1], seeds[1][1]), 6) == 1.0  # the tie is real
+    queries = [(100, at_angle(eps + 0.7)), (101, at_angle(-0.05)), (102, at_angle(1.1))]
+    seed_df = spark.createDataFrame(
+        seeds,
+        T.StructType(
+            [
+                T.StructField("seed_id", T.LongType()),
+                T.StructField("seed_vec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    emb = spark.createDataFrame(queries, SCHEMA)
+    got = {r["vec_id"]: r["cluster_id"] for r in
+           assign_by_cosine_two_level(emb, seed_df).collect()}
+    # coverage is total: every input id is assigned (the bug dropped 100)
+    assert set(got) == {100, 101, 102}
+    # and q=100's routed group contained its super: B self-routed, so the
+    # group is {1 (forced), 2 (angle 0.3, nearer B than A)} — the level-2
+    # argmax lands on 2, the group member nearest q
+    assert got[100] in (1, 2)

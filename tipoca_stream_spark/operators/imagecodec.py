@@ -227,11 +227,17 @@ static int extend_v(int v, int s) {
    interleaved scan: n_mcus MCUs of nunits data units each (unit u comes
    from component comp_of_unit[u]).  LUT tables and quant tables are
    per-component rows of [65536] / [64].  Output rows are dequantized
-   raster-order (zigzag applied) int32 coefficient blocks in decode
+   raster-order (zigzag applied) int64 coefficient blocks in decode
    order, into a caller-zeroed [n_mcus*nunits][64] buffer.  pred[] is
    the running DC predictor per component (in/out, reset by the caller
-   at restart boundaries).  Returns 0, -1 invalid Huffman code, -2 AC
-   run past block end — mapped back to the Python path's ValueErrors. */
+   at restart boundaries).  pred and out are int64 (ADVICE r9): the
+   Python path computes with unbounded ints, and a malformed 12-bit
+   stream can accumulate |pred| up to ~2^41 (6.7e7 blocks x 15-bit
+   diffs) then multiply by a 16-bit quant value — int32 signed overflow
+   is UB in C and would break the bit-identical-paths contract exactly
+   on hostile input; int64 bounds the worst case at ~2^57, overflow-free.
+   Returns 0, -1 invalid Huffman code, -2 AC run past block end —
+   mapped back to the Python path's ValueErrors. */
 int jpeg_decode_scan_segment(
     const uint8_t *data, long nbytes,
     long n_mcus, int nunits,
@@ -239,11 +245,11 @@ int jpeg_decode_scan_segment(
     const int16_t *dc_sym, const uint8_t *dc_len,
     const int16_t *ac_sym, const uint8_t *ac_len,
     const int32_t *quant,
-    int32_t *pred,
-    int32_t *out)
+    int64_t *pred,
+    int64_t *out)
 {
     bitreader r = {data, nbytes, 0, 0, 0};
-    int32_t *blk = out;
+    int64_t *blk = out;
     long m;
     int u, k;
     for (m = 0; m < n_mcus; m++) {
@@ -262,7 +268,7 @@ int jpeg_decode_scan_segment(
             s = ds[v];
             diff = s ? extend_v(read_bits(&r, s), s) : 0;
             pred[ci] += diff;
-            blk[0] = pred[ci] * q[0];
+            blk[0] = pred[ci] * (int64_t)q[0];
             k = 0;
             while (k < 63) {
                 int rs, run, size, zz;
@@ -280,7 +286,7 @@ int jpeg_decode_scan_segment(
                 k += run + 1;
                 if (k > 63) return -2;
                 zz = ZIGZAG[k];
-                blk[zz] = extend_v(read_bits(&r, size), size) * q[zz];
+                blk[zz] = (int64_t)extend_v(read_bits(&r, size), size) * q[zz];
             }
         }
     }
@@ -313,7 +319,7 @@ int jpeg_decode_prog_segment(
     const int16_t *dc_sym, const uint8_t *dc_len,
     const int16_t *ac_sym, const uint8_t *ac_len,
     int ss, int se, int ah, int al,
-    int32_t *pred)
+    int64_t *pred)  /* int64 like the sequential pred: see ADVICE r9 note */
 {
     bitreader r = {data, nbytes, 0, 0, 0};
     long eobrun = 0;
@@ -338,7 +344,7 @@ int jpeg_decode_prog_segment(
                 s = ds[v];
                 diff = s ? extend_v(read_bits(&r, s), s) : 0;
                 pred[ci] += diff;
-                block[0] = (int64_t)pred[ci] * p1;
+                block[0] = pred[ci] * p1;
             } else if (ss == 0) {
                 if (read_bit1(&r)) block[0] = block[0] | p1;
             } else if (ah == 0) {
@@ -431,13 +437,61 @@ _NATIVE = None  # {"scan": fn, "prog": fn} once loaded
 _NATIVE_TRIED = False
 
 
+def _so_cache_dir(h: str):
+    """User-PRIVATE compile cache (ADVICE r9: the old location under
+    tempfile.gettempdir() was predictable and world-writable — another
+    local user could pre-plant the .so and get code execution inside
+    every executor that decodes a JPEG). Preference order: $XDG_CACHE_HOME
+    / ~/.cache (created 0700), else a fresh mkdtemp (0700 by contract).
+    The directory is REJECTED — caller falls back to pure Python — unless
+    it is owned by us and not group/other-writable."""
+    import os
+    import stat
+    import tempfile
+
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    cache = os.path.join(base, f"tipoca_jpeg_{h}")
+    try:
+        os.makedirs(cache, mode=0o700, exist_ok=True)
+    except OSError:
+        cache = tempfile.mkdtemp(prefix=f"tipoca_jpeg_{h}_")
+    st = os.lstat(cache)
+    if (
+        not stat.S_ISDIR(st.st_mode)
+        or st.st_uid != os.getuid()
+        or st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)
+    ):
+        raise PermissionError(f"unsafe .so cache dir: {cache}")
+    return cache
+
+
+def _verify_private_file(path: str) -> None:
+    """A cached .so must be a regular file we own with no group/other
+    write bit — anything else is treated as hostile and the pure-Python
+    path serves instead."""
+    import os
+    import stat
+
+    st = os.lstat(path)
+    if (
+        not stat.S_ISREG(st.st_mode)
+        or st.st_uid != os.getuid()
+        or st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)
+    ):
+        raise PermissionError(f"unsafe cached shared object: {path}")
+
+
 def _native_lib():
     """Compile-and-load the C entropy decoders, once per process; any
-    failure (no compiler, read-only tmp, exotic platform) falls back to
-    the pure Python path — same answers, slower. The cache key is the
-    source hash so a code change can never load a stale binary; the
-    rename is atomic so concurrent executor workers race safely to the
-    same file."""
+    failure (no compiler, read-only cache, unsafe ownership/permissions,
+    exotic platform) falls back to the pure Python path — same answers,
+    slower. The cache key is the source hash so a code change can never
+    load a stale binary; the rename is atomic so concurrent executor
+    workers race safely to the same file; the cache dir is user-private
+    (0700) and both dir and .so are ownership/permission-verified before
+    ctypes.CDLL (ADVICE r9)."""
     global _NATIVE, _NATIVE_TRIED
     if _NATIVE_TRIED:
         return _NATIVE
@@ -450,13 +504,11 @@ def _native_lib():
         import ctypes
         import hashlib
         import subprocess
-        import tempfile
 
         h = hashlib.sha1(_ENTROPY_C.encode()).hexdigest()[:12]
-        cache = os.path.join(tempfile.gettempdir(), f"tipoca_jpeg_{h}")
+        cache = _so_cache_dir(h)
         so = os.path.join(cache, "jpeg_entropy.so")
         if not os.path.exists(so):
-            os.makedirs(cache, exist_ok=True)
             cpath = os.path.join(cache, "jpeg_entropy.c")
             with open(cpath, "w") as f:
                 f.write(_ENTROPY_C)
@@ -467,7 +519,9 @@ def _native_lib():
                 capture_output=True,
                 timeout=120,
             )
+            os.chmod(tmp_so, 0o600)
             os.replace(tmp_so, so)
+        _verify_private_file(so)
         lib = ctypes.CDLL(so)
         scan = lib.jpeg_decode_scan_segment
         scan.restype = ctypes.c_int
@@ -495,7 +549,7 @@ def _native_lib():
             ctypes.c_int,  # se
             ctypes.c_int,  # ah
             ctypes.c_int,  # al
-            ctypes.c_void_p,  # pred int32*
+            ctypes.c_void_p,  # pred int64*
         ]
         _NATIVE = {"scan": scan, "prog": prog}
     except Exception:
@@ -727,7 +781,7 @@ def _entropy_decode_native(native, segments, sel, comps, qt, huff, n_mcus,
     """Drive the compiled scan decoder over the destuffed segments:
     same restart handling (predictor reset, segment advance) as the
     Python loop, tables flattened to per-component LUT rows. Returns
-    per-component (n_blocks, 64) int32 arrays of dequantized
+    per-component (n_blocks, 64) int64 arrays of dequantized
     raster-order coefficients, in the exact block order the Python
     loop emits."""
     import numpy as np
@@ -753,8 +807,11 @@ def _entropy_decode_native(native, segments, sel, comps, qt, huff, n_mcus,
         s, ln = huff[(1, ac_id)].np_tables()
         ac_sym[ci], ac_len[ci] = s, ln
         quant[ci] = qt[comps[ci][3]]
-    out = np.zeros((n_mcus * nunits, 64), np.int32)
-    pred = np.zeros(ncomp, np.int32)
+    # int64 out/pred (ADVICE r9): malformed 12-bit streams can overflow
+    # int32 in the C path while the unbounded-int Python path keeps
+    # going — int64 keeps the bit-identical contract on hostile input
+    out = np.zeros((n_mcus * nunits, 64), np.int64)
+    pred = np.zeros(ncomp, np.int64)
     mcu_done, seg_idx = 0, 0
     while mcu_done < n_mcus:
         if seg_idx >= len(segments):
@@ -2028,7 +2085,7 @@ def _decode_prog_scan_native(
         *[g.ctypes.data for g in grids]
     )
     gb_w = np.asarray([g.shape[1] for g in grids], np.int32)
-    pred = np.zeros(ncomp, np.int32)
+    pred = np.zeros(ncomp, np.int64)
     n_units = len(units)
     done, seg_idx = 0, 0
     while done < n_units:

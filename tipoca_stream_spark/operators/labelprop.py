@@ -46,7 +46,7 @@ def label_propagation(
         .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
-        eager=True
+        eager=True, storageLevel=SPILL_LEVEL
     )
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(iters):

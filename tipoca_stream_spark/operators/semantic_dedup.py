@@ -104,10 +104,18 @@ def assign_by_cosine_two_level(
     super-seed whose group lacks the globally nearest seed) — the same
     contract as one-level quantization itself: the quantizer defines
     comparison neighborhoods, it never promises the global nearest.
-    Every super-seed routes to itself (cosine 1.0), so no group is empty
-    and every query finds candidates. A pathologically hot super-group
-    is the familiar quantizer failure mode — the skew answer is more
-    supers (n_super) or retrained seeds, as with flat clusters."""
+    Every super-seed is FORCED to route to itself, so no group is empty
+    and every query finds candidates — self-cosine is exactly 1.0, but
+    another super's cosine can ROUND to 1.0 too (6-dp), and the
+    smaller-id tie-break would then route the larger-id super away from
+    itself, leaving a group that level-1 queries still route to but that
+    yields zero level-2 candidates: those queries would vanish through
+    the candidate inner join (silent data loss — ADVICE r9 medium). The
+    identity override restores the no-empty-group guarantee
+    structurally; the DuckDB oracle replays the same rule. A
+    pathologically hot super-group is the familiar quantizer failure
+    mode — the skew answer is more supers (n_super) or retrained seeds,
+    as with flat clusters."""
     import math
 
     k = seeds.count()
@@ -120,11 +128,26 @@ def assign_by_cosine_two_level(
             F.col(seed_vec_col).alias("super_vec"),
         )
     )
-    # one-time seed routing: k × √k cosines
-    routing = assign_by_cosine(
-        seeds, supers, id_col=seed_id_col, vec_col=seed_vec_col,
-        seed_id_col="super_id", seed_vec_col="super_vec",
-    ).withColumnRenamed("cluster_id", "super_id")
+    # one-time seed routing: k × √k cosines. A super-seed's routed id is
+    # OVERRIDDEN with its own id (see docstring: rounded ties could
+    # otherwise route it to a smaller-id near-twin super, emptying its
+    # group and silently dropping the queries that route there).
+    routing = (
+        assign_by_cosine(
+            seeds, supers, id_col=seed_id_col, vec_col=seed_vec_col,
+            seed_id_col="super_id", seed_vec_col="super_vec",
+        )
+        .withColumnRenamed("cluster_id", "super_id")
+        .join(
+            F.broadcast(supers.select(F.col("super_id").alias("_self_id"))),
+            F.col(seed_id_col) == F.col("_self_id"),
+            "left",
+        )
+        .select(
+            F.col(seed_id_col),
+            F.coalesce(F.col("_self_id"), F.col("super_id")).alias("super_id"),
+        )
+    )
     routed = seeds.join(routing, seed_id_col)
     # level 1: query → super (n × √k cosines)
     q_super = assign_by_cosine(

@@ -549,18 +549,24 @@ seeds AS (SELECT vec_id AS seed_id, embedding AS se FROM embeddings
 sup AS (SELECT seed_id AS super_id, se AS sv FROM seeds
         WHERE seed_id < CAST(ceil(sqrt((SELECT count(*) FROM seeds))) AS BIGINT)),
 -- seed routing: every seed to its nearest super (rounded cosine,
--- smaller super id on ties; a super routes to itself at cosine 1.0)
+-- smaller super id on ties) — except a super-seed is FORCED to route
+-- to itself (self-cosine is exactly 1.0, but a near-twin super can
+-- ROUND to 1.0 and the smaller-id tie-break would empty the larger
+-- super's group, silently dropping the queries that route there —
+-- ADVICE r9; mirrors assign_by_cosine_two_level's identity override)
 rexpl AS (SELECT d.seed_id, s.super_id, unnest(d.se)::double AS x,
                  unnest(s.sv)::double AS y
           FROM seeds d CROSS JOIN sup s),
 rcs AS (SELECT seed_id, super_id,
                round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
         FROM rexpl GROUP BY seed_id, super_id),
-route AS (SELECT seed_id, super_id FROM
-          (SELECT seed_id, super_id,
-                  row_number() OVER (PARTITION BY seed_id
-                                     ORDER BY cs DESC, super_id) AS rn
-           FROM rcs) z WHERE rn = 1),
+route AS (SELECT seed_id,
+                 CASE WHEN seed_id IN (SELECT super_id FROM sup)
+                      THEN seed_id ELSE super_id END AS super_id
+          FROM (SELECT seed_id, super_id,
+                       row_number() OVER (PARTITION BY seed_id
+                                          ORDER BY cs DESC, super_id) AS rn
+                FROM rcs) z WHERE rn = 1),
 -- level 1: query → super
 qexpl AS (SELECT c.vec_id, s.super_id, unnest(c.embedding)::double AS x,
                  unnest(s.sv)::double AS y
