@@ -264,3 +264,61 @@ def test_maintenance_cas_loss_is_recorded_not_raised(spark, tmp_path):
     # next ingest's policy pass retries against the new head and wins
     d.ingest(_docs(spark, "c", 3, seed=3))
     assert any(r["compacted_buckets"] for r in pol.history[-1:]), pol.history
+
+
+def test_policy_flips_assign_mode_at_k_threshold(spark, tmp_path):
+    """VERDICT r9 next #1: the policy OWNS the assignment rule the way it
+    owns compaction and requantize cadence — a requantize whose grown k
+    crosses ``two_level_k_threshold`` flips the deduper flat → two_level
+    in the SAME CAS commit as the seeds, and the history records the
+    rule the rebuild committed under. Screens after the flip still flag
+    scaled copies of accepted members (cosine scale-invariance survives
+    the two-level route)."""
+    seeds = _vecs(spark, range(2)).selectExpr(
+        "vec_id as seed_id", "embedding as seed_vec"
+    )
+    pol = IndexMaintenancePolicy(
+        compact_files_per_bucket=4,
+        target_per_cluster=8,
+        two_level_k_threshold=6,  # ceil(60/8) = 8 ≥ 6 → the flip fires
+    )
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "semflip"), seeds=seeds, threshold=0.999, policy=pol
+    )
+    d.ingest(_vecs(spark, range(0, 20)))
+    assert d._mode_at(d.index.current_version()) == "flat"  # below trigger
+    d.ingest(_vecs(spark, range(100, 140)))  # 60 rows > 8*2 → requantize
+    v = d.index.current_version()
+    assert d._mode_at(v) == "two_level"
+    assert d.assign_mode == "two_level"
+    flips = [r for r in pol.history if r.get("assign_mode")]
+    assert flips and flips[-1]["assign_mode"] == "two_level"
+    # a RESTARTED default-config instance honors the stored rule and
+    # still flags a scaled copy of an accepted row
+    d2 = IncrementalSemanticDeduper(spark, str(tmp_path / "semflip"), threshold=0.999)
+    dup = d2.index.read().filter("vec_id = 5").selectExpr(
+        "vec_id + 90000 as vec_id", "transform(embedding, x -> x * 2.0) as embedding"
+    )
+    got = {(r["vec_id"], r["dup_of"]) for r in d2.screen(dup).collect()}
+    assert got == {(90005, 5)}
+
+
+def test_policy_keeps_flat_below_k_threshold(spark, tmp_path):
+    """A requantize whose grown k stays BELOW the threshold keeps the
+    flat rule — the flip is k-driven, not requantize-driven."""
+    seeds = _vecs(spark, range(2)).selectExpr(
+        "vec_id as seed_id", "embedding as seed_vec"
+    )
+    pol = IndexMaintenancePolicy(
+        compact_files_per_bucket=4,
+        target_per_cluster=8,
+        two_level_k_threshold=1024,  # the production default: far above
+    )
+    d = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "semnoflip"), seeds=seeds, threshold=0.999, policy=pol
+    )
+    d.ingest(_vecs(spark, range(0, 20)))
+    d.ingest(_vecs(spark, range(100, 140)))
+    assert [r["requantized"] for r in pol.history if r["requantized"]]
+    assert d._mode_at(d.index.current_version()) == "flat"
+    assert d.assign_mode == "flat"

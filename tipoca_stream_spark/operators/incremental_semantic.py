@@ -442,12 +442,30 @@ class IncrementalSemanticDeduper:
         trained: bool = False,
         n_iter: int = 2,
         slack: float = 1.0,
+        two_level_k_threshold: int | None = None,
     ) -> int | None:
         """Requantize iff mean cluster density exceeds the target (the
         ingest-loop hook that keeps k ∝ n without a scheduler). Returns
         the new version, or None when density is fine. ``trained`` picks
         the k-means quantizer over the smallest-id one; ``slack`` > 1
-        over-grows k for amortized-doubling triggers (see grown_seeds)."""
+        over-grows k for amortized-doubling triggers (see grown_seeds).
+
+        ``two_level_k_threshold`` makes the ASSIGNMENT RULE follow k the
+        way k follows n (VERDICT r9 next #1): when the grown k crosses
+        the threshold, the instance's ``assign_mode`` flips to
+        "two_level" BEFORE the rebuild, so the requantize commit — the
+        natural migration point, since it re-assigns every row — carries
+        the new rule in the same CAS flip as the seeds. Without this, a
+        pipeline whose policy grows k past the measured flat-assignment
+        crossover (~10³ on the probe host,
+        SCALE_PROBE_r09_assignment.json: 12 s/batch at k=8192 flat vs
+        3.5× less two-level) keeps paying the linear-in-k screen cost
+        unless someone reconfigures the operator by hand. Reference
+        anchor: the loader picks its merge strategy per batch from batch
+        shape (pkg/redshiftloader/load_processor.go:774-781) — the
+        operator owns its execution choice. None (default) preserves the
+        configured mode; k never shrinks, so the flip is one-way in
+        practice."""
         base = self.index.current_version()
         if base is None:
             return None
@@ -455,6 +473,11 @@ class IncrementalSemanticDeduper:
         k = self.seeds_at(base).count()
         if n <= target_per_cluster * k:
             return None
+        if two_level_k_threshold is not None:
+            k_new = self._grown_k(target_per_cluster, slack)
+            self.assign_mode = (
+                "two_level" if k_new >= two_level_k_threshold else "flat"
+            )
         return self.requantize(
             self.grown_seeds(
                 target_per_cluster, trained=trained, n_iter=n_iter, slack=slack

@@ -84,6 +84,17 @@ class IndexMaintenancePolicy:
     # corpus; slack=2 needs a corpus doubling between rebuilds (amortized
     # O(log growth) requantizes — the doubling-array argument)
     requantize_slack: float = 2.0
+    # flip the semantic index's assignment rule flat → two_level when a
+    # requantize grows k past this (VERDICT r9 next #1): flat assignment
+    # is linear in k and the policy grows k ∝ corpus, so past the
+    # measured crossover (~10³, SCALE_PROBE_r09_assignment.json) the
+    # screen pays an avoidable linear-in-k tax unless the operator is
+    # reconfigured by hand. The flip rides the requantize commit — the
+    # rule migrates with the seeds in one CAS, exactly like the loader
+    # picking its merge strategy per batch from batch shape
+    # (pkg/redshiftloader/load_processor.go:774-781). None disables
+    # (keep the deduper's configured mode forever).
+    two_level_k_threshold: int | None = 1024
     vacuum_keep: int | None = None
     history: list[dict] = field(default_factory=list)
 
@@ -117,7 +128,12 @@ class IndexMaintenancePolicy:
                     self.target_per_cluster,
                     trained=self.requantize_trained,
                     slack=self.requantize_slack,
+                    two_level_k_threshold=self.two_level_k_threshold,
                 )
+                if rec["requantized"] is not None:
+                    # the soak's evidence trail records WHICH rule the
+                    # rebuild committed under (the flip shows up here)
+                    rec["assign_mode"] = requantizer.assign_mode
             except ConcurrentWriteError:
                 rec["lost_race"].append("requantize")
         if self.compact_files_per_bucket:
