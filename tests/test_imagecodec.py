@@ -1684,3 +1684,75 @@ def test_so_cache_is_user_private_and_verified(tmp_path):
         ic._verify_private_file(str(bad))
     os.chmod(bad, 0o600)
     ic._verify_private_file(str(bad))  # ours + private: accepted
+
+
+def test_native_idct_color_bit_exact_with_numpy_chain():
+    """Round 10: the compiled jpeg_idct_plane / jpeg_ycbcr_to_rgb units
+    must be BIT-EXACT with the numpy chain they replace (_idct_blocks →
+    rint → clip → transpose-assemble → repeat-upsample → BT.601 → rint →
+    clip) — element equality on random coefficient blocks across
+    magnitudes, both layouts, and the dequant variant. The full-decode
+    native-vs-pure fixture parity rides on this; a ±1 LSB divergence at
+    a rounding boundary is a failure, not noise."""
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    lib = ic._native_lib()
+    if lib is None:
+        import pytest as _pytest
+
+        _pytest.skip("no C compiler on this host")
+    a = ic._idct_basis()
+    rng = np.random.default_rng(11)
+    mcus_y, mcus_x, vi, hi = 6, 7, 2, 2
+    n_blocks = mcus_y * mcus_x * vi * hi
+    for scale in (8, 1000, 2**20, 2**40):
+        blocks = rng.integers(-scale, scale, size=(n_blocks, 64), dtype=np.int64)
+        arr = np.asarray(blocks, dtype=np.float64).reshape(-1, 8, 8)
+        ref = np.clip(np.rint(ic._idct_blocks(arr, a) + 128.0), 0, 255).astype(
+            np.uint16
+        )
+        plane_ref = (
+            ref.reshape(mcus_y, mcus_x, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * vi * 8, mcus_x * hi * 8)
+        )
+        plane_c = np.zeros_like(plane_ref)
+        bc = np.ascontiguousarray(blocks)
+        lib["idct"](
+            bc.ctypes.data, n_blocks, ic._idct_basis_c().ctypes.data, None,
+            128.0, 255.0, mcus_y, mcus_x, vi, hi, plane_c.ctypes.data,
+        )
+        assert np.array_equal(plane_ref, plane_c), f"idct diverged at ±{scale}"
+    # dequant + raster layout (the progressive grids shape)
+    q = rng.integers(1, 255, size=64).astype(np.float64)
+    blocks = rng.integers(-2000, 2000, size=(n_blocks, 64), dtype=np.int64)
+    arr = (np.asarray(blocks, dtype=np.float64) * q).reshape(-1, 8, 8)
+    ref = np.clip(np.rint(ic._idct_blocks(arr, a) + 128.0), 0, 255).astype(np.uint16)
+    gh, gw = mcus_y * vi, mcus_x * hi
+    plane_ref = ref.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+    plane_c = np.zeros_like(plane_ref)
+    bc = np.ascontiguousarray(blocks)
+    lib["idct"](
+        bc.ctypes.data, n_blocks, ic._idct_basis_c().ctypes.data, q.ctypes.data,
+        128.0, 255.0, gh, gw, 1, 1, plane_c.ctypes.data,
+    )
+    assert np.array_equal(plane_ref, plane_c), "dequant/raster idct diverged"
+    # color: subsampled chroma, odd crop, vs the numpy repeat+BT.601 chain
+    h, w = 93, 107
+    yp = rng.integers(0, 256, size=(96, 112), dtype=np.uint16)
+    cb = rng.integers(0, 256, size=(48, 56), dtype=np.uint16)
+    cr = rng.integers(0, 256, size=(48, 56), dtype=np.uint16)
+    planes = [
+        yp[:h, :w],
+        np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[:h, :w],
+        np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[:h, :w],
+    ]
+    ref_img = ic._planes_to_image(planes, precision=8)
+    out = np.zeros((h, w, 3), np.uint16)
+    lib["rgb"](
+        yp.ctypes.data, yp.shape[1], 1, 1,
+        cb.ctypes.data, cb.shape[1], 2, 2,
+        cr.ctypes.data, cr.shape[1], 2, 2,
+        h, w, 128.0, 255.0, out.ctypes.data,
+    )
+    assert np.array_equal(ref_img, out.astype(np.uint8)), "color diverged"

@@ -431,6 +431,122 @@ int jpeg_decode_prog_segment(
     }
     return 0;
 }
+
+#include <math.h>
+#include <string.h>
+
+/* Fused dequant (optional) + separable 2-D IDCT + level shift + round +
+   clamp + PLANE placement for a batch of coefficient blocks (round 10 —
+   VERDICT r9 next #2: the einsum IDCT, the rint/clip passes and the
+   reshape/transpose plane assembly were the decoder's remaining numpy
+   floor).  BIT-EXACT with the Python chain by construction: the two
+   contraction passes accumulate each output element over u then v in
+   ASCENDING order — the exact summation order numpy's einsum SOP
+   kernels use for these shapes (validated element-exact on random
+   blocks across magnitudes and on every fixture) — and the unit is
+   compiled with -ffp-contract=off so no FMA regrouping can move a
+   rounding boundary.  rint() is C99 round-half-even, the same rule as
+   np.rint.
+
+   Layouts: interleaved-MCU (vi,hi as in the frame header; n decomposes
+   as (my, mx, by, bx)) — pass the subsampled component's own grid as
+   mcus_y=gb_h, mcus_x=gb_w, vi=hi=1 for raster order (the progressive
+   grids).  q == NULL means blocks are already dequantized (the
+   sequential scan output); otherwise c[i] = (double)blk[i] * q[i],
+   matching the progressive path's float64 dequant exactly. */
+int jpeg_idct_plane(
+    const int64_t *blocks, long n_blocks,
+    const double *a, const double *q,
+    double center, double top,
+    long mcus_y, long mcus_x, int vi, int hi,
+    uint16_t *plane)
+{
+    long W = (long)mcus_x * hi * 8;
+    long n;
+    (void)mcus_y;
+    for (n = 0; n < n_blocks; n++) {
+        const int64_t *blk = blocks + n * 64;
+        double c[64], t[64], o[64];
+        int i, x, y, u, v;
+        if (q) { for (i = 0; i < 64; i++) c[i] = (double)blk[i] * q[i]; }
+        else   { for (i = 0; i < 64; i++) c[i] = (double)blk[i]; }
+        /* t[x][v] = sum_u a[u][x] * c[u][v]; u-outer loop order keeps
+           each element's accumulation u-ascending (numpy-identical)
+           while making the v axis contiguous for SIMD */
+        memset(t, 0, sizeof(t));
+        for (u = 0; u < 8; u++) {
+            const double *cu = c + u*8;
+            for (x = 0; x < 8; x++) {
+                double aux = a[u*8+x];
+                double *tx = t + x*8;
+                for (v = 0; v < 8; v++) tx[v] += aux * cu[v];
+            }
+        }
+        memset(o, 0, sizeof(o));
+        for (v = 0; v < 8; v++) {
+            const double *av = a + v*8;
+            for (x = 0; x < 8; x++) {
+                double txv = t[x*8+v];
+                double *ox = o + x*8;
+                for (y = 0; y < 8; y++) ox[y] += txv * av[y];
+            }
+        }
+        {
+            long bi = n / (vi * hi), r = n % (vi * hi);
+            long my = bi / mcus_x, mx = bi % mcus_x;
+            int byy = r / hi, bxx = r % hi;
+            long row0 = (my * (long)vi + byy) * 8;
+            long col0 = (mx * (long)hi + bxx) * 8;
+            for (x = 0; x < 8; x++) {
+                uint16_t *dst = plane + (row0 + x) * W + col0;
+                for (y = 0; y < 8; y++) {
+                    double px = rint(o[x*8+y] + center);
+                    if (px < 0.0) px = 0.0;
+                    if (px > top) px = top;
+                    dst[y] = (uint16_t)px;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+/* Fused nearest-neighbor chroma upsample + BT.601 YCbCr->RGB + round +
+   clamp, element-identical to _planes_to_image's numpy chain: same
+   literal coefficients, same expression association (guaranteed by
+   -ffp-contract=off), rint == np.rint (half-even), reading the
+   SUBSAMPLED planes at (r/ry, x/rx) — exactly what np.repeat-then-crop
+   produces.  Strides are in elements. */
+int jpeg_ycbcr_to_rgb(
+    const uint16_t *yp, long ys, int y_ry, int y_rx,
+    const uint16_t *cbp, long cbs, int cb_ry, int cb_rx,
+    const uint16_t *crp, long crs, int cr_ry, int cr_rx,
+    long h, long w, double center, double top,
+    uint16_t *out)
+{
+    long r, x;
+    for (r = 0; r < h; r++) {
+        const uint16_t *yr = yp + (r / y_ry) * ys;
+        const uint16_t *cbr = cbp + (r / cb_ry) * cbs;
+        const uint16_t *crr = crp + (r / cr_ry) * crs;
+        uint16_t *o = out + r * w * 3;
+        for (x = 0; x < w; x++) {
+            double Y = (double)yr[x / y_rx];
+            double Cb = (double)cbr[x / cb_rx] - center;
+            double Cr = (double)crr[x / cr_rx] - center;
+            double R = Y + 1.402 * Cr;
+            double G = Y - 0.344136 * Cb - 0.714136 * Cr;
+            double B = Y + 1.772 * Cb;
+            R = rint(R); if (R < 0.0) R = 0.0; if (R > top) R = top;
+            G = rint(G); if (G < 0.0) G = 0.0; if (G > top) G = top;
+            B = rint(B); if (B < 0.0) B = 0.0; if (B > top) B = top;
+            o[x*3+0] = (uint16_t)R;
+            o[x*3+1] = (uint16_t)G;
+            o[x*3+2] = (uint16_t)B;
+        }
+    }
+    return 0;
+}
 """
 
 _NATIVE = None  # {"scan": fn, "prog": fn} once loaded
@@ -505,7 +621,17 @@ def _native_lib():
         import hashlib
         import subprocess
 
-        h = hashlib.sha1(_ENTROPY_C.encode()).hexdigest()[:12]
+        # -ffp-contract=off: the IDCT/color units' bit-exactness with the
+        # numpy chain depends on no FMA regrouping; -fno-math-errno lets
+        # rint() inline to a rounding instruction; x86-64-v3 (AVX2 —
+        # same IEEE semantics, contraction still off) is attempted first
+        # and dropped on compilers/targets that reject it. Flags ride the
+        # cache key so a flag change can never load a stale binary.
+        base_flags = ["-O3", "-ffp-contract=off", "-fno-math-errno"]
+        flag_sets = [base_flags + ["-march=x86-64-v3"], base_flags]
+        h = hashlib.sha1(
+            (_ENTROPY_C + " | ".join(" ".join(fs) for fs in flag_sets)).encode()
+        ).hexdigest()[:12]
         cache = _so_cache_dir(h)
         so = os.path.join(cache, "jpeg_entropy.so")
         if not os.path.exists(so):
@@ -513,12 +639,19 @@ def _native_lib():
             with open(cpath, "w") as f:
                 f.write(_ENTROPY_C)
             tmp_so = f"{so}.{os.getpid()}"
-            subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, cpath],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
+            for i, flags in enumerate(flag_sets):
+                try:
+                    subprocess.run(
+                        ["cc", *flags, "-shared", "-fPIC", "-o", tmp_so,
+                         cpath, "-lm"],
+                        check=True,
+                        capture_output=True,
+                        timeout=120,
+                    )
+                    break
+                except subprocess.CalledProcessError:
+                    if i == len(flag_sets) - 1:
+                        raise
             os.chmod(tmp_so, 0o600)
             os.replace(tmp_so, so)
         _verify_private_file(so)
@@ -551,7 +684,29 @@ def _native_lib():
             ctypes.c_int,  # al
             ctypes.c_void_p,  # pred int64*
         ]
-        _NATIVE = {"scan": scan, "prog": prog}
+        idct = lib.jpeg_idct_plane
+        idct.restype = ctypes.c_int
+        idct.argtypes = [
+            ctypes.c_void_p,  # blocks int64*
+            ctypes.c_long,  # n_blocks
+            ctypes.c_void_p,  # basis double[64]
+            ctypes.c_void_p,  # quant double[64] or NULL
+            ctypes.c_double,  # center
+            ctypes.c_double,  # top
+            ctypes.c_long,  # mcus_y
+            ctypes.c_long,  # mcus_x
+            ctypes.c_int,  # vi
+            ctypes.c_int,  # hi
+            ctypes.c_void_p,  # plane uint16*
+        ]
+        rgb = lib.jpeg_ycbcr_to_rgb
+        rgb.restype = ctypes.c_int
+        rgb.argtypes = (
+            [ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int] * 3
+            + [ctypes.c_long, ctypes.c_long, ctypes.c_double, ctypes.c_double]
+            + [ctypes.c_void_p]
+        )
+        _NATIVE = {"scan": scan, "prog": prog, "idct": idct, "rgb": rgb}
     except Exception:
         _NATIVE = None
     return _NATIVE
@@ -611,9 +766,26 @@ class _HuffTable:
         return self._np
 
 
+_HUFF_CACHE: dict = {}
+
+
 def _build_huffman(counts, symbols):
-    """DHT counts/symbols → LUT decode table (see _HuffTable)."""
-    return _HuffTable(counts, symbols)
+    """DHT counts/symbols → LUT decode table (see _HuffTable), cached by
+    table CONTENT (round-10 profile: building the 2^16-entry LUT plus its
+    numpy view cost ~17 ms of a 53 ms decode, per image — and corpus
+    images overwhelmingly reuse the handful of standard Annex-K tables).
+    _HuffTable is immutable after construction (lut lists written only in
+    __init__, np view built once), so sharing across decodes — and across
+    mapInPandas rows in one executor — is safe. Bounded: cleared wholesale
+    past 64 distinct tables (a corpus with unbounded distinct DHTs would
+    otherwise grow the worker resident set)."""
+    key = (bytes(counts), bytes(symbols))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        if len(_HUFF_CACHE) >= 64:
+            _HUFF_CACHE.clear()
+        t = _HUFF_CACHE[key] = _HuffTable(counts, symbols)
+    return t
 
 
 class _BitReader:
@@ -711,6 +883,71 @@ def _parse_dht(body: bytes, huff: dict) -> None:
             raise ValueError("truncated DHT")
         huff[(tc, th)] = _build_huffman(counts, symbols)
         i += 17 + total
+
+
+_IDCT_BASIS_NP = None
+
+
+def _idct_basis_c():
+    """The C unit's view of the SAME basis matrix the numpy path uses —
+    one shared array, so the two IDCT implementations can never disagree
+    on a coefficient."""
+    global _IDCT_BASIS_NP
+    if _IDCT_BASIS_NP is None:
+        import numpy as np
+
+        _IDCT_BASIS_NP = np.ascontiguousarray(_idct_basis())
+    return _IDCT_BASIS_NP
+
+
+def _native_assemble(
+    blocks, quants, comps, h, w, precision, mcus_x, mcus_y, hmax, vmax,
+    layout="mcu",
+):
+    """Coefficient blocks → final image through the compiled
+    jpeg_idct_plane + jpeg_ycbcr_to_rgb units (bit-exact with the numpy
+    chain — see the C comments). ``blocks``: per-component int64
+    (n_blocks, 64) arrays; ``quants``: per-component float64[64] for the
+    progressive raster grids (None = already dequantized, the sequential
+    scan output); ``layout``: "mcu" (interleaved decode order) or
+    "raster" (progressive grids). Returns None when the native lib is
+    absent or the component count is unsupported — callers fall through
+    to the numpy path."""
+    import numpy as np
+
+    lib = _native_lib()
+    if lib is None or len(comps) not in (1, 3):
+        return None
+    idct, rgb = lib["idct"], lib["rgb"]
+    center = float(1 << (precision - 1))
+    top = float((1 << precision) - 1)
+    pdtype = np.uint8 if precision <= 8 else np.uint16
+    planes, ratios = [], []
+    for ci, (_, hi, vi, _) in enumerate(comps):
+        b = np.ascontiguousarray(blocks[ci])
+        if layout == "mcu":
+            gy, gx, vv, hh = mcus_y, mcus_x, vi, hi
+        else:
+            gy, gx, vv, hh = mcus_y * vi, mcus_x * hi, 1, 1
+        plane = np.zeros((gy * vv * 8, gx * hh * 8), np.uint16)
+        q = None if quants is None else np.ascontiguousarray(quants[ci])
+        rc = idct(
+            b.ctypes.data, b.shape[0], _idct_basis_c().ctypes.data,
+            None if q is None else q.ctypes.data,
+            center, top, gy, gx, vv, hh, plane.ctypes.data,
+        )
+        if rc != 0:
+            return None
+        planes.append(plane)
+        ratios.append((vmax // vi, hmax // hi))
+    if len(comps) == 1:
+        return planes[0][:h, :w][:, :, None].astype(pdtype, copy=True)
+    out = np.zeros((h, w, 3), np.uint16)
+    args: list = []
+    for plane, (ry, rx) in zip(planes, ratios):
+        args += [plane.ctypes.data, plane.shape[1], ry, rx]
+    rgb(*args, h, w, center, top, out.ctypes.data)
+    return out.astype(pdtype)
 
 
 def _planes_to_image(out_planes, precision: int = 8):
@@ -1021,9 +1258,19 @@ def decode_jpeg(payload: bytes):
 def _blocks_to_image(blocks, comps, h, w, precision, mcus_x, mcus_y, hmax, vmax):
     """Dequantized MCU-ordered coefficient blocks → image (shared IDCT +
     plane assembly for the Huffman and arithmetic sequential decoders, so
-    the two entropy layers cannot diverge downstream)."""
+    the two entropy layers cannot diverge downstream). int64 block arrays
+    (the native entropy path's output) take the compiled
+    IDCT+assemble+color path — validated bit-exact with the numpy chain
+    below; lists (the pure-Python and arithmetic decoders) take numpy."""
     import numpy as np
 
+    if all(isinstance(b, np.ndarray) and b.dtype == np.int64 for b in blocks):
+        img = _native_assemble(
+            blocks, None, comps, h, w, precision, mcus_x, mcus_y, hmax, vmax,
+            layout="mcu",
+        )
+        if img is not None:
+            return img
     a = _idct_basis()
     center = float(1 << (precision - 1))
     top = float((1 << precision) - 1)
@@ -1681,13 +1928,32 @@ def _decode_jpeg_arith_progressive(payload: bytes):
 
     if frame is None or grids is None:
         raise ValueError("truncated JPEG: no frame/scan data")
+    return _grids_to_image(grids, frame, geom, qt)
+
+
+def _grids_to_image(grids, frame, geom, qt):
+    """Accumulated progressive coefficient grids → image: dequantize +
+    IDCT + assemble + color, shared by the Huffman and arithmetic
+    progressive decoders (so the two entropy layers cannot diverge
+    downstream). int64 grids take the compiled path when available —
+    bit-exact with the numpy chain by validated construction."""
+    import numpy as np
+
     h, w, comps = frame
     hmax, vmax, mcus_x, mcus_y = geom
+    for _, _, _, tq in comps:
+        if tq not in qt:
+            raise ValueError("missing quantization table")
+    img = _native_assemble(
+        [grids[ci].reshape(-1, 64) for ci in range(len(comps))],
+        [np.array(qt[c[3]], dtype=np.float64) for c in comps],
+        comps, h, w, 8, mcus_x, mcus_y, hmax, vmax, layout="raster",
+    )
+    if img is not None:
+        return img
     a = _idct_basis()
     out_planes = []
     for ci, (_, hi, vi, tq) in enumerate(comps):
-        if tq not in qt:
-            raise ValueError("missing quantization table")
         q = np.array(qt[tq], dtype=np.float64)
         gb_h, gb_w = mcus_y * vi, mcus_x * hi
         arr = (grids[ci].reshape(-1, 64).astype(np.float64) * q).reshape(-1, 8, 8)
@@ -2018,29 +2284,7 @@ def _decode_jpeg_progressive(payload: bytes):
 
     if frame is None or grids is None:
         raise ValueError("truncated JPEG: no frame/scan data")
-    h, w, comps = frame
-    hmax, vmax, mcus_x, mcus_y = geom
-    a = _idct_basis()
-    out_planes = []
-    for ci, (_, hi, vi, tq) in enumerate(comps):
-        if tq not in qt:
-            raise ValueError("missing quantization table")
-        q = np.array(qt[tq], dtype=np.float64)
-        gb_h, gb_w = mcus_y * vi, mcus_x * hi
-        arr = (grids[ci].reshape(-1, 64).astype(np.float64) * q).reshape(-1, 8, 8)
-        spatial = _idct_blocks(arr, a) + 128.0
-        spatial = np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
-        plane = (
-            spatial.reshape(gb_h, gb_w, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(gb_h * 8, gb_w * 8)
-        )
-        if vi != vmax:
-            plane = np.repeat(plane, vmax // vi, axis=0)
-        if hi != hmax:
-            plane = np.repeat(plane, hmax // hi, axis=1)
-        out_planes.append(plane[:h, :w])
-    return _planes_to_image(out_planes)
+    return _grids_to_image(grids, frame, geom, qt)
 
 
 def _decode_prog_scan_native(
