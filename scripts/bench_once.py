@@ -35,19 +35,33 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # BENCH_AB_FORCING=noop forces every query through a materializing
+    # noop sink instead of count() (VERDICT r9 next #6: a bare count lets
+    # Catalyst elide computed columns nothing consumes — projection-only
+    # queries measure 2-5x light). Default stays count so ratios against
+    # pre-r10 checkouts remain valid; both sides of an A/B always get the
+    # same forcing because this one script serves both.
+    forcing = os.environ.get("BENCH_AB_FORCING", "count")
     from tipoca_stream_spark.plans import QUERIES
     from tipoca_stream_spark.session import get_spark
 
     spark = get_spark("bench_ab_once")
+
+    def force(df) -> None:
+        if forcing == "noop":
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.count()
+
     # same warmup discipline as bench.py: JVM/codegen + parquet footers
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     for warm in ("m2_dedupe_latest", "agg_pricing_summary"):
-        QUERIES[warm].fn(spark, sf_dir).count()
+        force(QUERIES[warm].fn(spark, sf_dir))
 
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).count()
+        force(QUERIES[name].fn(spark, sf_dir))
         out[name] = round(time.perf_counter() - t0, 3)
 
     # top-cost EXTRAS (VERDICT r7 wrong #4: cross-round claims about the
@@ -67,17 +81,22 @@ def main() -> None:
         "x_pack_bins_harmonic": "pack_bins_harmonic",
         "x_corpus_dsir_select": "corpus_dsir_select",
         "x_training_curation_funnel": "training_curation_funnel",
+        # round-10 additions (VERDICT r9 next #3): both read spuriously
+        # regressed in r9's RAW extras (1.53x / 1.24x) with no A/B row to
+        # adjudicate them — now they have one
+        "x_graph_bfs": "graph_bfs_distances",
+        "x_rolling_median_wide": "window_rolling_median_wide",
     }.items():
         if qname in QUERIES:
             extras[label] = qname
     for label, qname in extras.items():
         t0 = time.perf_counter()
-        QUERIES[qname].fn(spark, sf_dir).count()
+        force(QUERIES[qname].fn(spark, sf_dir))
         out[label] = round(time.perf_counter() - t0, 3)
     tpch = sorted(q for q in QUERIES if q.startswith("tpch_"))
     t0 = time.perf_counter()
     for name in tpch:
-        QUERIES[name].fn(spark, sf_dir).count()
+        force(QUERIES[name].fn(spark, sf_dir))
     out["x_tpch_total"] = round(time.perf_counter() - t0, 3)
     print("BENCH_ONCE " + json.dumps(out), flush=True)
 
