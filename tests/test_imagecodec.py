@@ -1749,10 +1749,10 @@ def test_native_idct_color_bit_exact_with_numpy_chain():
     ]
     ref_img = ic._planes_to_image(planes, precision=8)
     out = np.zeros((h, w, 3), np.uint16)
-    lib["rgb"](
-        yp.ctypes.data, yp.shape[1], 1, 1,
-        cb.ctypes.data, cb.shape[1], 2, 2,
-        cr.ctypes.data, cr.shape[1], 2, 2,
+    lib["rgb"](  # ratios are passed as LOG2 shifts: 1 -> 0, 2 -> 1
+        yp.ctypes.data, yp.shape[1], 0, 0,
+        cb.ctypes.data, cb.shape[1], 1, 1,
+        cr.ctypes.data, cr.shape[1], 1, 1,
         h, w, 128.0, 255.0, out.ctypes.data,
     )
     assert np.array_equal(ref_img, out.astype(np.uint8)), "color diverged"

@@ -322,3 +322,50 @@ def test_policy_keeps_flat_below_k_threshold(spark, tmp_path):
     assert [r["requantized"] for r in pol.history if r["requantized"]]
     assert d._mode_at(d.index.current_version()) == "flat"
     assert d.assign_mode == "flat"
+
+
+def test_hot_bucket_churn_compaction_stays_scoped(spark, tmp_path):
+    """VERDICT r9 next #7 (pin for scripts/soak_churn_r10.py): when one
+    index bucket absorbs an append on EVERY batch (docs rejection-sampled
+    through the operator's own band hashing to carry ≥1 band row in
+    bucket 0), chain-triggered compaction must keep that bucket's chain
+    bounded — firing on it disproportionately — while answers survive:
+    a dup of the first batch is still flagged after the churn."""
+    from pyspark.sql import functions as F
+
+    pol = IndexMaintenancePolicy(compact_files_per_bucket=2, vacuum_keep=3)
+    d = IncrementalDeduper(spark, str(tmp_path / "churn"), policy=pol)
+    rng = random.Random(99)
+    words = [f"tok{i}" for i in range(2000)]
+    pool = spark.createDataFrame(
+        [(f"p{i}", " ".join(rng.choice(words) for _ in range(25)))
+         for i in range(420)],
+        ["doc_id", "text"],
+    )
+    bands = d._band_rows(d._signatures(pool, "text", "doc_id"), "doc_id")
+    hot_ids = sorted(
+        r["doc_id"]
+        for r in bands.withColumn("_b", d.index.bucket_of())
+        .filter(F.col("_b") == 0).select("doc_id").distinct().collect()
+    )
+    assert len(hot_ids) >= 24, len(hot_ids)  # ~4/32 bands-per-doc odds
+    texts = {r["doc_id"]: r["text"] for r in
+             pool.filter(F.col("doc_id").isin(hot_ids[:24])).collect()}
+    first = hot_ids[:4]
+    max_chain0 = 0
+    for ep in range(6):
+        ids = hot_ids[ep * 4 : (ep + 1) * 4]
+        d.ingest(spark.createDataFrame(
+            [(i, texts[i]) for i in ids], ["doc_id", "text"]))
+        max_chain0 = max(max_chain0, pol.chain_lengths(d.index).get(0, 0))
+    # the hot bucket's chain never outran the threshold by more than the
+    # one append a batch adds before the policy's next pass
+    assert max_chain0 <= 3, max_chain0
+    # and it was compacted (it chains fastest, so it must appear)
+    compacted = [b for r in pol.history for b in r["compacted_buckets"]]
+    assert 0 in compacted, pol.history
+    # answers survive the churn: dups of the FIRST batch still flagged
+    copies = spark.createDataFrame(
+        [(f"x{i}", texts[i]) for i in first], ["doc_id", "text"])
+    hits = {r["new_id"] for r in d.screen(copies).collect()}
+    assert hits == {f"x{i}" for i in first}

@@ -175,6 +175,8 @@ def _idct_blocks(arr, a):
 
 _ENTROPY_C = r"""
 #include <stdint.h>
+#include <math.h>
+#include <string.h>
 
 static const uint8_t ZIGZAG[64] = {
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -289,6 +291,189 @@ int jpeg_decode_scan_segment(
                 blk[zz] = (int64_t)extend_v(read_bits(&r, size), size) * q[zz];
             }
         }
+    }
+    return 0;
+}
+
+/* Whole-scan driver: the restart walk (segment advance + predictor
+   reset) moved into C (round 10) — a restart-dense stream (the baseline
+   board carries ~490 RST segments) paid ~8 us of Python loop + ctypes
+   crossing per segment.  offs[n_segs+1] are byte offsets into the
+   CONCATENATED destuffed segments; pred resets to 0 at every segment
+   start (identical to the Python walk, whose initial pred is zeros).
+   Returns the segment decoders' codes, or -5 for "missing restart
+   segment". */
+int jpeg_decode_scan_batch(
+    const uint8_t *data, const int64_t *offs, long n_segs,
+    long n_mcus, long restart_interval, int nunits,
+    const int32_t *comp_of_unit,
+    const int16_t *dc_sym, const uint8_t *dc_len,
+    const int16_t *ac_sym, const uint8_t *ac_len,
+    const int32_t *quant,
+    int64_t *out)
+{
+    int64_t pred[16];
+    long done = 0, seg = 0;
+    while (done < n_mcus) {
+        long n_seg = n_mcus - done;
+        int rc, i;
+        if (restart_interval && restart_interval < n_seg)
+            n_seg = restart_interval;
+        if (seg >= n_segs) return -5;
+        for (i = 0; i < 16; i++) pred[i] = 0;
+        rc = jpeg_decode_scan_segment(
+            data + offs[seg], offs[seg + 1] - offs[seg],
+            n_seg, nunits, comp_of_unit,
+            dc_sym, dc_len, ac_sym, ac_len, quant,
+            pred, out + done * (long)nunits * 64);
+        if (rc) return rc;
+        done += n_seg;
+        seg += 1;
+    }
+    return 0;
+}
+
+/* Shared per-block IDCT core (dequantized coefficients as double):
+   two contraction passes, each output element accumulated over u then
+   v in ASCENDING order — the exact summation order numpy's einsum SOP
+   kernels use for these shapes — then level shift, rint (C99
+   half-even, same rule as np.rint), clamp, store.  The unit compiles
+   with -ffp-contract=off so FMA can never move a rounding boundary. */
+static void idct_core_to_plane(
+    const double *c, const double *a, double center, double top,
+    uint16_t *dst, long W)
+{
+    double t[64], o[64];
+    int x, y, u, v;
+    memset(t, 0, sizeof(t));
+    for (u = 0; u < 8; u++) {
+        const double *cu = c + u*8;
+        for (x = 0; x < 8; x++) {
+            double aux = a[u*8+x];
+            double *tx = t + x*8;
+            for (v = 0; v < 8; v++) tx[v] += aux * cu[v];
+        }
+    }
+    memset(o, 0, sizeof(o));
+    for (v = 0; v < 8; v++) {
+        const double *av = a + v*8;
+        for (x = 0; x < 8; x++) {
+            double txv = t[x*8+v];
+            double *ox = o + x*8;
+            for (y = 0; y < 8; y++) ox[y] += txv * av[y];
+        }
+    }
+    for (x = 0; x < 8; x++) {
+        uint16_t *d = dst + x * W;
+        for (y = 0; y < 8; y++) {
+            double px = rint(o[x*8+y] + center);
+            if (px < 0.0) px = 0.0;
+            if (px > top) px = top;
+            d[y] = (uint16_t)px;
+        }
+    }
+}
+
+static void idct_block_to_plane(
+    const int64_t *blk, const double *a, double center, double top,
+    uint16_t *dst, long W)
+{
+    double c[64];
+    int i;
+    for (i = 0; i < 64; i++) c[i] = (double)blk[i];
+    idct_core_to_plane(c, a, center, top, dst, W);
+}
+
+/* FUSED sequential decode (round 10, the "IDCT in the same unit that
+   owns the coefficients" shape): decode each data unit and immediately
+   IDCT it into its component plane while the block is hot in L1 — the
+   two-pass form materialized a ~3 MB coefficient buffer between the
+   scan and the IDCT and paid the round trip through memory, plus the
+   per-component split copies.  Entropy semantics are identical to
+   jpeg_decode_scan_segment (same tables, same predictor walk, same
+   error codes, -5 for a missing restart segment); the IDCT is the same
+   bit-exact unit as jpeg_idct_plane.  unit_block[u] is the unit's
+   block index within its component's MCU tile (by = j / hi,
+   bx = j % hi). */
+int jpeg_decode_scan_fused(
+    const uint8_t *data, const int64_t *offs, long n_segs,
+    long n_mcus, long restart_interval, int nunits,
+    const int32_t *comp_of_unit, const int32_t *unit_block,
+    const int16_t *dc_sym, const uint8_t *dc_len,
+    const int16_t *ac_sym, const uint8_t *ac_len,
+    const int32_t *quant,
+    const int32_t *vi_arr, const int32_t *hi_arr,
+    uint16_t **plane_ptrs, const int64_t *plane_w,
+    const double *basis, double center, double top,
+    long mcus_x)
+{
+    int64_t pred[16];
+    long done = 0, seg = 0;
+    while (done < n_mcus) {
+        long n_seg = n_mcus - done, m;
+        bitreader r;
+        int i;
+        if (restart_interval && restart_interval < n_seg)
+            n_seg = restart_interval;
+        if (seg >= n_segs) return -5;
+        r.d = data + offs[seg];
+        r.n = offs[seg + 1] - offs[seg];
+        r.bp = 0; r.acc = 0; r.nbits = 0;
+        for (i = 0; i < 16; i++) pred[i] = 0;
+        for (m = 0; m < n_seg; m++) {
+            long gm = done + m;
+            long my = gm / mcus_x, mx = gm % mcus_x;
+            int u, k;
+            for (u = 0; u < nunits; u++) {
+                int ci = comp_of_unit[u];
+                int j = unit_block[u];
+                const int16_t *ds = dc_sym + (long)ci * 65536;
+                const uint8_t *dl = dc_len + (long)ci * 65536;
+                const int16_t *as = ac_sym + (long)ci * 65536;
+                const uint8_t *al = ac_len + (long)ci * 65536;
+                const int32_t *q = quant + ci * 64;
+                int vi = vi_arr[ci], hi = hi_arr[ci];
+                int byy = j / hi, bxx = j % hi;
+                long row0 = (my * (long)vi + byy) * 8;
+                long col0 = (mx * (long)hi + bxx) * 8;
+                int64_t blk[64];
+                int v = peek16(&r);
+                int L = dl[v];
+                int s;
+                if (L == 0) return -1;
+                r.nbits -= L;
+                s = ds[v];
+                pred[ci] += s ? extend_v(read_bits(&r, s), s) : 0;
+                memset(blk, 0, sizeof(blk));
+                blk[0] = pred[ci] * (int64_t)q[0];
+                k = 0;
+                while (k < 63) {
+                    int rs, run, size, zz;
+                    v = peek16(&r);
+                    L = al[v];
+                    if (L == 0) return -1;
+                    r.nbits -= L;
+                    rs = as[v];
+                    run = rs >> 4;
+                    size = rs & 15;
+                    if (size == 0) {
+                        if (run == 15) { k += 16; continue; }
+                        break;
+                    }
+                    k += run + 1;
+                    if (k > 63) return -2;
+                    zz = ZIGZAG[k];
+                    blk[zz] = (int64_t)extend_v(read_bits(&r, size), size)
+                              * q[zz];
+                }
+                idct_block_to_plane(
+                    blk, basis, center, top,
+                    plane_ptrs[ci] + row0 * plane_w[ci] + col0,
+                    plane_w[ci]);
+            }
+        }
+        done += n_seg;
+        seg += 1;
     }
     return 0;
 }
@@ -432,21 +617,11 @@ int jpeg_decode_prog_segment(
     return 0;
 }
 
-#include <math.h>
-#include <string.h>
-
-/* Fused dequant (optional) + separable 2-D IDCT + level shift + round +
-   clamp + PLANE placement for a batch of coefficient blocks (round 10 —
+/* Batch dequant (optional) + IDCT + plane placement (round 10 —
    VERDICT r9 next #2: the einsum IDCT, the rint/clip passes and the
    reshape/transpose plane assembly were the decoder's remaining numpy
-   floor).  BIT-EXACT with the Python chain by construction: the two
-   contraction passes accumulate each output element over u then v in
-   ASCENDING order — the exact summation order numpy's einsum SOP
-   kernels use for these shapes (validated element-exact on random
-   blocks across magnitudes and on every fixture) — and the unit is
-   compiled with -ffp-contract=off so no FMA regrouping can move a
-   rounding boundary.  rint() is C99 round-half-even, the same rule as
-   np.rint.
+   floor).  Per-block math is idct_core_to_plane — see its bit-exactness
+   contract.
 
    Layouts: interleaved-MCU (vi,hi as in the frame header; n decomposes
    as (my, mx, by, bx)) — pass the subsampled component's own grid as
@@ -466,47 +641,16 @@ int jpeg_idct_plane(
     (void)mcus_y;
     for (n = 0; n < n_blocks; n++) {
         const int64_t *blk = blocks + n * 64;
-        double c[64], t[64], o[64];
-        int i, x, y, u, v;
+        double c[64];
+        int i;
+        long bi = n / (vi * hi), r = n % (vi * hi);
+        long my = bi / mcus_x, mx = bi % mcus_x;
+        int byy = (int)(r / hi), bxx = (int)(r % hi);
+        long row0 = (my * (long)vi + byy) * 8;
+        long col0 = (mx * (long)hi + bxx) * 8;
         if (q) { for (i = 0; i < 64; i++) c[i] = (double)blk[i] * q[i]; }
         else   { for (i = 0; i < 64; i++) c[i] = (double)blk[i]; }
-        /* t[x][v] = sum_u a[u][x] * c[u][v]; u-outer loop order keeps
-           each element's accumulation u-ascending (numpy-identical)
-           while making the v axis contiguous for SIMD */
-        memset(t, 0, sizeof(t));
-        for (u = 0; u < 8; u++) {
-            const double *cu = c + u*8;
-            for (x = 0; x < 8; x++) {
-                double aux = a[u*8+x];
-                double *tx = t + x*8;
-                for (v = 0; v < 8; v++) tx[v] += aux * cu[v];
-            }
-        }
-        memset(o, 0, sizeof(o));
-        for (v = 0; v < 8; v++) {
-            const double *av = a + v*8;
-            for (x = 0; x < 8; x++) {
-                double txv = t[x*8+v];
-                double *ox = o + x*8;
-                for (y = 0; y < 8; y++) ox[y] += txv * av[y];
-            }
-        }
-        {
-            long bi = n / (vi * hi), r = n % (vi * hi);
-            long my = bi / mcus_x, mx = bi % mcus_x;
-            int byy = r / hi, bxx = r % hi;
-            long row0 = (my * (long)vi + byy) * 8;
-            long col0 = (mx * (long)hi + bxx) * 8;
-            for (x = 0; x < 8; x++) {
-                uint16_t *dst = plane + (row0 + x) * W + col0;
-                for (y = 0; y < 8; y++) {
-                    double px = rint(o[x*8+y] + center);
-                    if (px < 0.0) px = 0.0;
-                    if (px > top) px = top;
-                    dst[y] = (uint16_t)px;
-                }
-            }
-        }
+        idct_core_to_plane(c, a, center, top, plane + row0 * W + col0, W);
     }
     return 0;
 }
@@ -515,8 +659,11 @@ int jpeg_idct_plane(
    clamp, element-identical to _planes_to_image's numpy chain: same
    literal coefficients, same expression association (guaranteed by
    -ffp-contract=off), rint == np.rint (half-even), reading the
-   SUBSAMPLED planes at (r/ry, x/rx) — exactly what np.repeat-then-crop
-   produces.  Strides are in elements. */
+   SUBSAMPLED planes at (r>>ry, x>>rx) — exactly what np.repeat-then-
+   crop produces (ratios are passed as LOG2 shifts; JPEG sampling
+   ratios are 1/2/4 in practice and the Python wrapper falls back to
+   numpy on a non-power-of-two ratio — per-pixel integer DIVISION was
+   ~40% of the color stage).  Strides are in elements. */
 int jpeg_ycbcr_to_rgb(
     const uint16_t *yp, long ys, int y_ry, int y_rx,
     const uint16_t *cbp, long cbs, int cb_ry, int cb_rx,
@@ -526,14 +673,14 @@ int jpeg_ycbcr_to_rgb(
 {
     long r, x;
     for (r = 0; r < h; r++) {
-        const uint16_t *yr = yp + (r / y_ry) * ys;
-        const uint16_t *cbr = cbp + (r / cb_ry) * cbs;
-        const uint16_t *crr = crp + (r / cr_ry) * crs;
+        const uint16_t *yr = yp + (r >> y_ry) * ys;
+        const uint16_t *cbr = cbp + (r >> cb_ry) * cbs;
+        const uint16_t *crr = crp + (r >> cr_ry) * crs;
         uint16_t *o = out + r * w * 3;
         for (x = 0; x < w; x++) {
-            double Y = (double)yr[x / y_rx];
-            double Cb = (double)cbr[x / cb_rx] - center;
-            double Cr = (double)crr[x / cr_rx] - center;
+            double Y = (double)yr[x >> y_rx];
+            double Cb = (double)cbr[x >> cb_rx] - center;
+            double Cr = (double)crr[x >> cr_rx] - center;
             double R = Y + 1.402 * Cr;
             double G = Y - 0.344136 * Cb - 0.714136 * Cr;
             double B = Y + 1.772 * Cb;
@@ -684,6 +831,26 @@ def _native_lib():
             ctypes.c_int,  # al
             ctypes.c_void_p,  # pred int64*
         ]
+        scan_batch = lib.jpeg_decode_scan_batch
+        scan_batch.restype = ctypes.c_int
+        scan_batch.argtypes = [
+            ctypes.c_char_p,  # concatenated destuffed segments
+            ctypes.c_void_p,  # offsets int64[n_segs+1]
+            ctypes.c_long,  # n_segs
+            ctypes.c_long,  # n_mcus
+            ctypes.c_long,  # restart_interval
+            ctypes.c_int,  # nunits
+        ] + [ctypes.c_void_p] * 7
+        fused = lib.jpeg_decode_scan_fused
+        fused.restype = ctypes.c_int
+        fused.argtypes = (
+            [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
+             ctypes.c_long, ctypes.c_long, ctypes.c_int]
+            + [ctypes.c_void_p] * 11  # cou, unit_block, 4 tables, quant,
+                                      # vi, hi, plane_ptrs, plane_w
+            + [ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+               ctypes.c_long]  # basis, center, top, mcus_x
+        )
         idct = lib.jpeg_idct_plane
         idct.restype = ctypes.c_int
         idct.argtypes = [
@@ -706,7 +873,10 @@ def _native_lib():
             + [ctypes.c_long, ctypes.c_long, ctypes.c_double, ctypes.c_double]
             + [ctypes.c_void_p]
         )
-        _NATIVE = {"scan": scan, "prog": prog, "idct": idct, "rgb": rgb}
+        _NATIVE = {
+            "scan": scan, "scan_batch": scan_batch, "fused": fused,
+            "prog": prog, "idct": idct, "rgb": rgb,
+        }
     except Exception:
         _NATIVE = None
     return _NATIVE
@@ -940,14 +1110,112 @@ def _native_assemble(
             return None
         planes.append(plane)
         ratios.append((vmax // vi, hmax // hi))
-    if len(comps) == 1:
+    return _finish_planes_native(planes, ratios, h, w, precision)
+
+
+def _finish_planes_native(planes, ratios, h, w, precision):
+    """uint16 component planes (+ their upsample ratios) → final image
+    via the compiled color unit — the shared tail of the two-pass and
+    fused native paths. None = unsupported shape, caller falls back."""
+    import numpy as np
+
+    lib = _native_lib()
+    if lib is None:
+        return None
+    pdtype = np.uint8 if precision <= 8 else np.uint16
+    center = float(1 << (precision - 1))
+    top = float((1 << precision) - 1)
+    if len(planes) == 1:
         return planes[0][:h, :w][:, :, None].astype(pdtype, copy=True)
+    # the C color unit takes the upsample ratios as LOG2 shifts (JPEG
+    # sampling ratios are powers of two in practice; anything else —
+    # e.g. a malformed 3:1 — falls back to the numpy chain)
+    if len(planes) != 3 or any(r & (r - 1) for pair in ratios for r in pair):
+        return None
     out = np.zeros((h, w, 3), np.uint16)
     args: list = []
     for plane, (ry, rx) in zip(planes, ratios):
-        args += [plane.ctypes.data, plane.shape[1], ry, rx]
-    rgb(*args, h, w, center, top, out.ctypes.data)
+        args += [
+            plane.ctypes.data, plane.shape[1],
+            ry.bit_length() - 1, rx.bit_length() - 1,
+        ]
+    lib["rgb"](*args, h, w, center, top, out.ctypes.data)
     return out.astype(pdtype)
+
+
+def _decode_sequential_native(
+    segments, sel, comps, qt, huff, n_mcus, restart_interval,
+    mcus_x, mcus_y, hmax, vmax, h, w, precision,
+):
+    """The FUSED native sequential decode: one C call walks every
+    restart segment, entropy-decodes each data unit, and IDCTs it into
+    its component plane while hot in cache (the two-pass form
+    materialized a ~3 MB coefficient buffer between the scan and the
+    IDCT); the compiled color unit finishes. Returns the image, or None
+    for shapes the fused path doesn't take (caller falls back to the
+    two-pass native path, then numpy)."""
+    import ctypes
+
+    import numpy as np
+
+    lib = _native_lib()
+    ncomp = len(comps)
+    if lib is None or ncomp > 16 or ncomp not in (1, 3):
+        return None
+    comp_of_unit: list[int] = []
+    unit_block: list[int] = []
+    for ci, dc_id, ac_id in sel:
+        if comps[ci][3] not in qt:
+            raise ValueError("missing quantization table")
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("missing Huffman table")
+        n_units_ci = comps[ci][1] * comps[ci][2]
+        comp_of_unit += [ci] * n_units_ci
+        unit_block += list(range(n_units_ci))
+    nunits = len(comp_of_unit)
+    cou = np.asarray(comp_of_unit, dtype=np.int32)
+    ub = np.asarray(unit_block, dtype=np.int32)
+    dc_sym = np.empty((ncomp, 65536), np.int16)
+    dc_len = np.zeros((ncomp, 65536), np.uint8)
+    ac_sym = np.empty((ncomp, 65536), np.int16)
+    ac_len = np.zeros((ncomp, 65536), np.uint8)
+    quant = np.zeros((ncomp, 64), np.int32)
+    for ci, dc_id, ac_id in sel:
+        s, ln = huff[(0, dc_id)].np_tables()
+        dc_sym[ci], dc_len[ci] = s, ln
+        s, ln = huff[(1, ac_id)].np_tables()
+        ac_sym[ci], ac_len[ci] = s, ln
+        quant[ci] = qt[comps[ci][3]]
+    vi_arr = np.asarray([c[2] for c in comps], np.int32)
+    hi_arr = np.asarray([c[1] for c in comps], np.int32)
+    planes = [
+        np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8), np.uint16)
+        for c in comps
+    ]
+    plane_ptrs = (ctypes.c_void_p * ncomp)(*[p.ctypes.data for p in planes])
+    plane_w = np.asarray([p.shape[1] for p in planes], np.int64)
+    center = float(1 << (precision - 1))
+    top = float((1 << precision) - 1)
+    blob = b"".join(segments)
+    offs = np.zeros(len(segments) + 1, np.int64)
+    offs[1:] = np.cumsum([len(s) for s in segments])
+    rc = lib["fused"](
+        blob, offs.ctypes.data, len(segments), n_mcus, restart_interval or 0,
+        nunits, cou.ctypes.data, ub.ctypes.data,
+        dc_sym.ctypes.data, dc_len.ctypes.data,
+        ac_sym.ctypes.data, ac_len.ctypes.data, quant.ctypes.data,
+        vi_arr.ctypes.data, hi_arr.ctypes.data,
+        ctypes.addressof(plane_ptrs), plane_w.ctypes.data,
+        _idct_basis_c().ctypes.data, center, top, mcus_x,
+    )
+    if rc == -1:
+        raise ValueError("invalid JPEG Huffman code")
+    if rc == -2:
+        raise ValueError("JPEG AC run past block end")
+    if rc == -5:
+        raise ValueError("missing JPEG restart segment")
+    ratios = [(vmax // c[2], hmax // c[1]) for c in comps]
+    return _finish_planes_native(planes, ratios, h, w, precision)
 
 
 def _planes_to_image(out_planes, precision: int = 8):
@@ -1046,43 +1314,53 @@ def _entropy_decode_native(native, segments, sel, comps, qt, huff, n_mcus,
         quant[ci] = qt[comps[ci][3]]
     # int64 out/pred (ADVICE r9): malformed 12-bit streams can overflow
     # int32 in the C path while the unbounded-int Python path keeps
-    # going — int64 keeps the bit-identical contract on hostile input
+    # going — int64 keeps the bit-identical contract on hostile input.
+    # The restart walk runs entirely in C (round 10): one ctypes call
+    # over the concatenated segments instead of one per RST interval —
+    # a restart-dense stream paid ~8 µs of interpreter + crossing per
+    # segment (the board fixture has ~490).
     out = np.zeros((n_mcus * nunits, 64), np.int64)
-    pred = np.zeros(ncomp, np.int64)
-    mcu_done, seg_idx = 0, 0
-    while mcu_done < n_mcus:
-        if seg_idx >= len(segments):
-            raise ValueError("missing JPEG restart segment")
-        if seg_idx > 0:
-            pred[:] = 0
-        n_seg = (
-            min(restart_interval, n_mcus - mcu_done)
-            if restart_interval
-            else n_mcus
-        )
-        seg = segments[seg_idx]
-        rc = native(
-            seg,
-            len(seg),
-            n_seg,
-            nunits,
-            cou.ctypes.data,
-            dc_sym.ctypes.data,
-            dc_len.ctypes.data,
-            ac_sym.ctypes.data,
-            ac_len.ctypes.data,
-            quant.ctypes.data,
-            pred.ctypes.data,
-            out[mcu_done * nunits :].ctypes.data,
-        )
-        if rc == -1:
-            raise ValueError("invalid JPEG Huffman code")
-        if rc == -2:
-            raise ValueError("JPEG AC run past block end")
-        mcu_done += n_seg
-        seg_idx += 1
-    cou_tiled = np.tile(cou, n_mcus)
-    return [out[cou_tiled == ci] for ci in range(ncomp)]
+    if ncomp > 16:
+        # the C walk's predictor array is fixed at 16 components — far
+        # beyond T.81's Ns <= 4 interleaved-scan bound, but a malformed
+        # frame must hit the Python path, not scribble past the array
+        raise NotImplementedError("more than 16 scan components")
+    blob = b"".join(segments)
+    offs = np.zeros(len(segments) + 1, np.int64)
+    offs[1:] = np.cumsum([len(s) for s in segments])
+    rc = _native_lib()["scan_batch"](
+        blob,
+        offs.ctypes.data,
+        len(segments),
+        n_mcus,
+        restart_interval or 0,
+        nunits,
+        cou.ctypes.data,
+        dc_sym.ctypes.data,
+        dc_len.ctypes.data,
+        ac_sym.ctypes.data,
+        ac_len.ctypes.data,
+        quant.ctypes.data,
+        out.ctypes.data,
+    )
+    if rc == -1:
+        raise ValueError("invalid JPEG Huffman code")
+    if rc == -2:
+        raise ValueError("JPEG AC run past block end")
+    if rc == -5:
+        raise ValueError("missing JPEG restart segment")
+    # per-component split: unit indices within an MCU are CONTIGUOUS
+    # ranges in sel order (comp_of_unit appends ci hi*vi times per
+    # component), so a strided slice-copy replaces the boolean-mask
+    # fancy indexing (~3.6 ms on the board fixture)
+    out3 = out.reshape(n_mcus, nunits, 64)
+    by_ci: dict = {}
+    start = 0
+    for ci, _, _ in sel:
+        cnt = comps[ci][1] * comps[ci][2]
+        by_ci[ci] = out3[:, start : start + cnt, :].reshape(-1, 64)
+        start += cnt
+    return [by_ci[ci] for ci in range(ncomp)]
 
 
 def decode_jpeg(payload: bytes):
@@ -1197,7 +1475,16 @@ def decode_jpeg(payload: bytes):
 
     segments, _ = _split_entropy_segments(payload, entropy_pos)
     native = _native_entropy()
-    if native is not None:
+    # len(comps) <= 16: the C walk's predictor array bound (T.81 itself
+    # caps interleaved scans at Ns <= 4); wider malformed frames decode
+    # through the pure path
+    if native is not None and len(comps) <= 16:
+        img = _decode_sequential_native(
+            segments, sel, comps, qt, huff, n_mcus, restart_interval,
+            mcus_x, mcus_y, hmax, vmax, h, w, precision,
+        )
+        if img is not None:
+            return img
         return _blocks_to_image(
             _entropy_decode_native(
                 native, segments, sel, comps, qt, huff, n_mcus,
@@ -2289,15 +2576,16 @@ def _decode_jpeg_progressive(payload: bytes):
 
 def _decode_prog_scan_native(
     native, grids, comps, sel, ss, se, ah, al, huff, segments,
-    restart_interval, units,
+    restart_interval, trip, n_units, unit_size,
 ):
     """Drive the compiled progressive-scan decoder: same restart walk
-    (predictor/EOB-run reset, segment advance) as the Python loop. The
-    unit list is flattened to (ci, by, bx) int32 triplets — every unit
-    has the same composition (the MCU pattern when interleaved, one
-    block otherwise), so restart offsets are plain slices. Writes into
-    the SAME int64 numpy grids the Python path uses; raises the same
-    ValueErrors on the same malformed streams."""
+    (predictor/EOB-run reset, segment advance) as the Python loop.
+    ``trip`` is the vectorized (n_units, unit_size, 3) int32 array of
+    (ci, by, bx) triplets — every unit has the same composition (the MCU
+    pattern when interleaved, one block otherwise), so restart offsets
+    are plain slices. Writes into the SAME int64 numpy grids the Python
+    path uses; raises the same ValueErrors on the same malformed
+    streams."""
     import ctypes
 
     import numpy as np
@@ -2310,10 +2598,6 @@ def _decode_prog_scan_native(
             raise ValueError("missing Huffman table")
         if ss != 0 and (1, ac_id) not in huff:
             raise ValueError("missing Huffman table")
-    unit_size = len(units[0])
-    trip = np.asarray(
-        [t for unit in units for t in unit], dtype=np.int32
-    ).reshape(-1, 3)
     dc_sym = np.empty((ncomp, 65536), np.int16)
     dc_len = np.zeros((ncomp, 65536), np.uint8)
     ac_sym = np.empty((ncomp, 65536), np.int16)
@@ -2330,7 +2614,6 @@ def _decode_prog_scan_native(
     )
     gb_w = np.asarray([g.shape[1] for g in grids], np.int32)
     pred = np.zeros(ncomp, np.int64)
-    n_units = len(units)
     done, seg_idx = 0, 0
     while done < n_units:
         if seg_idx >= len(segments):
@@ -2348,7 +2631,7 @@ def _decode_prog_scan_native(
             len(seg),
             n_seg,
             unit_size,
-            trip[done * unit_size :].ctypes.data,
+            trip[done:].ctypes.data,
             ctypes.addressof(grid_ptrs),
             gb_w.ctypes.data,
             dc_sym.ctypes.data,
@@ -2388,6 +2671,51 @@ def _decode_progressive_scan(
     interleaved = len(sel) > 1
     tabs = {ci: (dc_id, ac_id) for ci, dc_id, ac_id in sel}
 
+    native = _native_entropy_prog()
+    if native is not None:
+        # build the (ci, by, bx) unit triplets VECTORIZED (round 10: the
+        # per-scan Python nested loops + flatten cost ~30 ms/decode on
+        # the progressive board — more than the entropy decode itself)
+        import numpy as np
+
+        if interleaved:
+            if ss != 0:
+                raise ValueError("interleaved progressive scan must be DC-only")
+            offs = [
+                (ci, byi, bxi)
+                for ci, _, _ in sel
+                for byi in range(comps[ci][2])
+                for bxi in range(comps[ci][1])
+            ]
+            offs_a = np.asarray(offs, np.int32)  # (U, 3)
+            vi_of = np.asarray([c[2] for c in comps], np.int32)
+            hi_of = np.asarray([c[1] for c in comps], np.int32)
+            my, mx = np.divmod(
+                np.arange(mcus_y * mcus_x, dtype=np.int32), np.int32(mcus_x)
+            )
+            n_units, unit_size = mcus_y * mcus_x, len(offs)
+            trip = np.empty((n_units, unit_size, 3), np.int32)
+            trip[:, :, 0] = offs_a[:, 0]
+            trip[:, :, 1] = my[:, None] * vi_of[offs_a[:, 0]] + offs_a[:, 1]
+            trip[:, :, 2] = mx[:, None] * hi_of[offs_a[:, 0]] + offs_a[:, 2]
+        else:
+            ci = sel[0][0]
+            nb_h, nb_w = nonint[ci]
+            by, bx = np.divmod(
+                np.arange(nb_h * nb_w, dtype=np.int32), np.int32(nb_w)
+            )
+            n_units, unit_size = nb_h * nb_w, 1
+            trip = np.empty((n_units, 1, 3), np.int32)
+            trip[:, 0, 0] = np.int32(ci)
+            trip[:, 0, 1] = by
+            trip[:, 0, 2] = bx
+        if n_units:
+            _decode_prog_scan_native(
+                native, grids, comps, sel, ss, se, ah, al, huff, segments,
+                restart_interval, trip, n_units, unit_size,
+            )
+        return
+
     units = []  # each unit: list of (ci, by, bx) — restart granularity
     if interleaved:
         if ss != 0:
@@ -2405,14 +2733,6 @@ def _decode_progressive_scan(
         ci = sel[0][0]
         nb_h, nb_w = nonint[ci]
         units = [[(ci, by, bx)] for by in range(nb_h) for bx in range(nb_w)]
-
-    native = _native_entropy_prog()
-    if native is not None and units:
-        _decode_prog_scan_native(
-            native, grids, comps, sel, ss, se, ah, al, huff, segments,
-            restart_interval, units,
-        )
-        return
 
     pred = [0] * len(comps)
     eobrun = 0

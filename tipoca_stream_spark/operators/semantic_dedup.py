@@ -128,6 +128,19 @@ def assign_by_cosine_two_level(
             F.col(seed_vec_col).alias("super_vec"),
         )
     )
+    # Defensive fan-out for the ROUTING stage (the two-level sibling of
+    # _assigned's batch fan-out): the k × √k routing crossJoin inherits
+    # the SEEDS' partitioning, and a persisted quantizer is typically ONE
+    # parquet file (grown_seeds writes an orderBy().limit() plan) — the
+    # assignment's dominant stage then runs k·√k HOF cosines in a single
+    # task no matter how many cores exist. Found by the round-10 flip
+    # soak: at k=7750 the fresh-JVM A/B read two_level ≈ flat (10.5 s vs
+    # 10.6 s) with 1-file seeds while the same shapes with 32-file seeds
+    # measured 4.0 s vs 12.6 s. Both routing references (the assignment
+    # and the broadcast build of the routed groups) share this input.
+    p = seeds.sparkSession.sparkContext.defaultParallelism
+    if seeds.rdd.getNumPartitions() < p:
+        seeds = seeds.repartition(p)
     # one-time seed routing: k × √k cosines. A super-seed's routed id is
     # OVERRIDDEN with its own id (see docstring: rounded ties could
     # otherwise route it to a smaller-id near-twin super, emptying its
