@@ -54,7 +54,16 @@ def main() -> None:
 
     runs: dict[str, list[dict[str, float]]] = {"a": [], "b": []}
     for i in range(args.rounds):
-        for tag, side in (("a", args.a), ("b", args.b)):
+        # ABBA order: alternate which side runs FIRST each round. The
+        # round-10 adjudication caught a systematic second-position
+        # penalty on this host (~8% on the short headline queries —
+        # byte-identical code read 1.31x against whichever side ran
+        # second); strict ABAB never cancels it, alternation does. Use
+        # an EVEN --rounds so both sides get each position equally.
+        pair = (("a", args.a), ("b", args.b))
+        if i % 2:
+            pair = pair[::-1]
+        for tag, side in pair:
             r = run_once(side, args.sf_dir)
             runs[tag].append(r)
             print(
