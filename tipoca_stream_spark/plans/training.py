@@ -801,6 +801,186 @@ def dedup_semantic_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.screen(batch)
 
 
+# --- the policy-driven assign-mode FLIP under the oracle (round 10) ---------
+
+SEMFLIP_K0 = 2  # bootstrap quantizer
+SEMFLIP_TARGET = 4  # density target: epoch 0 always trips at the graded SFs
+SEMFLIP_SLACK = 2  # amortized-doubling growth
+SEMFLIP_THRESHOLD = 5  # two_level_k_threshold: any tripped k1 = ceil(n0/2) >= 5
+
+SEMDEDUP_FLIP_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings WHERE vec_id % 2 = 0),
+batch AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_COPY_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE * 1.5) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0),
+-- replay the density trigger + assign-mode flip: epoch 0 (even ids below
+-- the midpoint) trips n0 > target*k0 and grows k to ceil(n0*slack/target)
+-- = ceil(n0/2) — always >= the flip threshold {SEMFLIP_THRESHOLD} when it
+-- trips, so the requantize commits under the TWO-LEVEL rule; epoch 1
+-- cannot re-trip (n <= 2*n0 <= 4*k1). When nothing trips (tiny corpus)
+-- k stays {SEMFLIP_K0} and two-level degenerates to flat exactly (every
+-- seed is a super), so the unconditional two-level replay below is
+-- correct at every corpus size.
+prm AS (SELECT count(*) // 2 AS c FROM embeddings),
+n0_ AS (SELECT count(*) AS n0 FROM corpus, prm WHERE vec_id < c),
+nt_ AS (SELECT count(*) AS n FROM corpus),
+k1_ AS (SELECT CASE WHEN n0 > {SEMFLIP_TARGET} * {SEMFLIP_K0}
+               THEN greatest({SEMFLIP_K0},
+                             (n0 * {SEMFLIP_SLACK} + {SEMFLIP_TARGET} - 1)
+                               // {SEMFLIP_TARGET})
+               ELSE {SEMFLIP_K0} END AS k1 FROM n0_),
+k2_ AS (SELECT CASE WHEN n > {SEMFLIP_TARGET} * k1
+               THEN greatest(k1,
+                             (n * {SEMFLIP_SLACK} + {SEMFLIP_TARGET} - 1)
+                               // {SEMFLIP_TARGET})
+               ELSE k1 END AS k2 FROM nt_, k1_),
+-- grown seeds: the k2 smallest-id stored vectors (even ids are dense)
+seeds AS (SELECT vec_id AS seed_id, embedding AS se FROM corpus, k2_
+          WHERE vec_id < 2 * k2),
+-- supers: the ceil(sqrt(k2)) smallest seed ids (even-dense again)
+sup AS (SELECT seed_id AS super_id, se AS sv FROM seeds, k2_
+        WHERE seed_id < 2 * CAST(ceil(sqrt(k2)) AS BIGINT)),
+-- seed routing, super self-route forced (assign_by_cosine_two_level)
+rexpl AS (SELECT d.seed_id, s.super_id, unnest(d.se)::double AS x,
+                 unnest(s.sv)::double AS y
+          FROM seeds d CROSS JOIN sup s),
+rcs AS (SELECT seed_id, super_id,
+               round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+        FROM rexpl GROUP BY seed_id, super_id),
+route AS (SELECT seed_id,
+                 CASE WHEN seed_id IN (SELECT super_id FROM sup)
+                      THEN seed_id ELSE super_id END AS super_id
+          FROM (SELECT seed_id, super_id,
+                       row_number() OVER (PARTITION BY seed_id
+                                          ORDER BY cs DESC, super_id) AS rn
+                FROM rcs) z WHERE rn = 1),
+allv AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+-- level 1: vector -> super
+qexpl AS (SELECT c.vec_id, s.super_id, unnest(c.embedding)::double AS x,
+                 unnest(s.sv)::double AS y
+          FROM allv c CROSS JOIN sup s),
+qcs AS (SELECT vec_id, super_id,
+               round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+        FROM qexpl GROUP BY vec_id, super_id),
+qsup AS (SELECT vec_id, super_id FROM
+         (SELECT vec_id, super_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, super_id) AS rn
+          FROM qcs) z WHERE rn = 1),
+-- level 2: argmax within the routed group
+lexpl AS (SELECT q.vec_id, r.seed_id, unnest(c.embedding)::double AS x,
+                 unnest(d.se)::double AS y
+          FROM qsup q
+          JOIN route r ON r.super_id = q.super_id
+          JOIN allv c ON c.vec_id = q.vec_id
+          JOIN seeds d ON d.seed_id = r.seed_id),
+lcs AS (SELECT vec_id, seed_id,
+               round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+        FROM lexpl GROUP BY vec_id, seed_id),
+assign AS (SELECT vec_id, seed_id AS cluster_id FROM
+           (SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, seed_id) AS rn
+            FROM lcs) z WHERE rn = 1),
+cand AS (SELECT b.vec_id AS b_id, c.vec_id AS c_id, ab.cluster_id
+         FROM batch b JOIN assign ab ON ab.vec_id = b.vec_id
+              JOIN assign ac ON ac.cluster_id = ab.cluster_id
+              JOIN corpus c ON c.vec_id = ac.vec_id),
+pexpl AS (SELECT p.b_id, p.c_id, p.cluster_id,
+                 unnest(eb.embedding)::double AS x, unnest(ec.embedding)::double AS y
+          FROM cand p JOIN batch eb ON eb.vec_id = p.b_id
+                      JOIN corpus ec ON ec.vec_id = p.c_id),
+near AS (SELECT b_id, c_id, cluster_id,
+                round(sum(x*y)/(sqrt(sum(x*x))*sqrt(sum(y*y))), 6) AS cs
+         FROM pexpl GROUP BY b_id, c_id, cluster_id)
+SELECT b_id AS vec_id, cluster_id, min(c_id) AS dup_of
+FROM near WHERE cs >= {SEMDEDUP_THRESHOLD} GROUP BY b_id, cluster_id
+"""
+
+
+@query(
+    "dedup_semantic_flipped",
+    SEMDEDUP_FLIP_ORACLE,
+    survey_ref="training: policy-driven assign-mode flip (flat→two_level at the k threshold) under the oracle",
+)
+def dedup_semantic_flipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ASSIGN-MODE FLIP under the oracle (round 10 — VERDICT r9 next
+    #1's graded artifact): a two-epoch policy-on ingest whose bootstrap
+    quantizer is tiny (k0={SEMFLIP_K0}, target={SEMFLIP_TARGET}) so the
+    epoch-0 density trigger fires a requantize whose grown k crosses
+    ``two_level_k_threshold={SEMFLIP_THRESHOLD}`` — the policy flips the
+    assignment rule flat→two_level INSIDE that rebuild's CAS commit, and
+    the final screen must assign the batch under the stored two-level
+    rule. The oracle replays the trigger arithmetic (k growth with
+    slack), the grown smallest-id seed set, the ceil(√k) super-seed
+    prefix, the forced super self-routing, BOTH argmax levels for every
+    corpus and batch vector, and the cluster-confined gate — a stale
+    rule, a wrong k, a missed flip, or a routing divergence each changes
+    cluster_id or the flagged set and breaks the hash. (When nothing
+    trips — degenerate tiny inputs — k stays {SEMFLIP_K0} and two-level
+    equals flat exactly, every seed being its own super, so the replay
+    is correct at every corpus size.)"""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tipoca_stream_spark.operators.incremental_semantic import (
+        IncrementalSemanticDeduper,
+    )
+    from tipoca_stream_spark.operators.index_maintenance import (
+        IndexMaintenancePolicy,
+    )
+
+    emb = _embs(spark, sf_dir)
+    mid = emb.count() // 2
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seeds = corpus.filter(F.col("vec_id") < 2 * SEMFLIP_K0).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    batch = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 0).select(
+                (F.col("vec_id") + SEMDEDUP_COPY_OFFSET).alias("vec_id"),
+                F.transform("embedding", lambda x: x.cast("double") * 1.5).alias(
+                    "embedding"
+                ),
+            )
+        )
+    )
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:semflip".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"semflip_{tag}")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        pol = IndexMaintenancePolicy(
+            compact_files_per_bucket=4,
+            target_per_cluster=SEMFLIP_TARGET,
+            requantize_trained=False,
+            requantize_slack=float(SEMFLIP_SLACK),
+            two_level_k_threshold=SEMFLIP_THRESHOLD,
+            vacuum_keep=2,
+        )
+        d = IncrementalSemanticDeduper(
+            spark, root, seeds=seeds, threshold=SEMDEDUP_THRESHOLD, policy=pol
+        )
+        d.ingest(corpus.filter(F.col("vec_id") < mid))
+        d.ingest(corpus.filter(F.col("vec_id") >= mid))
+        with open(marker, "w") as f:
+            f.write("ok")
+    else:
+        d = IncrementalSemanticDeduper(spark, root, threshold=SEMDEDUP_THRESHOLD)
+    return d.screen(batch)
+
+
 CONTAINMENT_THRESHOLD = 0.5
 
 
