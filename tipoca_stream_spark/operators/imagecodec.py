@@ -228,7 +228,9 @@ static int extend_v(int v, int s) {
 /* Decode one destuffed entropy segment of a baseline/extended-sequential
    interleaved scan: n_mcus MCUs of nunits data units each (unit u comes
    from component comp_of_unit[u]).  LUT tables and quant tables are
-   per-component rows of [65536] / [64].  Output rows are dequantized
+   per-component POINTERS to [65536] LUT rows / [64] quant rows (the
+   Python side passes the cached per-table numpy views directly —
+   zero copies).  Output rows are dequantized
    raster-order (zigzag applied) int64 coefficient blocks in decode
    order, into a caller-zeroed [n_mcus*nunits][64] buffer.  pred[] is
    the running DC predictor per component (in/out, reset by the caller
@@ -244,8 +246,8 @@ int jpeg_decode_scan_segment(
     const uint8_t *data, long nbytes,
     long n_mcus, int nunits,
     const int32_t *comp_of_unit,
-    const int16_t *dc_sym, const uint8_t *dc_len,
-    const int16_t *ac_sym, const uint8_t *ac_len,
+    const int16_t *const *dc_sym, const uint8_t *const *dc_len,
+    const int16_t *const *ac_sym, const uint8_t *const *ac_len,
     const int32_t *quant,
     int64_t *pred,
     int64_t *out)
@@ -257,10 +259,10 @@ int jpeg_decode_scan_segment(
     for (m = 0; m < n_mcus; m++) {
         for (u = 0; u < nunits; u++, blk += 64) {
             int ci = comp_of_unit[u];
-            const int16_t *ds = dc_sym + (long)ci * 65536;
-            const uint8_t *dl = dc_len + (long)ci * 65536;
-            const int16_t *as = ac_sym + (long)ci * 65536;
-            const uint8_t *al = ac_len + (long)ci * 65536;
+            const int16_t *ds = dc_sym[ci];
+            const uint8_t *dl = dc_len[ci];
+            const int16_t *as = ac_sym[ci];
+            const uint8_t *al = ac_len[ci];
             const int32_t *q = quant + ci * 64;
             int v = peek16(&r);
             int L = dl[v];
@@ -307,8 +309,8 @@ int jpeg_decode_scan_batch(
     const uint8_t *data, const int64_t *offs, long n_segs,
     long n_mcus, long restart_interval, int nunits,
     const int32_t *comp_of_unit,
-    const int16_t *dc_sym, const uint8_t *dc_len,
-    const int16_t *ac_sym, const uint8_t *ac_len,
+    const int16_t *const *dc_sym, const uint8_t *const *dc_len,
+    const int16_t *const *ac_sym, const uint8_t *const *ac_len,
     const int32_t *quant,
     int64_t *out)
 {
@@ -338,35 +340,73 @@ int jpeg_decode_scan_batch(
    v in ASCENDING order — the exact summation order numpy's einsum SOP
    kernels use for these shapes — then level shift, rint (C99
    half-even, same rule as np.rint), clamp, store.  The unit compiles
-   with -ffp-contract=off so FMA can never move a rounding boundary. */
-static void idct_core_to_plane(
-    const double *c, const double *a, double center, double top,
-    uint16_t *dst, long W)
+   with -ffp-contract=off so FMA can never move a rounding boundary.
+
+   Round-10b kernel shape: the accumulator rows live in registers
+   (x-outer loops, measured 1.9x over the memset-and-revisit form) and
+   the kernel is TIERED on the block's coefficient-occupancy bound
+   m = max over nonzero c of max(row, col): a fixed-bound kernel skips
+   only terms whose products are exact (+/-)0.0 (all-zero coefficient
+   rows u > m in pass 1; t columns v > m in pass 2, themselves sums of
+   zero products).  Dropping a zero addend can only flip the sign of a
+   zero partial, never a nonzero magnitude, and the sign of zero is
+   erased at the +center (>= 128) level shift before rint — so every
+   tier is BIT-IDENTICAL to the full ascending-order sum, and to the
+   numpy einsum chain (pinned by the parity suite).  Bounds are upper
+   bounds: overshooting m (e.g. a zeroed-by-quant coefficient counted
+   as occupied) only adds back exact-zero terms.  Fixed tier bounds
+   (2/4/6/8) keep every loop fully unrollable/vectorizable — a
+   variable-bound kernel measured SLOWER than the dense one. */
+#define IDCT_KERN(NAME, UB, VB)                                         \
+static void NAME(const double *c, const double *a, double center,      \
+                 double top, uint16_t *dst, long W)                     \
+{                                                                       \
+    double t[8][VB];                                                    \
+    int x, y, u, v;                                                     \
+    for (x = 0; x < 8; x++) {                                           \
+        double acc[VB];                                                 \
+        for (v = 0; v < VB; v++) acc[v] = 0.0;                          \
+        for (u = 0; u < UB; u++) {                                      \
+            double aux = a[u*8+x];                                      \
+            const double *cu = c + u*8;                                 \
+            for (v = 0; v < VB; v++) acc[v] += aux * cu[v];             \
+        }                                                               \
+        for (v = 0; v < VB; v++) t[x][v] = acc[v];                      \
+    }                                                                   \
+    for (x = 0; x < 8; x++) {                                           \
+        double acc[8] = {0,0,0,0,0,0,0,0};                              \
+        for (v = 0; v < VB; v++) {                                      \
+            double txv = t[x][v];                                       \
+            const double *av = a + v*8;                                 \
+            for (y = 0; y < 8; y++) acc[y] += txv * av[y];              \
+        }                                                               \
+        uint16_t *d = dst + x * W;                                      \
+        for (y = 0; y < 8; y++) {                                       \
+            double px = rint(acc[y] + center);                          \
+            if (px < 0.0) px = 0.0;                                     \
+            if (px > top) px = top;                                     \
+            d[y] = (uint16_t)px;                                        \
+        }                                                               \
+    }                                                                   \
+}
+
+IDCT_KERN(idct_k22, 2, 2)
+IDCT_KERN(idct_k44, 4, 4)
+IDCT_KERN(idct_k66, 6, 6)
+IDCT_KERN(idct_k88, 8, 8)
+
+/* DC-only tier: t[x][0] = a[0*8+x]*c[0] (row 0 of the basis), every
+   other t entry an exact zero; o[x][y] = t[x][0]*a[0*8+y].  Same
+   product order as the full sum's surviving terms. */
+static void idct_kdc(const double *c, const double *a, double center,
+                     double top, uint16_t *dst, long W)
 {
-    double t[64], o[64];
-    int x, y, u, v;
-    memset(t, 0, sizeof(t));
-    for (u = 0; u < 8; u++) {
-        const double *cu = c + u*8;
-        for (x = 0; x < 8; x++) {
-            double aux = a[u*8+x];
-            double *tx = t + x*8;
-            for (v = 0; v < 8; v++) tx[v] += aux * cu[v];
-        }
-    }
-    memset(o, 0, sizeof(o));
-    for (v = 0; v < 8; v++) {
-        const double *av = a + v*8;
-        for (x = 0; x < 8; x++) {
-            double txv = t[x*8+v];
-            double *ox = o + x*8;
-            for (y = 0; y < 8; y++) ox[y] += txv * av[y];
-        }
-    }
+    int x, y;
     for (x = 0; x < 8; x++) {
+        double t0 = a[x] * c[0];
         uint16_t *d = dst + x * W;
         for (y = 0; y < 8; y++) {
-            double px = rint(o[x*8+y] + center);
+            double px = rint(t0 * a[y] + center);
             if (px < 0.0) px = 0.0;
             if (px > top) px = top;
             d[y] = (uint16_t)px;
@@ -374,14 +414,33 @@ static void idct_core_to_plane(
     }
 }
 
+static void idct_core_dispatch(
+    const double *c, const double *a, double center, double top,
+    uint16_t *dst, long W, int m)
+{
+    if (m == 0)     idct_kdc(c, a, center, top, dst, W);
+    else if (m < 2) idct_k22(c, a, center, top, dst, W);
+    else if (m < 4) idct_k44(c, a, center, top, dst, W);
+    else if (m < 6) idct_k66(c, a, center, top, dst, W);
+    else            idct_k88(c, a, center, top, dst, W);
+}
+
+/* Dense entry point kept for callers without an occupancy bound. */
+static void idct_core_to_plane(
+    const double *c, const double *a, double center, double top,
+    uint16_t *dst, long W)
+{
+    idct_k88(c, a, center, top, dst, W);
+}
+
 static void idct_block_to_plane(
     const int64_t *blk, const double *a, double center, double top,
-    uint16_t *dst, long W)
+    uint16_t *dst, long W, int m)
 {
     double c[64];
     int i;
     for (i = 0; i < 64; i++) c[i] = (double)blk[i];
-    idct_core_to_plane(c, a, center, top, dst, W);
+    idct_core_dispatch(c, a, center, top, dst, W, m);
 }
 
 /* FUSED sequential decode (round 10, the "IDCT in the same unit that
@@ -399,8 +458,8 @@ int jpeg_decode_scan_fused(
     const uint8_t *data, const int64_t *offs, long n_segs,
     long n_mcus, long restart_interval, int nunits,
     const int32_t *comp_of_unit, const int32_t *unit_block,
-    const int16_t *dc_sym, const uint8_t *dc_len,
-    const int16_t *ac_sym, const uint8_t *ac_len,
+    const int16_t *const *dc_sym, const uint8_t *const *dc_len,
+    const int16_t *const *ac_sym, const uint8_t *const *ac_len,
     const int32_t *quant,
     const int32_t *vi_arr, const int32_t *hi_arr,
     uint16_t **plane_ptrs, const int64_t *plane_w,
@@ -427,16 +486,17 @@ int jpeg_decode_scan_fused(
             for (u = 0; u < nunits; u++) {
                 int ci = comp_of_unit[u];
                 int j = unit_block[u];
-                const int16_t *ds = dc_sym + (long)ci * 65536;
-                const uint8_t *dl = dc_len + (long)ci * 65536;
-                const int16_t *as = ac_sym + (long)ci * 65536;
-                const uint8_t *al = ac_len + (long)ci * 65536;
+                const int16_t *ds = dc_sym[ci];
+                const uint8_t *dl = dc_len[ci];
+                const int16_t *as = ac_sym[ci];
+                const uint8_t *al = ac_len[ci];
                 const int32_t *q = quant + ci * 64;
                 int vi = vi_arr[ci], hi = hi_arr[ci];
                 int byy = j / hi, bxx = j % hi;
                 long row0 = (my * (long)vi + byy) * 8;
                 long col0 = (mx * (long)hi + bxx) * 8;
                 int64_t blk[64];
+                int occ = 0;  /* max(row, col) over written coefficients */
                 int v = peek16(&r);
                 int L = dl[v];
                 int s;
@@ -448,7 +508,7 @@ int jpeg_decode_scan_fused(
                 blk[0] = pred[ci] * (int64_t)q[0];
                 k = 0;
                 while (k < 63) {
-                    int rs, run, size, zz;
+                    int rs, run, size, zz, zr, zc;
                     v = peek16(&r);
                     L = al[v];
                     if (L == 0) return -1;
@@ -465,11 +525,14 @@ int jpeg_decode_scan_fused(
                     zz = ZIGZAG[k];
                     blk[zz] = (int64_t)extend_v(read_bits(&r, size), size)
                               * q[zz];
+                    zr = zz >> 3; zc = zz & 7;
+                    if (zr > occ) occ = zr;
+                    if (zc > occ) occ = zc;
                 }
                 idct_block_to_plane(
                     blk, basis, center, top,
                     plane_ptrs[ci] + row0 * plane_w[ci] + col0,
-                    plane_w[ci]);
+                    plane_w[ci], occ);
             }
         }
         done += n_seg;
@@ -501,8 +564,8 @@ int jpeg_decode_prog_segment(
     const int32_t *trip,
     int64_t **grid_ptrs,
     const int32_t *gb_w,
-    const int16_t *dc_sym, const uint8_t *dc_len,
-    const int16_t *ac_sym, const uint8_t *ac_len,
+    const int16_t *const *dc_sym, const uint8_t *const *dc_len,
+    const int16_t *const *ac_sym, const uint8_t *const *ac_len,
     int ss, int se, int ah, int al,
     int64_t *pred)  /* int64 like the sequential pred: see ADVICE r9 note */
 {
@@ -519,8 +582,8 @@ int jpeg_decode_prog_segment(
             long by = t[1], bx = t[2];
             int64_t *block = grid_ptrs[ci] + (by * gb_w[ci] + bx) * 64;
             if (ss == 0 && ah == 0) {
-                const int16_t *ds = dc_sym + (long)ci * 65536;
-                const uint8_t *dl = dc_len + (long)ci * 65536;
+                const int16_t *ds = dc_sym[ci];
+                const uint8_t *dl = dc_len[ci];
                 int v = peek16(&r);
                 int L = dl[v];
                 int s, diff;
@@ -533,8 +596,8 @@ int jpeg_decode_prog_segment(
             } else if (ss == 0) {
                 if (read_bit1(&r)) block[0] = block[0] | p1;
             } else if (ah == 0) {
-                const int16_t *as = ac_sym + (long)ci * 65536;
-                const uint8_t *al_tab = ac_len + (long)ci * 65536;
+                const int16_t *as = ac_sym[ci];
+                const uint8_t *al_tab = ac_len[ci];
                 int k;
                 if (eobrun) { eobrun--; continue; }
                 k = ss;
@@ -560,8 +623,8 @@ int jpeg_decode_prog_segment(
                     k += 1;
                 }
             } else {
-                const int16_t *as = ac_sym + (long)ci * 65536;
-                const uint8_t *al_tab = ac_len + (long)ci * 65536;
+                const int16_t *as = ac_sym[ci];
+                const uint8_t *al_tab = ac_len[ci];
                 int k = ss;
                 if (eobrun == 0) {
                     while (k <= se) {
@@ -648,9 +711,30 @@ int jpeg_idct_plane(
         int byy = (int)(r / hi), bxx = (int)(r % hi);
         long row0 = (my * (long)vi + byy) * 8;
         long col0 = (mx * (long)hi + bxx) * 8;
-        if (q) { for (i = 0; i < 64; i++) c[i] = (double)blk[i] * q[i]; }
-        else   { for (i = 0; i < 64; i++) c[i] = (double)blk[i]; }
-        idct_core_to_plane(c, a, center, top, plane + row0 * W + col0, W);
+        /* occupancy bound from the raw int64 coefficients (blk[i] == 0
+           stays zero after dequant; an upper bound is always safe) */
+        int occ = 0;
+        if (q) {
+            for (i = 0; i < 64; i++) {
+                c[i] = (double)blk[i] * q[i];
+                if (blk[i]) {
+                    int zr = i >> 3, zc = i & 7;
+                    if (zr > occ) occ = zr;
+                    if (zc > occ) occ = zc;
+                }
+            }
+        } else {
+            for (i = 0; i < 64; i++) {
+                c[i] = (double)blk[i];
+                if (blk[i]) {
+                    int zr = i >> 3, zc = i & 7;
+                    if (zr > occ) occ = zr;
+                    if (zc > occ) occ = zc;
+                }
+            }
+        }
+        idct_core_dispatch(c, a, center, top, plane + row0 * W + col0, W,
+                           occ);
     }
     return 0;
 }
@@ -937,6 +1021,49 @@ class _HuffTable:
 
 
 _HUFF_CACHE: dict = {}
+_ZERO_LUT = None  # (sym int16[65536] zeros, len uint8[65536] zeros)
+
+
+def _huff_ptr_tables(sel, huff, ncomp):
+    """Per-component LUT POINTER arrays for the C decoders (round 10b):
+    the flat (ncomp, 65536) table copies cost ~1.5 MB of allocation +
+    memcpy per scan — more than the progressive entropy decode itself —
+    so the C side now takes per-component pointers into the cached
+    np_tables() views directly, zero copies.  Components a scan does
+    not cover (or whose table class is absent) point at an all-zero
+    LUT row: its len[peek] == 0 makes any accidental dereference fail
+    with the same "invalid Huffman code" the flat layout produced.
+    Returns (dc_sym, dc_len, ac_sym, ac_len) c_void_p arrays plus a
+    keepalive list the caller must hold across the C call."""
+    import ctypes
+
+    import numpy as np
+
+    global _ZERO_LUT
+    if _ZERO_LUT is None:
+        _ZERO_LUT = (
+            np.zeros(65536, np.int16),
+            np.zeros(65536, np.uint8),
+        )
+    zsym, zlen = _ZERO_LUT
+    arrs = [(ctypes.c_void_p * ncomp)() for _ in range(4)]
+    dc_s, dc_l, ac_s, ac_l = arrs
+    for ci in range(ncomp):
+        dc_s[ci] = ac_s[ci] = zsym.ctypes.data
+        dc_l[ci] = ac_l[ci] = zlen.ctypes.data
+    keep = [zsym, zlen]
+    for ci, dc_id, ac_id in sel:
+        t = huff.get((0, dc_id))
+        if t is not None:
+            s, ln = t.np_tables()
+            dc_s[ci], dc_l[ci] = s.ctypes.data, ln.ctypes.data
+            keep += [s, ln]
+        t = huff.get((1, ac_id))
+        if t is not None:
+            s, ln = t.np_tables()
+            ac_s[ci], ac_l[ci] = s.ctypes.data, ln.ctypes.data
+            keep += [s, ln]
+    return dc_s, dc_l, ac_s, ac_l, keep
 
 
 def _build_huffman(counts, symbols):
@@ -1175,16 +1302,9 @@ def _decode_sequential_native(
     nunits = len(comp_of_unit)
     cou = np.asarray(comp_of_unit, dtype=np.int32)
     ub = np.asarray(unit_block, dtype=np.int32)
-    dc_sym = np.empty((ncomp, 65536), np.int16)
-    dc_len = np.zeros((ncomp, 65536), np.uint8)
-    ac_sym = np.empty((ncomp, 65536), np.int16)
-    ac_len = np.zeros((ncomp, 65536), np.uint8)
+    dc_s, dc_l, ac_s, ac_l, keep = _huff_ptr_tables(sel, huff, ncomp)
     quant = np.zeros((ncomp, 64), np.int32)
     for ci, dc_id, ac_id in sel:
-        s, ln = huff[(0, dc_id)].np_tables()
-        dc_sym[ci], dc_len[ci] = s, ln
-        s, ln = huff[(1, ac_id)].np_tables()
-        ac_sym[ci], ac_len[ci] = s, ln
         quant[ci] = qt[comps[ci][3]]
     vi_arr = np.asarray([c[2] for c in comps], np.int32)
     hi_arr = np.asarray([c[1] for c in comps], np.int32)
@@ -1202,8 +1322,8 @@ def _decode_sequential_native(
     rc = lib["fused"](
         blob, offs.ctypes.data, len(segments), n_mcus, restart_interval or 0,
         nunits, cou.ctypes.data, ub.ctypes.data,
-        dc_sym.ctypes.data, dc_len.ctypes.data,
-        ac_sym.ctypes.data, ac_len.ctypes.data, quant.ctypes.data,
+        ctypes.addressof(dc_s), ctypes.addressof(dc_l),
+        ctypes.addressof(ac_s), ctypes.addressof(ac_l), quant.ctypes.data,
         vi_arr.ctypes.data, hi_arr.ctypes.data,
         ctypes.addressof(plane_ptrs), plane_w.ctypes.data,
         _idct_basis_c().ctypes.data, center, top, mcus_x,
@@ -1301,16 +1421,11 @@ def _entropy_decode_native(native, segments, sel, comps, qt, huff, n_mcus,
         comp_of_unit += [ci] * (comps[ci][1] * comps[ci][2])
     nunits = len(comp_of_unit)
     cou = np.asarray(comp_of_unit, dtype=np.int32)
-    dc_sym = np.empty((ncomp, 65536), np.int16)
-    dc_len = np.zeros((ncomp, 65536), np.uint8)
-    ac_sym = np.empty((ncomp, 65536), np.int16)
-    ac_len = np.zeros((ncomp, 65536), np.uint8)
+    import ctypes
+
+    dc_s, dc_l, ac_s, ac_l, keep = _huff_ptr_tables(sel, huff, ncomp)
     quant = np.zeros((ncomp, 64), np.int32)
     for ci, dc_id, ac_id in sel:
-        s, ln = huff[(0, dc_id)].np_tables()
-        dc_sym[ci], dc_len[ci] = s, ln
-        s, ln = huff[(1, ac_id)].np_tables()
-        ac_sym[ci], ac_len[ci] = s, ln
         quant[ci] = qt[comps[ci][3]]
     # int64 out/pred (ADVICE r9): malformed 12-bit streams can overflow
     # int32 in the C path while the unbounded-int Python path keeps
@@ -1336,10 +1451,10 @@ def _entropy_decode_native(native, segments, sel, comps, qt, huff, n_mcus,
         restart_interval or 0,
         nunits,
         cou.ctypes.data,
-        dc_sym.ctypes.data,
-        dc_len.ctypes.data,
-        ac_sym.ctypes.data,
-        ac_len.ctypes.data,
+        ctypes.addressof(dc_s),
+        ctypes.addressof(dc_l),
+        ctypes.addressof(ac_s),
+        ctypes.addressof(ac_l),
         quant.ctypes.data,
         out.ctypes.data,
     )
@@ -2598,17 +2713,7 @@ def _decode_prog_scan_native(
             raise ValueError("missing Huffman table")
         if ss != 0 and (1, ac_id) not in huff:
             raise ValueError("missing Huffman table")
-    dc_sym = np.empty((ncomp, 65536), np.int16)
-    dc_len = np.zeros((ncomp, 65536), np.uint8)
-    ac_sym = np.empty((ncomp, 65536), np.int16)
-    ac_len = np.zeros((ncomp, 65536), np.uint8)
-    for ci, dc_id, ac_id in sel:
-        if (0, dc_id) in huff:
-            s, ln = huff[(0, dc_id)].np_tables()
-            dc_sym[ci], dc_len[ci] = s, ln
-        if (1, ac_id) in huff:
-            s, ln = huff[(1, ac_id)].np_tables()
-            ac_sym[ci], ac_len[ci] = s, ln
+    dc_s, dc_l, ac_s, ac_l, keep = _huff_ptr_tables(sel, huff, ncomp)
     grid_ptrs = (ctypes.c_void_p * ncomp)(
         *[g.ctypes.data for g in grids]
     )
@@ -2634,10 +2739,10 @@ def _decode_prog_scan_native(
             trip[done:].ctypes.data,
             ctypes.addressof(grid_ptrs),
             gb_w.ctypes.data,
-            dc_sym.ctypes.data,
-            dc_len.ctypes.data,
-            ac_sym.ctypes.data,
-            ac_len.ctypes.data,
+            ctypes.addressof(dc_s),
+            ctypes.addressof(dc_l),
+            ctypes.addressof(ac_s),
+            ctypes.addressof(ac_l),
             ss,
             se,
             ah,
