@@ -755,25 +755,72 @@ int jpeg_ycbcr_to_rgb(
     long h, long w, double center, double top,
     uint16_t *out)
 {
-    long r, x;
+    /* Row-planar restructuring (round 10b): the interleaved per-pixel
+       loop's x>>rx reads are runtime-shift gathers the vectorizer
+       can't touch, so the whole stage ran scalar.  Split each row
+       chunk into (A) a scalar upsample/convert pass into contiguous
+       double buffers, (B) clean vector loops for the BT.601
+       arithmetic + rint + clamp (the expensive part — now SIMD), and
+       (C) a trivial scalar interleave into the output.  Per-element
+       operations and their order are IDENTICAL to the interleaved
+       form, so the output stays bit-exact with the numpy chain.
+       Fixed 2048-px chunks keep the stack bounded (~82 KB). */
+    enum { CCHUNK = 2048 };
+    double yrow[CCHUNK], cbrow[CCHUNK], crrow[CCHUNK];
+    double rr[CCHUNK], gg[CCHUNK];
+    long r, x0;
+    int i, n;
     for (r = 0; r < h; r++) {
         const uint16_t *yr = yp + (r >> y_ry) * ys;
         const uint16_t *cbr = cbp + (r >> cb_ry) * cbs;
         const uint16_t *crr = crp + (r >> cr_ry) * crs;
         uint16_t *o = out + r * w * 3;
-        for (x = 0; x < w; x++) {
-            double Y = (double)yr[x >> y_rx];
-            double Cb = (double)cbr[x >> cb_rx] - center;
-            double Cr = (double)crr[x >> cr_rx] - center;
-            double R = Y + 1.402 * Cr;
-            double G = Y - 0.344136 * Cb - 0.714136 * Cr;
-            double B = Y + 1.772 * Cb;
-            R = rint(R); if (R < 0.0) R = 0.0; if (R > top) R = top;
-            G = rint(G); if (G < 0.0) G = 0.0; if (G > top) G = top;
-            B = rint(B); if (B < 0.0) B = 0.0; if (B > top) B = top;
-            o[x*3+0] = (uint16_t)R;
-            o[x*3+1] = (uint16_t)G;
-            o[x*3+2] = (uint16_t)B;
+        for (x0 = 0; x0 < w; x0 += CCHUNK) {
+            n = (w - x0 < CCHUNK) ? (int)(w - x0) : CCHUNK;
+            if (y_rx == 0) {
+                const uint16_t *p = yr + x0;
+                for (i = 0; i < n; i++) yrow[i] = (double)p[i];
+            } else {
+                for (i = 0; i < n; i++)
+                    yrow[i] = (double)yr[(x0 + i) >> y_rx];
+            }
+            if (cb_rx == 0) {
+                const uint16_t *p = cbr + x0;
+                for (i = 0; i < n; i++) cbrow[i] = (double)p[i] - center;
+            } else {
+                for (i = 0; i < n; i++)
+                    cbrow[i] = (double)cbr[(x0 + i) >> cb_rx] - center;
+            }
+            if (cr_rx == 0) {
+                const uint16_t *p = crr + x0;
+                for (i = 0; i < n; i++) crrow[i] = (double)p[i] - center;
+            } else {
+                for (i = 0; i < n; i++)
+                    crrow[i] = (double)crr[(x0 + i) >> cr_rx] - center;
+            }
+            for (i = 0; i < n; i++) {
+                double R = rint(yrow[i] + 1.402 * crrow[i]);
+                if (R < 0.0) R = 0.0; if (R > top) R = top;
+                rr[i] = R;
+            }
+            for (i = 0; i < n; i++) {
+                double G = rint(yrow[i] - 0.344136 * cbrow[i]
+                                - 0.714136 * crrow[i]);
+                if (G < 0.0) G = 0.0; if (G > top) G = top;
+                gg[i] = G;
+            }
+            for (i = 0; i < n; i++) {
+                double B = rint(yrow[i] + 1.772 * cbrow[i]);
+                if (B < 0.0) B = 0.0; if (B > top) B = top;
+                /* reuse yrow as the B staging row — its reads are done */
+                yrow[i] = B;
+            }
+            for (i = 0; i < n; i++) {
+                uint16_t *ox = o + (x0 + i) * 3;
+                ox[0] = (uint16_t)rr[i];
+                ox[1] = (uint16_t)gg[i];
+                ox[2] = (uint16_t)yrow[i];
+            }
         }
     }
     return 0;
