@@ -198,9 +198,26 @@ typedef struct {
 } bitreader;
 
 /* Past the end the reader produces 1-bits (T.81 F.1.2.3 padding) — the
-   same over-read tolerance as the Python _BitReader. */
+   same over-read tolerance as the Python _BitReader.  Fast path
+   (round 10b): when >= 6 bytes remain, refill 48 bits in one shot
+   (GCC fuses the explicit byte composition into a single load+bswap);
+   with nbits <= 16 on entry — every consumer peeks/reads at most 16 —
+   the result fits the 64-bit accumulator.  The byte-at-a-time tail
+   with 0xFF padding is unchanged, so the delivered bit-stream is
+   identical. */
 static void fill(bitreader *r, int need) {
     r->acc &= ((((uint64_t)1) << r->nbits) - 1);
+    if (r->nbits <= 16 && r->bp + 6 <= r->n) {
+        const uint8_t *p = r->d + r->bp;
+        uint64_t chunk =
+            ((uint64_t)p[0] << 40) | ((uint64_t)p[1] << 32) |
+            ((uint64_t)p[2] << 24) | ((uint64_t)p[3] << 16) |
+            ((uint64_t)p[4] << 8) | (uint64_t)p[5];
+        r->acc = (r->acc << 48) | chunk;
+        r->nbits += 48;
+        r->bp += 6;
+        return;
+    }
     while (r->nbits < need) {
         uint8_t b = (r->bp < r->n) ? r->d[r->bp] : 0xFF;
         r->bp += 1;
