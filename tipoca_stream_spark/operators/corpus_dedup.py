@@ -329,19 +329,47 @@ def simhash(
     if bits > 32:
         raise ValueError("simhash supports at most 32 bits (one md5 nibble per bit)")
     # one md5 per feature; bit k = lsb of hex nibble k (classic simhash uses
-    # the bits of a single feature hash, not one hash family per bit)
+    # the bits of a single feature hash, not one hash family per bit).
+    # Extraction (round 10b): the per-bit conv(substring(h, k+1, 1)) form
+    # radix-parsed a fresh substring 32 times per feature row — the
+    # query's hottest expression. The same nibble lsbs now come from
+    # ceil(bits/15) conv() calls (15 hex digits = 60 bits fits a long)
+    # followed by JVM-side shiftright/AND — identical bit values, so
+    # signatures, oracles, and downstream bands are unchanged.
     hashed = words.select(F.col(id_col), F.md5(F.col("w")).alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.conv(F.substring(F.col("h"), k + 1, 1), 16, 10).cast("int") % 2 == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v{k}")
-        for k in range(bits)
-    ]
-    agg = hashed.groupBy(id_col).agg(*votes)
+    chunks = []  # (col, n_nibbles) covering nibbles [1, bits]
+    pos = 1
+    while pos <= bits:
+        n = min(15, bits - pos + 1)
+        chunks.append(
+            (F.conv(F.substring(F.col("h"), pos, n), 16, 10).cast("long"), n)
+        )
+        pos += n
+    hashed = hashed.select(
+        F.col(id_col),
+        *[c.alias(f"c{i}") for i, (c, _) in enumerate(chunks)],
+    )
+
+    def _bit(k: int):
+        # nibble k+1 lives in chunk i at nibble offset j (0-based from the
+        # chunk's most-significant nibble); its lsb is bit 4*(n-1-j)
+        rem, i = k, 0
+        while rem >= chunks[i][1]:
+            rem -= chunks[i][1]
+            i += 1
+        shift = 4 * (chunks[i][1] - 1 - rem)
+        return F.shiftright(F.col(f"c{i}"), shift).bitwiseAND(F.lit(1))
+
+    # the ±1 vote sign is recovered at pack time: sum(±1) > 0 iff
+    # 2*sum(bit) > count, so the per-row aggregate input is the raw 0/1
+    # bit (no branch) plus ONE shared count — same signatures exactly
+    votes = [F.sum(_bit(k)).alias(f"v{k}") for k in range(bits)]
+    agg = hashed.groupBy(id_col).agg(*votes, F.count(F.lit(1)).alias("_n"))
     packed = None
     for k in range(bits):
-        bit = F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bit = F.when(
+            F.col(f"v{k}") * 2 > F.col("_n"), F.lit(1 << k)
+        ).otherwise(F.lit(0))
         packed = bit if packed is None else packed + bit
     return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))
 
