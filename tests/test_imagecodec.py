@@ -1756,3 +1756,99 @@ def test_native_idct_color_bit_exact_with_numpy_chain():
         h, w, 128.0, 255.0, out.ctypes.data,
     )
     assert np.array_equal(ref_img, out.astype(np.uint8)), "color diverged"
+
+
+def test_tiered_idct_every_tier_bit_exact():
+    """Round 10b: the IDCT dispatches per block on the coefficient
+    occupancy bound (DC-only / 2x2 / 4x4 / 6x6 / full) — the dense
+    exactness test above never leaves the full tier, so this one
+    constructs blocks that land in EVERY tier, at the tier boundaries,
+    plus the wash-out edge cases the bit-identity argument leans on:
+    zero DC (all-zero block), negative DC only, a single coefficient at
+    each boundary position (occ = 0,1,2,3,4,5,6,7), high-frequency-only
+    blocks (sparse but occ=7), and a quant table with a ZERO entry
+    (a nonzero raw coefficient that dequantizes to exact 0.0 still
+    raises the occupancy bound — upper bounds must stay safe)."""
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    lib = ic._native_lib()
+    if lib is None:
+        import pytest as _pytest
+
+        _pytest.skip("no C compiler on this host")
+    a = ic._idct_basis()
+    rng = np.random.default_rng(23)
+
+    blocks = []
+    # all-zero block and DC-only blocks (positive, negative, zero DC)
+    blocks.append(np.zeros(64, np.int64))
+    for dc in (1, -1, 700, -700):
+        b = np.zeros(64, np.int64)
+        b[0] = dc
+        blocks.append(b)
+    # one coefficient at each occupancy boundary (row, col) = (k, k)
+    for k in range(8):
+        b = np.zeros(64, np.int64)
+        b[k * 8 + k] = 100 - 30 * k
+        blocks.append(b)
+        # and the asymmetric boundaries (0, k) / (k, 0)
+        b = np.zeros(64, np.int64)
+        b[k] = -50 - k
+        blocks.append(b)
+        b = np.zeros(64, np.int64)
+        b[k * 8] = 50 + k
+        blocks.append(b)
+    # high-frequency-only (occ=7 with zero low rows — exercises the
+    # full kernel over mostly-zero input, the ±0.0 wash-out path)
+    b = np.zeros(64, np.int64)
+    b[63] = 999
+    blocks.append(b)
+    # random sparse blocks across tiers
+    for _ in range(25):
+        b = np.zeros(64, np.int64)
+        m = int(rng.integers(0, 8))
+        n_nz = int(rng.integers(1, 6))
+        for _ in range(n_nz):
+            r = int(rng.integers(0, m + 1))
+            c = int(rng.integers(0, m + 1))
+            b[r * 8 + c] = int(rng.integers(-2000, 2000))
+        blocks.append(b)
+    blocks = np.ascontiguousarray(np.stack(blocks).astype(np.int64))
+    n_blocks = blocks.shape[0]
+
+    def ref_plane(arr, gh, gw):
+        ref = np.clip(np.rint(ic._idct_blocks(arr, a) + 128.0), 0, 255)
+        return (
+            ref.astype(np.uint16)
+            .reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+
+    # raster layout, no quant: pad to a rectangle
+    gh, gw = 1, n_blocks
+    arr = blocks.astype(np.float64).reshape(-1, 8, 8)
+    plane_ref = ref_plane(arr, gh, gw)
+    plane_c = np.zeros_like(plane_ref)
+    lib["idct"](
+        blocks.ctypes.data, n_blocks, ic._idct_basis_c().ctypes.data, None,
+        128.0, 255.0, gh, gw, 1, 1, plane_c.ctypes.data,
+    )
+    assert np.array_equal(plane_ref, plane_c), "tiered idct diverged"
+
+    # dequant variant with a ZERO quant entry at (1,1): raw nonzero
+    # coefficients there dequantize to exact 0.0 but still lift the
+    # occupancy bound — the tier must only ever OVERSHOOT
+    q = rng.integers(1, 200, size=64).astype(np.float64)
+    q[9] = 0.0
+    qblocks = blocks.copy()
+    qblocks[:, 9] = 77  # force the zero-quant position nonzero everywhere
+    arr = (qblocks.astype(np.float64) * q).reshape(-1, 8, 8)
+    plane_ref = ref_plane(arr, gh, gw)
+    plane_c = np.zeros_like(plane_ref)
+    qc = np.ascontiguousarray(qblocks)
+    lib["idct"](
+        qc.ctypes.data, n_blocks, ic._idct_basis_c().ctypes.data,
+        q.ctypes.data, 128.0, 255.0, gh, gw, 1, 1, plane_c.ctypes.data,
+    )
+    assert np.array_equal(plane_ref, plane_c), "zero-quant tier diverged"
