@@ -437,3 +437,49 @@ def test_decode_png_rejects_unsupported_variants():
     # the adapter's header-only PNG frames (no IDAT) must decode to None,
     # not crash
     assert mm.decode_png(mm.png_framed(10, 10, b"not idat")) is None
+
+
+def test_decode_png_native_unfilter_matches_pure():
+    """Round 10b: the compiled png_unfilter must be byte-identical to the
+    per-pixel Python loop on arbitrary filtered streams — random data
+    under random per-row filter types (0-4), every color type, including
+    w=1 (the x < ch edge where the left neighbor does not exist)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tipoca_stream_spark.operators import imagecodec as ic
+    from tipoca_stream_spark.operators import multimodal as mm
+
+    if ic._native_lib() is None:
+        import pytest as _pytest
+
+        _pytest.skip("no C compiler on this host")
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    rng = np.random.default_rng(31)
+    for color_type, ch in ((0, 1), (4, 2), (2, 3), (6, 4)):
+        for w, h in ((1, 7), (13, 11), (40, 3)):
+            stride = w * ch
+            raw = bytearray()
+            for _ in range(h):
+                raw.append(int(rng.integers(0, 5)))
+                raw += bytes(rng.integers(0, 256, size=stride, dtype=np.uint8))
+            ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                    + bytes([8, color_type, 0, 0, 0]))
+            payload = (mm.PNG_SIG + chunk(b"IHDR", ihdr)
+                       + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                       + chunk(b"IEND", b""))
+            native = mm.decode_png(payload)
+            saved, ic._NATIVE = ic._NATIVE, None
+            saved_tried, ic._NATIVE_TRIED = ic._NATIVE_TRIED, True
+            try:
+                pure = mm.decode_png(payload)
+            finally:
+                ic._NATIVE, ic._NATIVE_TRIED = saved, saved_tried
+            assert native is not None and pure is not None
+            assert np.array_equal(native, pure), (color_type, w, h)

@@ -842,6 +842,57 @@ int jpeg_ycbcr_to_rgb(
     }
     return 0;
 }
+
+/* PNG per-row unfilter (round 10b; PNG spec 9: None/Sub/Up/Average/
+   Paeth).  multimodal.decode_png's pure path undoes Sub/Average/Paeth
+   with a per-PIXEL Python loop (the left-neighbor dependency defeats
+   numpy) — ~0.3 MB/s on photographic images, the decoder family's
+   worst remaining floor.  rows is the inflated stream as h rows of
+   (1 filter byte + stride data bytes); out receives h*stride unfiltered
+   bytes.  uint8 wraparound == the Python path's & 0xFF.  Returns -1 on
+   an unknown filter type (caller raises the same ValueError). */
+int png_unfilter(const uint8_t *rows, long h, long stride, int ch,
+                 uint8_t *out)
+{
+    long y, x;
+    for (y = 0; y < h; y++) {
+        const uint8_t *line = rows + y * (stride + 1) + 1;
+        const uint8_t *up = (y > 0) ? out + (y - 1) * stride : NULL;
+        uint8_t *cur = out + y * stride;
+        int f = rows[y * (stride + 1)];
+        if (f == 0) {
+            memcpy(cur, line, stride);
+        } else if (f == 2) {
+            if (up) { for (x = 0; x < stride; x++) cur[x] = (uint8_t)(line[x] + up[x]); }
+            else memcpy(cur, line, stride);
+        } else if (f == 1) {
+            for (x = 0; x < stride && x < ch; x++) cur[x] = line[x];
+            for (x = ch; x < stride; x++)
+                cur[x] = (uint8_t)(line[x] + cur[x - ch]);
+        } else if (f == 3) {
+            for (x = 0; x < stride && x < ch; x++)
+                cur[x] = (uint8_t)(line[x] + ((up ? up[x] : 0) >> 1));
+            for (x = ch; x < stride; x++)
+                cur[x] = (uint8_t)(line[x]
+                                   + ((cur[x - ch] + (up ? up[x] : 0)) >> 1));
+        } else if (f == 4) {
+            for (x = 0; x < stride; x++) {
+                int left = (x >= ch) ? cur[x - ch] : 0;
+                int u = up ? up[x] : 0;
+                int ul = (up && x >= ch) ? up[x - ch] : 0;
+                int p = left + u - ul;
+                int pa = p - left; if (pa < 0) pa = -pa;
+                int pb = p - u;    if (pb < 0) pb = -pb;
+                int pc = p - ul;   if (pc < 0) pc = -pc;
+                cur[x] = (uint8_t)(line[x]
+                    + ((pa <= pb && pa <= pc) ? left : ((pb <= pc) ? u : ul)));
+            }
+        } else {
+            return -1;
+        }
+    }
+    return 0;
+}
 """
 
 _NATIVE = None  # {"scan": fn, "prog": fn} once loaded
@@ -1021,9 +1072,19 @@ def _native_lib():
             + [ctypes.c_long, ctypes.c_long, ctypes.c_double, ctypes.c_double]
             + [ctypes.c_void_p]
         )
+        unfilter = lib.png_unfilter
+        unfilter.restype = ctypes.c_int
+        unfilter.argtypes = [
+            ctypes.c_void_p,  # rows: h * (1 filter byte + stride bytes)
+            ctypes.c_long,  # h
+            ctypes.c_long,  # stride (bytes per unfiltered row)
+            ctypes.c_int,  # ch (bytes per pixel at 8-bit depth)
+            ctypes.c_void_p,  # out uint8[h*stride]
+        ]
         _NATIVE = {
             "scan": scan, "scan_batch": scan_batch, "fused": fused,
             "prog": prog, "idct": idct, "rgb": rgb,
+            "png_unfilter": unfilter,
         }
     except Exception:
         _NATIVE = None
