@@ -1852,3 +1852,57 @@ def test_tiered_idct_every_tier_bit_exact():
         q.ctypes.data, 128.0, 255.0, gh, gw, 1, 1, plane_c.ctypes.data,
     )
     assert np.array_equal(plane_ref, plane_c), "zero-quant tier diverged"
+
+
+def test_gif_lzw_native_matches_pure():
+    """Round 10b: the compiled GIF LZW must be byte-identical to the
+    Python loop — on real encoder output (round-trips through
+    _lzw_encode, exercising table growth, width changes, clear codes)
+    AND on random junk streams, where both paths must produce the same
+    output or raise the same ValueError."""
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    if ic._native_lib() is None:
+        import pytest as _pytest
+
+        _pytest.skip("no C compiler on this host")
+    rng = np.random.default_rng(41)
+
+    # encoder round-trips across min code sizes and repetitive inputs
+    # (KwKwK arises from runs like aaaa...)
+    for mcs in (2, 4, 8):
+        alphabet = 1 << mcs
+        for kind in ("runs", "random", "alternating"):
+            if kind == "runs":
+                idx = np.repeat(
+                    rng.integers(0, alphabet, 50), rng.integers(1, 30, 50)
+                )
+            elif kind == "random":
+                idx = rng.integers(0, alphabet, 3000)
+            else:
+                idx = np.tile(np.arange(min(alphabet, 4)), 800)
+            idx = [int(v) for v in idx]
+            data = ic._lzw_encode(idx, mcs)
+            pure = ic._lzw_decode(data, mcs, len(idx))
+            fast = ic._lzw_decode_fast(data, mcs, len(idx))
+            assert list(fast) == list(pure) == idx, (mcs, kind)
+
+    # junk fuzz: identical output or identical error
+    for trial in range(300):
+        mcs = int(rng.integers(2, 9))
+        data = bytes(rng.integers(0, 256, size=rng.integers(1, 120),
+                                  dtype=np.uint8))
+        maxpx = int(rng.integers(1, 500))
+        try:
+            pure = ic._lzw_decode(data, mcs, maxpx)
+            pure_err = None
+        except ValueError as e:
+            pure, pure_err = None, str(e)
+        try:
+            fast = ic._lzw_decode_fast(data, mcs, maxpx)
+            fast_err = None
+        except ValueError as e:
+            fast, fast_err = None, str(e)
+        assert pure_err == fast_err, (trial, pure_err, fast_err)
+        if pure_err is None:
+            assert list(fast) == list(pure), trial

@@ -893,6 +893,88 @@ int png_unfilter(const uint8_t *rows, long h, long stride, int ch,
     }
     return 0;
 }
+
+/* GIF LZW decode (round 10b) — mirrors _lzw_decode exactly: LSB-first
+   packed codes, variable width with growth AFTER emission, clear/end
+   codes, KwKwK, table capped at 4096, output tolerated past max_pixels
+   by one final entry (the Python path extends THEN checks).  The table
+   is (prefix, last char, first char, length) arrays; entries emit by
+   walking the prefix chain backwards straight into out.  out must hold
+   max_pixels + 4097 bytes.  Returns 0 with *n_out set, -1 for a first
+   code not in the root table, -2 for a code past next_code. */
+int gif_lzw_decode(const uint8_t *data, long nbytes, int min_code_size,
+                   long max_pixels, uint8_t *out, long *n_out)
+{
+    int clear = 1 << min_code_size;
+    int end = clear + 1;
+    int code_size = min_code_size + 1;
+    int next_code = end + 1;
+    uint16_t prefix[4096];
+    uint8_t lastc[4096], firstc[4096];
+    int32_t len_[4096];
+    uint64_t acc = 0;
+    int nbits = 0, prev = -1, i;
+    long pos = 0, n = 0;
+    for (i = 0; i < clear && i < 4096; i++) {
+        prefix[i] = 0xFFFF; lastc[i] = (uint8_t)i;
+        firstc[i] = (uint8_t)i; len_[i] = 1;
+    }
+    while (pos < nbytes) {
+        acc |= ((uint64_t)data[pos++]) << nbits;
+        nbits += 8;
+        while (nbits >= code_size) {
+            int code = (int)(acc & ((1u << code_size) - 1));
+            long L, j;
+            int c;
+            acc >>= code_size;
+            nbits -= code_size;
+            if (code == clear) {
+                code_size = min_code_size + 1;
+                next_code = end + 1;
+                prev = -1;
+                continue;
+            }
+            if (code == end) { *n_out = n; return 0; }
+            if (prev < 0) {
+                if (code >= clear) return -1;
+            } else if (code < next_code) {
+                /* in-table (clear/end can't reach here) */
+                if (next_code < 4096) {
+                    prefix[next_code] = (uint16_t)prev;
+                    lastc[next_code] = firstc[code];
+                    firstc[next_code] = firstc[prev];
+                    len_[next_code] = len_[prev] + 1;
+                    next_code += 1;
+                }
+            } else if (code == next_code) {  /* KwKwK */
+                if (next_code < 4096) {
+                    prefix[next_code] = (uint16_t)prev;
+                    lastc[next_code] = firstc[prev];
+                    firstc[next_code] = firstc[prev];
+                    len_[next_code] = len_[prev] + 1;
+                    next_code += 1;
+                    code = next_code - 1;  /* emit the entry just built */
+                } else {
+                    return -2;  /* unreachable: codes stop at 4095 */
+                }
+            } else {
+                return -2;
+            }
+            L = len_[code];
+            for (j = L - 1, c = code; j >= 0; j--) {
+                out[n + j] = lastc[c];
+                c = prefix[c];
+            }
+            n += L;
+            if (n > max_pixels) { *n_out = n; return 0; }
+            if (next_code == (1 << code_size) && code_size < 12)
+                code_size += 1;
+            prev = code;
+        }
+    }
+    *n_out = n;
+    return 0;
+}
 """
 
 _NATIVE = None  # {"scan": fn, "prog": fn} once loaded
@@ -1081,10 +1163,20 @@ def _native_lib():
             ctypes.c_int,  # ch (bytes per pixel at 8-bit depth)
             ctypes.c_void_p,  # out uint8[h*stride]
         ]
+        lzw = lib.gif_lzw_decode
+        lzw.restype = ctypes.c_int
+        lzw.argtypes = [
+            ctypes.c_char_p,  # packed LZW stream
+            ctypes.c_long,  # nbytes
+            ctypes.c_int,  # min_code_size
+            ctypes.c_long,  # max_pixels
+            ctypes.c_void_p,  # out uint8[max_pixels + 4097]
+            ctypes.c_void_p,  # n_out long*
+        ]
         _NATIVE = {
             "scan": scan, "scan_batch": scan_batch, "fused": fused,
             "prog": prog, "idct": idct, "rgb": rgb,
-            "png_unfilter": unfilter,
+            "png_unfilter": unfilter, "gif_lzw": lzw,
         }
     except Exception:
         _NATIVE = None
@@ -3070,6 +3162,33 @@ def _decode_progressive_scan(
                     eobrun -= 1
 
 
+def _lzw_decode_fast(data: bytes, min_code_size: int, max_pixels: int):
+    """Compiled GIF LZW when available (round 10b; byte-identical to
+    _lzw_decode — parity-pinned), else the pure-Python loop.  Returns a
+    uint8 ndarray (native) or list (pure); callers use only len/slice,
+    which both support."""
+    lib = _native_lib()
+    # mcs <= 8 keeps every root index a uint8 (GIF's legal range); a
+    # malformed wider mcs decodes through the pure path unchanged
+    if lib is not None and 1 <= min_code_size <= 8:
+        import ctypes
+
+        import numpy as np
+
+        out = np.empty(max_pixels + 4097, np.uint8)
+        n_out = ctypes.c_long(0)
+        rc = lib["gif_lzw"](
+            bytes(data), len(data), min_code_size, max_pixels,
+            out.ctypes.data, ctypes.addressof(n_out),
+        )
+        if rc == -1:
+            raise ValueError("GIF LZW: first code not in table")
+        if rc == -2:
+            raise ValueError("GIF LZW: code out of range")
+        return out[: n_out.value]
+    return _lzw_decode(data, min_code_size, max_pixels)
+
+
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
     """GIF LZW decode (LSB-first packed codes, variable width, clear /
     end codes, KwKwK case). Returns the index stream as a list."""
@@ -3259,7 +3378,7 @@ def decode_gif(payload: bytes):
             n = payload[pos]
             lzw += payload[pos + 1 : pos + 1 + n]
             pos += 1 + n
-        indices = _lzw_decode(bytes(lzw), min_code_size, iw * ih)
+        indices = _lzw_decode_fast(bytes(lzw), min_code_size, iw * ih)
         if len(indices) < iw * ih:
             raise ValueError("GIF pixel data underrun")
         idx = np.array(indices[: iw * ih], dtype=np.int64).reshape(ih, iw)
