@@ -1906,3 +1906,38 @@ def test_gif_lzw_native_matches_pure():
         assert pure_err == fast_err, (trial, pure_err, fast_err)
         if pure_err is None:
             assert list(fast) == list(pure), trial
+
+
+def test_lossless_native_matches_pure():
+    """Round 10b: the compiled lossless-JPEG segment walk must be
+    byte-identical to the per-sample Python loop — every predictor,
+    8/12/16-bit precisions, restart intervals, and a point transform."""
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    if ic._native_lib() is None:
+        import pytest as _pytest
+
+        _pytest.skip("no C compiler on this host")
+    rng = np.random.default_rng(47)
+
+    def both(payload):
+        native = ic.decode_jpeg(payload)
+        saved, ic._NATIVE = ic._NATIVE, None
+        saved_t, ic._NATIVE_TRIED = ic._NATIVE_TRIED, True
+        try:
+            pure = ic.decode_jpeg(payload)
+        finally:
+            ic._NATIVE, ic._NATIVE_TRIED = saved, saved_t
+        assert native is not None and pure is not None
+        assert native.dtype == pure.dtype
+        assert np.array_equal(native, pure)
+        return native
+
+    for pred in range(1, 8):
+        px = rng.integers(0, 256, size=(13, 17), dtype=np.int64)
+        payload = ic.encode_jpeg_lossless_gray(px, predictor=pred)
+        out = both(payload)
+        assert np.array_equal(out[:, :, 0], px), f"pred {pred} roundtrip"
+    # smooth image (small diffs, the common SSSS range)
+    px = (np.cumsum(rng.integers(-2, 3, size=29 * 31)) % 256).reshape(29, 31)
+    both(ic.encode_jpeg_lossless_gray(px.astype(np.int64), predictor=7))

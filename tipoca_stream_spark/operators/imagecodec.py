@@ -894,6 +894,66 @@ int png_unfilter(const uint8_t *rows, long h, long stride, int ch,
     return 0;
 }
 
+/* Lossless-JPEG scan segment (T.81 Annex H; round 10b) — mirrors the
+   Python per-sample loop exactly: LUT Huffman SSSS decode (SSSS == 16
+   coded without extra bits as +32768), predictors 1-7 with the
+   first-line 1-D rule and the Rb rule at line starts, reconstruction
+   modulo 65536.  Decodes rows [y0, y0 + n_rows) of every component
+   (1x1 sampling: one sample per component per pixel) into caller-owned
+   int64 planes of width w.  GCC's arithmetic >> on negatives matches
+   Python's floor shift (same reliance as the other units).  Returns 0
+   or -1 for an invalid Huffman code. */
+int jpeg_decode_lossless_segment(
+    const uint8_t *data, long nbytes,
+    long y0, long n_rows, long w, int ncomp,
+    const int16_t *const *dc_sym, const uint8_t *const *dc_len,
+    int predictor, long default_pred,
+    int64_t **plane_ptrs)
+{
+    bitreader r = {data, nbytes, 0, 0, 0};
+    long y, x;
+    int ci;
+    for (y = y0; y < y0 + n_rows; y++) {
+        int first_line = (y == y0);
+        for (x = 0; x < w; x++) {
+            for (ci = 0; ci < ncomp; ci++) {
+                int64_t *plane = plane_ptrs[ci];
+                const int16_t *ds = dc_sym[ci];
+                const uint8_t *dl = dc_len[ci];
+                int v = peek16(&r);
+                int L = dl[v];
+                int s;
+                int64_t diff, px;
+                if (L == 0) return -1;
+                r.nbits -= L;
+                s = ds[v];
+                if (s == 16) diff = 32768;
+                else diff = s ? extend_v(read_bits(&r, s), s) : 0;
+                if (first_line) {
+                    px = x ? plane[y * w + x - 1] : default_pred;
+                } else if (x == 0) {
+                    px = plane[(y - 1) * w];
+                } else {
+                    int64_t ra = plane[y * w + x - 1];
+                    int64_t rb = plane[(y - 1) * w + x];
+                    int64_t rc = plane[(y - 1) * w + x - 1];
+                    switch (predictor) {
+                    case 1: px = ra; break;
+                    case 2: px = rb; break;
+                    case 3: px = rc; break;
+                    case 4: px = ra + rb - rc; break;
+                    case 5: px = ra + ((rb - rc) >> 1); break;
+                    case 6: px = rb + ((ra - rc) >> 1); break;
+                    default: px = (ra + rb) >> 1; break;
+                    }
+                }
+                plane[y * w + x] = (px + diff) & 0xFFFF;
+            }
+        }
+    }
+    return 0;
+}
+
 /* GIF LZW decode (round 10b) — mirrors _lzw_decode exactly: LSB-first
    packed codes, variable width with growth AFTER emission, clear/end
    codes, KwKwK, table capped at 4096, output tolerated past max_pixels
@@ -1163,6 +1223,21 @@ def _native_lib():
             ctypes.c_int,  # ch (bytes per pixel at 8-bit depth)
             ctypes.c_void_p,  # out uint8[h*stride]
         ]
+        lossless = lib.jpeg_decode_lossless_segment
+        lossless.restype = ctypes.c_int
+        lossless.argtypes = [
+            ctypes.c_char_p,  # destuffed segment
+            ctypes.c_long,  # nbytes
+            ctypes.c_long,  # y0
+            ctypes.c_long,  # n_rows
+            ctypes.c_long,  # w
+            ctypes.c_int,  # ncomp
+            ctypes.c_void_p,  # dc_sym ptrs
+            ctypes.c_void_p,  # dc_len ptrs
+            ctypes.c_int,  # predictor
+            ctypes.c_long,  # default_pred
+            ctypes.c_void_p,  # plane ptrs int64**
+        ]
         lzw = lib.gif_lzw_decode
         lzw.restype = ctypes.c_int
         lzw.argtypes = [
@@ -1177,6 +1252,7 @@ def _native_lib():
             "scan": scan, "scan_batch": scan_batch, "fused": fused,
             "prog": prog, "idct": idct, "rgb": rgb,
             "png_unfilter": unfilter, "gif_lzw": lzw,
+            "lossless": lossless,
         }
     except Exception:
         _NATIVE = None
@@ -2044,6 +2120,36 @@ def _decode_jpeg_lossless(payload: bytes):
 
     default_pred = 1 << (precision - pt - 1)
     rows_per_segment = (restart_interval // w) if restart_interval else h
+    lib = _native_lib()
+    if lib is not None and ncomp <= 16:
+        # compiled per-sample walk (round 10b): the Python loop below is
+        # the decoder family's last per-pixel interpreter path — the C
+        # unit mirrors it exactly and is parity-pinned by the roundtrip
+        # suite plus a dedicated native-vs-pure test
+        import ctypes
+
+        sel3 = [(ci, dc_id, 255) for ci, dc_id in sel]  # no AC tables
+        dc_s, dc_l, _ac_s, _ac_l, keep = _huff_ptr_tables(sel3, huff, ncomp)
+        plane_ptrs = (ctypes.c_void_p * ncomp)(
+            *[p.ctypes.data for p in planes]
+        )
+        y0 = 0
+        for seg in segments:
+            if y0 >= h:
+                break
+            n_rows = min(rows_per_segment, h - y0)
+            rc = lib["lossless"](
+                seg, len(seg), y0, n_rows, w, ncomp,
+                ctypes.addressof(dc_s), ctypes.addressof(dc_l),
+                predictor, default_pred,
+                ctypes.addressof(plane_ptrs),
+            )
+            if rc == -1:
+                raise ValueError("invalid JPEG Huffman code")
+            y0 += n_rows
+        if y0 < h:
+            raise ValueError("missing JPEG restart segment")
+        return _finish_lossless(planes, precision, pt)
     mask = 0xFFFF  # T.81 H.1.2.1: reconstruction is modulo 65536
     seg_idx = 0
     reader = _BitReader(segments[0])
@@ -2091,6 +2197,14 @@ def _decode_jpeg_lossless(payload: bytes):
                     else:  # 7
                         px = (ra + rb) >> 1
                 plane[y, x] = (px + diff) & mask
+
+    return _finish_lossless(planes, precision, pt)
+
+
+def _finish_lossless(planes, precision: int, pt: int):
+    """Shared tail of the native and pure lossless paths: stack, undo
+    the point transform, range-check against the declared precision."""
+    import numpy as np
 
     top = (1 << precision) - 1
     dtype = np.uint8 if precision <= 8 else np.uint16
