@@ -1,0 +1,70 @@
+"""Unit pins for the pHash image-dedup family (operators/phash.py) —
+the oracle sweep (test_queries_oracle) covers value equality; these pin
+the construction invariants the oracle can't see."""
+
+import numpy as np
+import pytest
+
+from tipoca_stream_spark.operators.phash import (
+    PHASH_LOW,
+    PHASH_N,
+    PHASH_SCALE,
+    band_bounds,
+    cos_table,
+    synth_dims,
+)
+
+
+def test_cos_table_shape_and_bounds():
+    ct = cos_table()
+    assert len(ct) == PHASH_LOW and all(len(r) == PHASH_N for r in ct)
+    assert all(abs(c) <= PHASH_SCALE for r in ct for c in r)
+    # DC row is the constant +scale: median thresholding needs the
+    # low-band layout to start with the energy row
+    assert all(c == PHASH_SCALE for c in ct[0])
+    # worst-case |coefficient| stays exactly representable in int64
+    # (and in the DOUBLE the SQL median comparison casts to)
+    assert 255 * PHASH_SCALE * PHASH_SCALE * PHASH_N * PHASH_N < 2**53
+
+
+def test_band_bounds_partition_the_hash():
+    for n_bands in (2, 7, 9, 64):
+        bounds = band_bounds(64, n_bands)
+        assert len(bounds) == n_bands
+        covered = []
+        for s, ln in bounds:
+            assert ln >= 1
+            covered.extend(range(s, s + ln))
+        assert covered == list(range(1, 65))
+
+
+def test_synth_dims_are_encodable():
+    for n in range(1, 200):
+        w, h = synth_dims(n)
+        assert w in (8, 12, 16) and h in (8, 12, 16)
+
+
+def test_phash_pairs_within_class_are_close(spark):
+    """Two docs sharing (dims, id % 8) differ in exactly two pixels
+    (each one's perturbation) — their hashes must land within the
+    banding threshold, and unrelated classes must not all collide."""
+    from tipoca_stream_spark.operators.phash import (
+        phash_from_documents,
+        phash_near_dups,
+    )
+
+    # ids 8 apart share id%8; equal text lengths share dims
+    rows = [(i, "x" * 30) for i in (0, 8, 16, 3, 11)] + [(5, "y" * 31)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ph = phash_from_documents(docs).collect()
+    assert len(ph) == 6
+    by_id = {r["media_id"]: r["phash"] for r in ph}
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in by_id.values())
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dups(
+            phash_from_documents(docs), max_hamming=8
+        ).collect()
+    }
+    assert (0, 8) in pairs and (0, 16) in pairs and (8, 16) in pairs
+    assert all(h <= 8 for h in pairs.values())

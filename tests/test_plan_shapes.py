@@ -87,7 +87,11 @@ def test_multimodal_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan
 
 
-@pytest.mark.parametrize("name", ["dedup_simhash_pairs", "similarity_neardup_pairs"])
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_simhash_pairs", "similarity_neardup_pairs",
+     "multimodal_phash_near_dup"],
+)
 def test_pair_queries_have_no_cartesian(spark, name):
     # near-dup pair generation must be banded candidate equi-joins, never an
     # all-pairs product: O(n^2) rows at 1B docs is 10^18 pairs

@@ -1,0 +1,225 @@
+"""Perceptual-hash (pHash) image near-duplicate detection — the
+multimodal sibling of the text SimHash family (corpus_dedup.simhash):
+decode real encoded images, reduce each to a 64-bit DCT fingerprint,
+and find near-duplicates by Hamming distance with pigeonhole banding.
+
+Reference framing: the reference system has no image operators (its
+dedup is PK latest-wins — pkg/redshiftloader/load_processor.go); this
+is a training-data-pipeline extension in the spirit of the MinHash /
+SimHash / SemDeDup family, using the classic pHash construction
+(Zauner, "Implementation and Benchmarking of Perceptual Image Hash
+Functions", 2010 — public literature).
+
+Exactness contract (the repo's standard: value-hash oracle equality,
+not rows-only): every arithmetic step is INTEGER or exactly
+representable, so a DuckDB oracle can replay the full pipeline —
+  1. the raster is a deterministic function of (doc_id, text length)
+     and is carried through REAL lossless codecs (PNG / GIF / BMP /
+     lossless JPEG, rotating by doc_id) — decode work is real, values
+     replayable by formula;
+  2. nearest-neighbor resample to 32x32 uses integer index arithmetic
+     ((g * dim) // 32);
+  3. the 2-D DCT uses a fixed-point cosine table (round(cos * 1024)),
+     so coefficients are exact int64 (|c| <= 2^38, no float summation
+     order anywhere);
+  4. the threshold is the median of the 64 low-band coefficients —
+     for 64 values both numpy and SQL median average the two middles,
+     an exact .0/.5 double;
+  5. the hash is the row-major '1'/'0' string of (c > median).
+
+100 TB shape: hashing is one Arrow-batched mapInPandas pass, no
+shuffle, O(pixels) per image.  Near-dup candidate generation is the
+SimHash pigeonhole: split 64 bits into max_hamming + 1 disjoint bands —
+a pair within the Hamming bound agrees exactly on >= 1 band — and join
+on band equality, so recall is perfect with no all-pairs product; the
+exact Hamming verify runs only on band-collision candidates.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PHASH_N = 32  # resample grid (classic pHash)
+PHASH_LOW = 8  # low-frequency band kept (8x8 = 64 bits)
+PHASH_SCALE = 1024  # fixed-point cosine scale (keeps |c| <= 2^38 exact)
+
+
+@lru_cache(maxsize=1)
+def cos_table() -> tuple[tuple[int, ...], ...]:
+    """8x32 fixed-point DCT-II basis: ct[u][x] = round(cos(pi*(2x+1)*u
+    / 64) * 1024).  Shared verbatim by the Spark operator and the
+    generated oracle SQL so both sides do identical integer math."""
+    return tuple(
+        tuple(
+            int(round(math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_N))
+                      * PHASH_SCALE))
+            for x in range(PHASH_N)
+        )
+        for u in range(PHASH_LOW)
+    )
+
+
+def synth_dims(n: int) -> tuple[int, int]:
+    """Deterministic raster dims from the text length: w, h in
+    {8, 12, 16} — small enough to encode/decode quickly at test SF,
+    large enough that the 32x32 resample has structure."""
+    w = 8 + 4 * (n % 3)
+    h = 8 + 4 * ((n // 3) % 3)
+    return w, h
+
+
+def synth_pixel_exprs() -> str:
+    """SQL fragment documentation lives with the query; the pixel
+    formula is v = ((mid % 8) * 31 + li * 7) % 248 + (8 if li ==
+    mid % (w*h) else 0): docs sharing (dims, mid % 8) share the BASE
+    image and differ in ONE perturbed pixel — guaranteed near-dup
+    populations with small nonzero Hamming distances."""
+    return "((mid % 8) * 31 + li * 7) % 248 + (li == mid % (w*h)) * 8"
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("phash", T.StringType(), False),
+    ]
+)
+
+
+def phash_from_documents(documents: DataFrame) -> DataFrame:
+    """(media_id, fmt, phash): derive the deterministic gray raster per
+    document, push it through a REAL lossless codec round-trip (the
+    decode is the actual work a media corpus pays), NN-resample to
+    32x32, integer-DCT, threshold at the median -> 64-char bit string.
+    """
+    import pandas as pd  # noqa: F401 (documents the mapInPandas contract)
+    from collections.abc import Iterator
+
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n"),
+    ).filter(F.col("n") >= 1)
+
+    def hash_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tipoca_stream_spark.operators.imagecodec import (
+            encode_gif_gray,
+            encode_jpeg_lossless_gray,
+        )
+        from tipoca_stream_spark.operators.multimodal import (
+            bmp_framed,
+            decode_image,
+            png_encoded,
+        )
+
+        ct = np.asarray(cos_table(), dtype=np.int64)  # (8, 32)
+        g = np.arange(PHASH_N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid, n in zip(pdf["media_id"], pdf["n"]):
+                mid, n = int(mid), int(n)
+                w, h = synth_dims(n)
+                li = np.arange(w * h, dtype=np.int64)
+                base = ((mid % 8) * 31 + li * 7) % 248
+                base[mid % (w * h)] += 8  # the near-dup perturbation
+                px = base.astype(np.uint8).reshape(h, w)
+                fmt = ("png", "gif", "bmp", "jpegl")[mid % 4]
+                if fmt == "png":
+                    payload = png_encoded(px[:, :, None], color_type=0)
+                elif fmt == "gif":
+                    payload = encode_gif_gray(px)
+                elif fmt == "jpegl":
+                    payload = encode_jpeg_lossless_gray(
+                        px.astype(np.int64), predictor=1 + mid % 7
+                    )
+                else:
+                    payload = bmp_framed(
+                        w, h, [[(int(v),) * 3 for v in row] for row in px]
+                    )
+                dec = decode_image(payload)[:, :, 0].astype(np.int64)
+                ys = (g * h) // PHASH_N
+                xs = (g * w) // PHASH_N
+                px32 = dec[np.ix_(ys, xs)]  # (32, 32) int64
+                c = ct @ px32 @ ct.T  # (8, 8) exact int64
+                med = float(np.median(c))
+                bits = "".join(
+                    "1" if v > med else "0" for v in c.reshape(-1)
+                )
+                rows.append((mid, fmt, bits))
+            yield pd.DataFrame(rows, columns=["media_id", "fmt", "phash"])
+
+    # no shuffle: hashing is embarrassingly parallel over the scan
+    return docs.mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
+def band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(1-based start, length) per band, first bands one wider when
+    bits % n_bands != 0 — same convention as simhash_band_keys."""
+    base, extra = divmod(bits, n_bands)
+    out = []
+    start = 1
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        out.append((start, width))
+        start += width
+    return out
+
+
+def phash_near_dups(ph: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs within ``max_hamming`` bits.
+
+    Pigeonhole banding over max_hamming + 1 disjoint substrings gives
+    perfect recall without an all-pairs product; candidates verify with
+    an exact 64-term substring comparison (pure JVM expressions)."""
+    n_bands = max_hamming + 1
+    bounds = band_bounds(64, n_bands)
+    bands = ph.select(
+        F.col("media_id"),
+        F.col("phash"),
+        F.posexplode(
+            F.array(
+                *[F.substring("phash", s, ln) for s, ln in bounds]
+            )
+        ).alias("band_no", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda k: F.when(
+                F.col("ph_a").substr(k, F.lit(1))
+                != F.col("ph_b").substr(k, F.lit(1)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2592,3 +2592,130 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# --- perceptual-hash image dedup (round 10b) --------------------------------
+#
+# The multimodal sibling of dedup_simhash: decode REAL encoded images
+# (PNG / GIF / BMP / lossless JPEG, rotating by doc_id), fingerprint
+# each with a 64-bit integer-DCT pHash, and find near-duplicates by
+# Hamming distance with pigeonhole banding. Every arithmetic step is
+# integer (fixed-point cosine table shared verbatim with the oracle) or
+# an exactly-representable median, so the DuckDB oracle replays the
+# whole pipeline value-for-value — the codecs are lossless, so the
+# decoded raster equals the generator formula the SQL recomputes.
+
+
+def _phash_cos_values_sql() -> str:
+    from tipoca_stream_spark.operators.phash import cos_table
+
+    rows = []
+    for u, row in enumerate(cos_table()):
+        for x, c in enumerate(row):
+            rows.append(f"({u},{x},{c})")
+    return ",".join(rows)
+
+
+def _phash_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id::BIGINT AS mid,
+             octet_length(encode(text))::BIGINT AS n
+      FROM documents
+      WHERE octet_length(encode(text)) >= 1
+    ), dims AS (
+      SELECT mid, n,
+             (8 + 4 * (n % 3))::BIGINT AS w,
+             (8 + 4 * ((n // 3) % 3))::BIGINT AS h
+      FROM d
+    ), grid AS (
+      SELECT mid, w, h, gy.range AS gy, gx.range AS gx,
+             ((gy.range * h) // 32) * w + ((gx.range * w) // 32) AS li
+      FROM dims, range(0, 32) gy, range(0, 32) gx
+    ), px AS (
+      SELECT mid, gy, gx,
+             ((mid % 8) * 31 + li * 7) % 248
+             + CASE WHEN li = mid % (w * h) THEN 8 ELSE 0 END AS v
+      FROM grid
+    ), ct AS (
+      SELECT * FROM (VALUES {_phash_cos_values_sql()}) AS t(u, x, c)
+    ), t1 AS (
+      SELECT px.mid, ct.u, px.gx, SUM(px.v * ct.c) AS tv
+      FROM px JOIN ct ON ct.x = px.gy
+      GROUP BY px.mid, ct.u, px.gx
+    ), c2 AS (
+      SELECT t1.mid, t1.u AS cu, ct.u AS cv, SUM(t1.tv * ct.c) AS c
+      FROM t1 JOIN ct ON ct.x = t1.gx
+      GROUP BY t1.mid, t1.u, ct.u
+    ), med AS (
+      SELECT mid, median(c) AS m FROM c2 GROUP BY mid
+    )
+    SELECT c2.mid AS media_id,
+           CASE c2.mid % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'bmp' ELSE 'jpegl' END AS fmt,
+           string_agg(CASE WHEN c2.c > med.m THEN '1' ELSE '0' END,
+                      '' ORDER BY c2.cu, c2.cv) AS phash
+    FROM c2 JOIN med ON med.mid = c2.mid
+    GROUP BY c2.mid
+    """
+
+
+def _phash_near_dup_oracle(max_hamming: int = 8) -> str:
+    from tipoca_stream_spark.operators.phash import band_bounds
+
+    band_or = " OR ".join(
+        f"substr(a.phash,{s},{ln}) = substr(b.phash,{s},{ln})"
+        for s, ln in band_bounds(64, max_hamming + 1)
+    )
+    ham = " + ".join(
+        f"(substr(a.phash,{k},1) <> substr(b.phash,{k},1))::INT"
+        for k in range(1, 65)
+    )
+    return f"""
+    WITH ph AS ({_phash_oracle()})
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             ({ham})::INT AS hamming
+      FROM ph a JOIN ph b
+        ON a.media_id < b.media_id AND ({band_or})
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@query(
+    "multimodal_phash",
+    _phash_oracle(),
+    survey_ref="training: multimodal dedup (perceptual hash)",
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit integer-DCT perceptual hash per document image. The
+    decode work is real (the raster rides a lossless codec round-trip
+    rotating PNG/GIF/BMP/lossless-JPEG by doc_id); the oracle replays
+    the raster by formula and the DCT/median/threshold with the same
+    fixed-point table. One Arrow-batched mapInPandas pass, no shuffle."""
+    from tipoca_stream_spark.operators.phash import phash_from_documents
+
+    return phash_from_documents(_docs(spark, sf_dir))
+
+
+@query(
+    "multimodal_phash_near_dup",
+    _phash_near_dup_oracle(),
+    survey_ref="training: multimodal dedup (pHash Hamming banding)",
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs within Hamming distance 8 of the
+    64-bit pHash. Pigeonhole banding (9 disjoint bands; a qualifying
+    pair agrees exactly on >= 1 band) keeps candidate generation an
+    equi-join — perfect recall, no all-pairs product; the exact
+    64-term Hamming verify runs on collisions only. The synthetic
+    corpus guarantees non-degenerate output: documents sharing
+    (dims, doc_id % 8) share a base raster and differ in one perturbed
+    pixel each, so in-class pairs land at small nonzero distances."""
+    from tipoca_stream_spark.operators.phash import (
+        phash_from_documents,
+        phash_near_dups,
+    )
+
+    ph = phash_from_documents(_docs(spark, sf_dir))
+    return phash_near_dups(ph, max_hamming=8)
