@@ -68,3 +68,48 @@ def test_phash_pairs_within_class_are_close(spark):
     }
     assert (0, 8) in pairs and (0, 16) in pairs and (8, 16) in pairs
     assert all(h <= 8 for h in pairs.values())
+
+
+def test_audio_fingerprint_classes_and_wav_roundtrip(spark):
+    """Audio sibling: docs sharing doc_id % 8 share a base signal and a
+    length, so their fingerprints land within the banding threshold;
+    the WAV container walk must recover the class sample rate."""
+    from tipoca_stream_spark.operators.audiofp import audio_fingerprints
+    from tipoca_stream_spark.operators.phash import phash_near_dups
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in (0, 8, 16, 5, 13)], ["doc_id", "text"]
+    )
+    fp = audio_fingerprints(docs).collect()
+    assert len(fp) == 5
+    by_id = {r["media_id"]: r for r in fp}
+    for mid, r in by_id.items():
+        assert r["sample_rate"] == 8000 * (1 + mid % 3)
+        assert len(r["fingerprint"]) == 64
+        assert set(r["fingerprint"]) <= {"0", "1"}
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dups(
+            audio_fingerprints(docs).select("media_id", "fingerprint"),
+            max_hamming=8,
+            hash_col="fingerprint",
+        ).collect()
+    }
+    assert (0, 8) in pairs and (0, 16) in pairs and (5, 13) in pairs
+    assert all(h <= 8 for h in pairs.values())
+
+
+def test_afp_table_bounds():
+    from tipoca_stream_spark.operators.audiofp import (
+        AFP_BINS,
+        AFP_SCALE,
+        AFP_WIN_LEN,
+        afp_cos_table,
+    )
+
+    act = afp_cos_table()
+    assert len(act) == AFP_BINS and all(len(r) == AFP_WIN_LEN for r in act)
+    assert all(abs(c) <= AFP_SCALE for r in act for c in r)
+    # worst case |energy| stays exact in int64 AND in the DOUBLE the
+    # SQL median comparison casts to
+    assert 32512 * AFP_SCALE * AFP_WIN_LEN < 2**53

@@ -172,8 +172,12 @@ def band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
     return out
 
 
-def phash_near_dups(ph: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """(id_a, id_b, hamming) for pairs within ``max_hamming`` bits.
+def phash_near_dups(
+    ph: DataFrame, max_hamming: int = 8, hash_col: str = "phash"
+) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs within ``max_hamming`` bits of a
+    64-char bit-string column (``hash_col`` — shared by the image pHash
+    and the audio spectral fingerprint).
 
     Pigeonhole banding over max_hamming + 1 disjoint substrings gives
     perfect recall without an all-pairs product; candidates verify with
@@ -182,10 +186,10 @@ def phash_near_dups(ph: DataFrame, max_hamming: int = 8) -> DataFrame:
     bounds = band_bounds(64, n_bands)
     bands = ph.select(
         F.col("media_id"),
-        F.col("phash"),
+        F.col(hash_col).alias("phash"),
         F.posexplode(
             F.array(
-                *[F.substring("phash", s, ln) for s, ln in bounds]
+                *[F.substring(hash_col, s, ln) for s, ln in bounds]
             )
         ).alias("band_no", "band_val"),
     )

@@ -2719,3 +2719,106 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ph = phash_from_documents(_docs(spark, sf_dir))
     return phash_near_dups(ph, max_hamming=8)
+
+
+# --- audio spectral fingerprint (round 10b) ----------------------------------
+
+
+def _afp_cos_values_sql() -> str:
+    from tipoca_stream_spark.operators.audiofp import afp_cos_table
+
+    rows = []
+    for b, row in enumerate(afp_cos_table()):
+        for k, c in enumerate(row):
+            rows.append(f"({b},{k},{c})")
+    return ",".join(rows)
+
+
+def _afp_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id::BIGINT AS mid FROM documents
+    ), par AS (
+      SELECT mid, (50 + 25 * (mid % 8))::BIGINT AS ns FROM d
+    ), grid AS (
+      SELECT mid, ns, t.range AS t, ((t.range * ns) // 512) AS p
+      FROM par, range(0, 512) t
+    ), sig AS (
+      SELECT mid, t // 64 AS win, t % 64 AS kk,
+             ((mid % 8) * 31 + p * 2857) % 64000 - 32000
+             + CASE WHEN p = mid % ns THEN 512 ELSE 0 END AS s
+      FROM grid
+    ), act AS (
+      SELECT * FROM (VALUES {_afp_cos_values_sql()}) AS a(b, k, c)
+    ), e AS (
+      SELECT sig.mid, sig.win, act.b, SUM(sig.s * act.c) AS e
+      FROM sig JOIN act ON act.k = sig.kk
+      GROUP BY sig.mid, sig.win, act.b
+    ), med AS (
+      SELECT mid, median(e) AS m FROM e GROUP BY mid
+    )
+    SELECT e.mid AS media_id,
+           (8000 * (1 + e.mid % 3))::INTEGER AS sample_rate,
+           string_agg(CASE WHEN e.e > med.m THEN '1' ELSE '0' END,
+                      '' ORDER BY e.win, e.b) AS fingerprint
+    FROM e JOIN med ON med.mid = e.mid
+    GROUP BY e.mid
+    """
+
+
+def _afp_near_dup_oracle(max_hamming: int = 8) -> str:
+    from tipoca_stream_spark.operators.phash import band_bounds
+
+    band_or = " OR ".join(
+        f"substr(a.fingerprint,{s},{ln}) = substr(b.fingerprint,{s},{ln})"
+        for s, ln in band_bounds(64, max_hamming + 1)
+    )
+    ham = " + ".join(
+        f"(substr(a.fingerprint,{k},1) <> substr(b.fingerprint,{k},1))::INT"
+        for k in range(1, 65)
+    )
+    return f"""
+    WITH fp AS ({_afp_oracle()})
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             ({ham})::INT AS hamming
+      FROM fp a JOIN fp b
+        ON a.media_id < b.media_id AND ({band_or})
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    _afp_oracle(),
+    survey_ref="training: multimodal dedup (audio spectral fingerprint)",
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit windowed-spectrum fingerprint per document audio signal.
+    The decode work is real (the signal rides a RIFF/WAV round-trip and
+    the reader walks the container chunks); the oracle replays the
+    signal by formula and the window/DCT/median math with the same
+    fixed-point table. One Arrow-batched mapInPandas pass, no shuffle."""
+    from tipoca_stream_spark.operators.audiofp import audio_fingerprints
+
+    return audio_fingerprints(_docs(spark, sf_dir))
+
+
+@query(
+    "multimodal_audio_near_dup",
+    _afp_near_dup_oracle(),
+    survey_ref="training: multimodal dedup (audio fingerprint banding)",
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs within Hamming distance 8 of the
+    64-bit fingerprint — the same pigeonhole banding as the image
+    pHash (shared helper), so candidate generation stays an equi-join.
+    Documents sharing doc_id % 8 share a base signal and differ in one
+    perturbed sample each — guaranteed non-degenerate pair output."""
+    from tipoca_stream_spark.operators.audiofp import audio_fingerprints
+    from tipoca_stream_spark.operators.phash import phash_near_dups
+
+    fp = audio_fingerprints(_docs(spark, sf_dir)).select(
+        "media_id", "fingerprint"
+    )
+    return phash_near_dups(fp, max_hamming=8, hash_col="fingerprint")
