@@ -113,3 +113,34 @@ def test_afp_table_bounds():
     # worst case |energy| stays exact in int64 AND in the DOUBLE the
     # SQL median comparison casts to
     assert 32512 * AFP_SCALE * AFP_WIN_LEN < 2**53
+
+
+def test_video_fingerprint_roundtrip_and_classes(spark):
+    """Video sibling: the MP4 sample-table walk must recover the exact
+    frame-size sequence, and class-mates must land within the banding
+    threshold."""
+    from tipoca_stream_spark.operators.phash import phash_near_dups
+    from tipoca_stream_spark.operators.videofp import (
+        vfp_n_frames,
+        video_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in (1, 9, 17, 4)], ["doc_id", "text"]
+    )
+    fp = video_fingerprints(docs).collect()
+    by_id = {r["media_id"]: r for r in fp}
+    for mid, r in by_id.items():
+        assert r["n_frames"] == vfp_n_frames(mid)
+        assert len(r["fingerprint"]) == 64
+        assert set(r["fingerprint"]) <= {"0", "1"}
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dups(
+            video_fingerprints(docs).select("media_id", "fingerprint"),
+            max_hamming=8,
+            hash_col="fingerprint",
+        ).collect()
+    }
+    assert (1, 9) in pairs and (1, 17) in pairs and (9, 17) in pairs
+    assert all(h <= 8 for h in pairs.values())

@@ -90,7 +90,8 @@ def test_multimodal_is_arrow_batched(spark):
 @pytest.mark.parametrize(
     "name",
     ["dedup_simhash_pairs", "similarity_neardup_pairs",
-     "multimodal_phash_near_dup", "multimodal_audio_near_dup"],
+     "multimodal_phash_near_dup", "multimodal_audio_near_dup",
+     "multimodal_video_near_dup"],
 )
 def test_pair_queries_have_no_cartesian(spark, name):
     # near-dup pair generation must be banded candidate equi-joins, never an

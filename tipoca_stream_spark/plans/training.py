@@ -2822,3 +2822,87 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "fingerprint"
     )
     return phash_near_dups(fp, max_hamming=8, hash_col="fingerprint")
+
+
+# --- video sample-size fingerprint (round 10b) -------------------------------
+
+
+def _vfp_oracle() -> str:
+    return """
+    WITH d AS (
+      SELECT doc_id::BIGINT AS mid FROM documents
+    ), par AS (
+      SELECT mid, (24 + 6 * (mid % 8))::BIGINT AS nf FROM d
+    ), grid AS (
+      SELECT mid, nf, t.range AS t, ((t.range * nf) // 64) AS j
+      FROM par, range(0, 64) t
+    ), sz AS (
+      SELECT mid, nf, t,
+             40 + ((mid % 8) * 13 + j * 11) % 160
+             + CASE WHEN j = mid % nf THEN 16 ELSE 0 END AS v
+      FROM grid
+    ), med AS (
+      SELECT mid, median(v) AS m FROM sz GROUP BY mid
+    )
+    SELECT sz.mid AS media_id,
+           sz.nf::INTEGER AS n_frames,
+           string_agg(CASE WHEN sz.v > med.m THEN '1' ELSE '0' END,
+                      '' ORDER BY sz.t) AS fingerprint
+    FROM sz JOIN med ON med.mid = sz.mid
+    GROUP BY sz.mid, sz.nf
+    """
+
+
+def _vfp_near_dup_oracle(max_hamming: int = 8) -> str:
+    from tipoca_stream_spark.operators.phash import band_bounds
+
+    band_or = " OR ".join(
+        f"substr(a.fingerprint,{s},{ln}) = substr(b.fingerprint,{s},{ln})"
+        for s, ln in band_bounds(64, max_hamming + 1)
+    )
+    ham = " + ".join(
+        f"(substr(a.fingerprint,{k},1) <> substr(b.fingerprint,{k},1))::INT"
+        for k in range(1, 65)
+    )
+    return f"""
+    WITH fp AS ({_vfp_oracle()})
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             ({ham})::INT AS hamming
+      FROM fp a JOIN fp b
+        ON a.media_id < b.media_id AND ({band_or})
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@query(
+    "multimodal_video_fingerprint",
+    _vfp_oracle(),
+    survey_ref="training: multimodal dedup (video sample-size fingerprint)",
+)
+def multimodal_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit frame-size-sequence fingerprint per document video. The
+    container work is real (ISO-BMFF walk: stsz/stsc/stco resolved to
+    per-sample byte ranges); the oracle replays the size sequence by
+    formula and the resample/median math. One mapInPandas pass."""
+    from tipoca_stream_spark.operators.videofp import video_fingerprints
+
+    return video_fingerprints(_docs(spark, sf_dir))
+
+
+@query(
+    "multimodal_video_near_dup",
+    _vfp_near_dup_oracle(),
+    survey_ref="training: multimodal dedup (video fingerprint banding)",
+)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs within Hamming distance 8 of the
+    frame-size fingerprint, via the family's shared pigeonhole banding
+    (equi-join candidates, exact 64-term verify)."""
+    from tipoca_stream_spark.operators.phash import phash_near_dups
+    from tipoca_stream_spark.operators.videofp import video_fingerprints
+
+    fp = video_fingerprints(_docs(spark, sf_dir)).select(
+        "media_id", "fingerprint"
+    )
+    return phash_near_dups(fp, max_hamming=8, hash_col="fingerprint")
