@@ -2906,3 +2906,99 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "fingerprint"
     )
     return phash_near_dups(fp, max_hamming=8, hash_col="fingerprint")
+
+
+# --- multimodal dedup funnel (round 10b) -------------------------------------
+
+
+def _mm_funnel_oracle() -> str:
+    # exact-duplicate drop rule per modality: a document drops at a stage
+    # when a SMALLER-id document has an identical 64-bit fingerprint
+    # (hamming == 0 via the near-dup CTEs restricted to equality — the
+    # anti-join form every engine plans as a hash join, no closure)
+    return f"""
+    WITH img AS ({_phash_oracle()}),
+    aud AS ({_afp_oracle()}),
+    vid AS ({_vfp_oracle()}),
+    base AS (SELECT media_id FROM img),
+    s1 AS (
+      SELECT b.media_id FROM base b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM img a JOIN img x ON a.phash = x.phash
+        WHERE x.media_id = b.media_id AND a.media_id < b.media_id)
+    ), s2 AS (
+      SELECT b.media_id FROM s1 b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM aud a JOIN aud x ON a.fingerprint = x.fingerprint
+        WHERE x.media_id = b.media_id AND a.media_id < b.media_id
+          AND a.media_id IN (SELECT media_id FROM s1))
+    ), s3 AS (
+      SELECT b.media_id FROM s2 b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM vid a JOIN vid x ON a.fingerprint = x.fingerprint
+        WHERE x.media_id = b.media_id AND a.media_id < b.media_id
+          AND a.media_id IN (SELECT media_id FROM s2))
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage, 'all' AS name,
+             (SELECT COUNT(*) FROM base)::BIGINT AS n_docs
+      UNION ALL
+      SELECT 1, 'after_image_dedup', (SELECT COUNT(*) FROM s1)::BIGINT
+      UNION ALL
+      SELECT 2, 'after_audio_dedup', (SELECT COUNT(*) FROM s2)::BIGINT
+      UNION ALL
+      SELECT 3, 'after_video_dedup', (SELECT COUNT(*) FROM s3)::BIGINT
+    )
+    """
+
+
+@query(
+    "multimodal_dedup_funnel",
+    _mm_funnel_oracle(),
+    survey_ref="training: multimodal curation funnel (cross-modal dedup)",
+)
+def multimodal_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation funnel: survivors after dropping exact
+    image-pHash duplicates, then exact audio-fingerprint duplicates,
+    then exact video-fingerprint duplicates — the keep-smallest-id rule
+    per fingerprint group, which needs no transitive closure (exact
+    equality IS an equivalence class), so every stage is one
+    groupBy(min) + semi-join. Composes the three registered fingerprint
+    operators; the oracle replays all three and the survivor chain."""
+    from tipoca_stream_spark.operators.audiofp import audio_fingerprints
+    from tipoca_stream_spark.operators.phash import phash_from_documents
+    from tipoca_stream_spark.operators.videofp import video_fingerprints
+
+    docs = _docs(spark, sf_dir)
+
+    def survivors(prev: DataFrame, fps: DataFrame, col: str) -> DataFrame:
+        cur = fps.join(prev, "media_id")  # restrict to current survivors
+        keep = cur.groupBy(F.col(col)).agg(
+            F.min("media_id").alias("media_id")
+        )
+        return cur.join(keep, ["media_id", col], "left_semi").select(
+            "media_id"
+        )
+
+    img = phash_from_documents(docs).select("media_id", "phash")
+    aud = audio_fingerprints(docs).select("media_id", "fingerprint")
+    vid = video_fingerprints(docs).select("media_id", "fingerprint")
+    base = img.select("media_id")
+    s1 = survivors(base, img, "phash")
+    s2 = survivors(s1, aud, "fingerprint")
+    s3 = survivors(s2, vid, "fingerprint")
+    stages = [
+        (0, "all", base),
+        (1, "after_image_dedup", s1),
+        (2, "after_audio_dedup", s2),
+        (3, "after_video_dedup", s3),
+    ]
+    out = None
+    for num, name, df in stages:
+        row = df.agg(
+            F.lit(num).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
