@@ -45,16 +45,16 @@ def test_synth_dims_are_encodable():
 
 
 def test_phash_pairs_within_class_are_close(spark):
-    """Two docs sharing (dims, id % 8) differ in exactly two pixels
-    (each one's perturbation) — their hashes must land within the
-    banding threshold, and unrelated classes must not all collide."""
+    """Two docs in the same 16-id block (sharing dims) differ in
+    exactly two pixels (each one's perturbation) — their hashes must
+    land within the banding threshold."""
     from tipoca_stream_spark.operators.phash import (
         phash_from_documents,
         phash_near_dups,
     )
 
-    # ids 8 apart share id%8; equal text lengths share dims
-    rows = [(i, "x" * 30) for i in (0, 8, 16, 3, 11)] + [(5, "y" * 31)]
+    # ids in the same 16-id block; equal text lengths share dims
+    rows = [(i, "x" * 30) for i in (0, 8, 12, 3, 11)] + [(5, "y" * 31)]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     ph = phash_from_documents(docs).collect()
     assert len(ph) == 6
@@ -66,19 +66,19 @@ def test_phash_pairs_within_class_are_close(spark):
             phash_from_documents(docs), max_hamming=8
         ).collect()
     }
-    assert (0, 8) in pairs and (0, 16) in pairs and (8, 16) in pairs
+    assert (0, 8) in pairs and (0, 12) in pairs and (8, 12) in pairs
     assert all(h <= 8 for h in pairs.values())
 
 
 def test_audio_fingerprint_classes_and_wav_roundtrip(spark):
-    """Audio sibling: docs sharing doc_id % 8 share a base signal and a
-    length, so their fingerprints land within the banding threshold;
-    the WAV container walk must recover the class sample rate."""
+    """Audio sibling: docs in the same 16-id block share a base signal
+    and a length, so their fingerprints land within the banding
+    threshold; the WAV container walk must recover the sample rate."""
     from tipoca_stream_spark.operators.audiofp import audio_fingerprints
     from tipoca_stream_spark.operators.phash import phash_near_dups
 
     docs = spark.createDataFrame(
-        [(i, "t") for i in (0, 8, 16, 5, 13)], ["doc_id", "text"]
+        [(i, "t") for i in (0, 8, 12, 5, 13)], ["doc_id", "text"]
     )
     fp = audio_fingerprints(docs).collect()
     assert len(fp) == 5
@@ -95,7 +95,7 @@ def test_audio_fingerprint_classes_and_wav_roundtrip(spark):
             hash_col="fingerprint",
         ).collect()
     }
-    assert (0, 8) in pairs and (0, 16) in pairs and (5, 13) in pairs
+    assert (0, 8) in pairs and (0, 12) in pairs and (5, 13) in pairs
     assert all(h <= 8 for h in pairs.values())
 
 
@@ -117,7 +117,7 @@ def test_afp_table_bounds():
 
 def test_video_fingerprint_roundtrip_and_classes(spark):
     """Video sibling: the MP4 sample-table walk must recover the exact
-    frame-size sequence, and class-mates must land within the banding
+    frame-size sequence, and block-mates must land within the banding
     threshold."""
     from tipoca_stream_spark.operators.phash import phash_near_dups
     from tipoca_stream_spark.operators.videofp import (
@@ -126,7 +126,7 @@ def test_video_fingerprint_roundtrip_and_classes(spark):
     )
 
     docs = spark.createDataFrame(
-        [(i, "t") for i in (1, 9, 17, 4)], ["doc_id", "text"]
+        [(i, "t") for i in (1, 9, 13, 4)], ["doc_id", "text"]
     )
     fp = video_fingerprints(docs).collect()
     by_id = {r["media_id"]: r for r in fp}
@@ -142,5 +142,5 @@ def test_video_fingerprint_roundtrip_and_classes(spark):
             hash_col="fingerprint",
         ).collect()
     }
-    assert (1, 9) in pairs and (1, 17) in pairs and (9, 17) in pairs
+    assert (1, 9) in pairs and (1, 13) in pairs and (9, 13) in pairs
     assert all(h <= 8 for h in pairs.values())

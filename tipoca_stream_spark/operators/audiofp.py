@@ -20,10 +20,16 @@ literature), reduced to the repo's exactness contract:
   5. the fingerprint is the row-major '1'/'0' string over
      (window, bin).
 
-Near-dup populations are guaranteed non-degenerate: documents sharing
-doc_id % 8 share a base signal (and a class-derived length) and differ
-in ONE perturbed sample each, so in-class pairs land at small nonzero
-Hamming distances.
+Near-dup populations are guaranteed non-degenerate AND linear in the
+corpus: documents in the same 16-id BLOCK share a base signal (and a
+block-derived length) and differ in ONE perturbed sample each, so
+in-block pairs land at small nonzero Hamming distances. Blocks have
+bounded size AND the sawtooth STEP varies per block, so the
+IDENTICAL-fingerprint pair population stays linear in the corpus (a
+fixed step only phase-shifts the same waveform — cross-block
+fingerprints collided wholesale and the pair set went quadratic,
+1.56M at sf0.1); the remaining tail is genuine near-miss structure
+between similar-step blocks, corpus-shaped as in real data.
 
 100 TB shape: fingerprinting is one Arrow-batched mapInPandas pass, no
 shuffle; candidate generation is the banded equi-join from phash (no
@@ -61,9 +67,9 @@ def afp_cos_table() -> tuple[tuple[int, ...], ...]:
 
 
 def afp_n_samples(media_id: int) -> int:
-    """Class-derived signal length: docs sharing doc_id % 8 share a
-    length, so in-class signals align sample-for-sample."""
-    return 50 + 25 * (media_id % 8)
+    """Block-derived signal length: docs in the same 16-id block share
+    a length, so in-block signals align sample-for-sample."""
+    return 50 + 25 * ((media_id // 16) % 8)
 
 
 AFP_SCHEMA = T.StructType(
@@ -101,7 +107,7 @@ def audio_fingerprints(documents: DataFrame) -> DataFrame:
                 i = np.arange(ns, dtype=np.int64)
                 # base in [-32000, 31999]; the +512 perturbation at one
                 # class-varying position stays inside int16
-                base = ((mid % 8) * 31 + i * 2857) % 64000 - 32000
+                base = ((mid // 16) * 31 + i * (2857 + 2 * ((mid // 16) % 997))) % 64000 - 32000
                 base[mid % ns] += 512
                 payload = wav_framed(
                     channels=1, sample_rate=rate, bits=16,

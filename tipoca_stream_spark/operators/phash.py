@@ -75,11 +75,18 @@ def synth_dims(n: int) -> tuple[int, int]:
 
 def synth_pixel_exprs() -> str:
     """SQL fragment documentation lives with the query; the pixel
-    formula is v = ((mid % 8) * 31 + li * 7) % 248 + (8 if li ==
-    mid % (w*h) else 0): docs sharing (dims, mid % 8) share the BASE
-    image and differ in ONE perturbed pixel — guaranteed near-dup
-    populations with small nonzero Hamming distances."""
-    return "((mid % 8) * 31 + li * 7) % 248 + (li == mid % (w*h)) * 8"
+    formula is v = (((mid // 16) * 37 + li * (7 + (mid // 16) % 31))
+    % 248) + (8 if li == mid % (w*h) else 0): documents in the same
+    16-id BLOCK (sharing dims) share the base image and differ in ONE
+    perturbed pixel each — guaranteed near-dup populations at small
+    nonzero Hamming distances. Bounded blocks plus a per-block pixel
+    STEP keep the IDENTICAL-hash pair population linear in the corpus
+    (an earlier fixed-step design only phase-shifted the same sawtooth —
+    cross-block hashes collided wholesale and the pair set went
+    quadratic: 1.56M at sf0.1); the small-Hamming tail is genuine
+    near-miss structure between similar-step blocks."""
+    return ("(((mid // 16) * 37 + li * (7 + (mid // 16) % 31)) % 248)"
+            " + (li == mid % (w*h)) * 8")
 
 
 PHASH_SCHEMA = T.StructType(
@@ -127,7 +134,7 @@ def phash_from_documents(documents: DataFrame) -> DataFrame:
                 mid, n = int(mid), int(n)
                 w, h = synth_dims(n)
                 li = np.arange(w * h, dtype=np.int64)
-                base = ((mid % 8) * 31 + li * 7) % 248
+                base = ((mid // 16) * 37 + li * (7 + (mid // 16) % 31)) % 248
                 base[mid % (w * h)] += 8  # the near-dup perturbation
                 px = base.astype(np.uint8).reshape(h, w)
                 fmt = ("png", "gif", "bmp", "jpegl")[mid % 4]

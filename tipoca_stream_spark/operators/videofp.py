@@ -17,9 +17,14 @@ is all-integer and therefore value-exact under the DuckDB oracle:
      ((t * n_frames) // 64);
   3. bits threshold at the exact median of the 64 resampled sizes.
 
-Documents sharing doc_id % 8 share the size sequence (and frame count)
-and differ in ONE enlarged frame each — guaranteed non-degenerate
-near-dup populations at small nonzero Hamming distances.
+Documents in the same 16-id BLOCK share the size sequence (and frame
+count) and differ in ONE enlarged frame each — non-degenerate near-dup
+populations at small nonzero Hamming distances. Bounded block size
+plus a per-block size STEP keep the IDENTICAL-fingerprint pair
+population linear in the corpus (a fixed step only phase-shifted the
+sequence — cross-block fingerprints collided wholesale at sf0.1); the
+remaining tail is genuine near-miss structure between similar-step
+blocks.
 
 100 TB shape: one Arrow-batched mapInPandas pass, no shuffle; pair
 generation reuses the pigeonhole band equi-join.
@@ -35,15 +40,15 @@ VFP_SLOTS = 64
 
 
 def vfp_n_frames(media_id: int) -> int:
-    """Class-derived frame count: docs sharing doc_id % 8 align
+    """Block-derived frame count: docs in the same 16-id block align
     frame-for-frame."""
-    return 24 + 6 * (media_id % 8)
+    return 24 + 6 * ((media_id // 16) % 8)
 
 
 def vfp_frame_size(media_id: int, j: int, n_frames: int) -> int:
     """Deterministic compressed-frame size with one perturbed frame per
     document (the near-dup construction)."""
-    base = 40 + ((media_id % 8) * 13 + j * 11) % 160
+    base = 40 + ((media_id // 16) * 13 + j * (11 + (media_id // 16) % 23)) % 160
     return base + (16 if j == media_id % n_frames else 0)
 
 

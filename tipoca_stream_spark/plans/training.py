@@ -2634,7 +2634,7 @@ def _phash_oracle() -> str:
       FROM dims, range(0, 32) gy, range(0, 32) gx
     ), px AS (
       SELECT mid, gy, gx,
-             ((mid % 8) * 31 + li * 7) % 248
+             ((mid // 16) * 37 + li * (7 + (mid // 16) % 31)) % 248
              + CASE WHEN li = mid % (w * h) THEN 8 ELSE 0 END AS v
       FROM grid
     ), ct AS (
@@ -2709,9 +2709,10 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair agrees exactly on >= 1 band) keeps candidate generation an
     equi-join — perfect recall, no all-pairs product; the exact
     64-term Hamming verify runs on collisions only. The synthetic
-    corpus guarantees non-degenerate output: documents sharing
-    (dims, doc_id % 8) share a base raster and differ in one perturbed
-    pixel each, so in-class pairs land at small nonzero distances."""
+    corpus guarantees non-degenerate output that stays LINEAR in the
+    corpus: documents in the same 16-id block (sharing dims) share a
+    base raster and differ in one perturbed pixel each, so in-block
+    pairs land at small nonzero distances while blocks stay bounded."""
     from tipoca_stream_spark.operators.phash import (
         phash_from_documents,
         phash_near_dups,
@@ -2739,13 +2740,14 @@ def _afp_oracle() -> str:
     WITH d AS (
       SELECT doc_id::BIGINT AS mid FROM documents
     ), par AS (
-      SELECT mid, (50 + 25 * (mid % 8))::BIGINT AS ns FROM d
+      SELECT mid, (50 + 25 * ((mid // 16) % 8))::BIGINT AS ns FROM d
     ), grid AS (
       SELECT mid, ns, t.range AS t, ((t.range * ns) // 512) AS p
       FROM par, range(0, 512) t
     ), sig AS (
       SELECT mid, t // 64 AS win, t % 64 AS kk,
-             ((mid % 8) * 31 + p * 2857) % 64000 - 32000
+             ((mid // 16) * 31 + p * (2857 + 2 * ((mid // 16) % 997)))
+             % 64000 - 32000
              + CASE WHEN p = mid % ns THEN 512 ELSE 0 END AS s
       FROM grid
     ), act AS (
@@ -2813,8 +2815,8 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate pairs within Hamming distance 8 of the
     64-bit fingerprint — the same pigeonhole banding as the image
     pHash (shared helper), so candidate generation stays an equi-join.
-    Documents sharing doc_id % 8 share a base signal and differ in one
-    perturbed sample each — guaranteed non-degenerate pair output."""
+    Documents in the same 16-id block share a base signal and differ in
+    one perturbed sample each — non-degenerate, linear pair output."""
     from tipoca_stream_spark.operators.audiofp import audio_fingerprints
     from tipoca_stream_spark.operators.phash import phash_near_dups
 
@@ -2832,13 +2834,13 @@ def _vfp_oracle() -> str:
     WITH d AS (
       SELECT doc_id::BIGINT AS mid FROM documents
     ), par AS (
-      SELECT mid, (24 + 6 * (mid % 8))::BIGINT AS nf FROM d
+      SELECT mid, (24 + 6 * ((mid // 16) % 8))::BIGINT AS nf FROM d
     ), grid AS (
       SELECT mid, nf, t.range AS t, ((t.range * nf) // 64) AS j
       FROM par, range(0, 64) t
     ), sz AS (
       SELECT mid, nf, t,
-             40 + ((mid % 8) * 13 + j * 11) % 160
+             40 + ((mid // 16) * 13 + j * (11 + (mid // 16) % 23)) % 160
              + CASE WHEN j = mid % nf THEN 16 ELSE 0 END AS v
       FROM grid
     ), med AS (
@@ -2912,32 +2914,35 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_funnel_oracle() -> str:
-    # exact-duplicate drop rule per modality: a document drops at a stage
-    # when a SMALLER-id document has an identical 64-bit fingerprint
-    # (hamming == 0 via the near-dup CTEs restricted to equality — the
-    # anti-join form every engine plans as a hash join, no closure)
+    # exact-duplicate drop rule per modality via window minima: a doc
+    # survives a stage when it is the smallest id of its fingerprint
+    # group AMONG CURRENT SURVIVORS. (The first cut used chained
+    # NOT EXISTS subqueries; DuckDB planned them as spilling
+    # aggregations that filled 80 GB of disk at sf0.1 — the window form
+    # is one hash-partition pass per stage on both engines.)
     return f"""
     WITH img AS ({_phash_oracle()}),
     aud AS ({_afp_oracle()}),
     vid AS ({_vfp_oracle()}),
     base AS (SELECT media_id FROM img),
     s1 AS (
-      SELECT b.media_id FROM base b
-      WHERE NOT EXISTS (
-        SELECT 1 FROM img a JOIN img x ON a.phash = x.phash
-        WHERE x.media_id = b.media_id AND a.media_id < b.media_id)
+      SELECT media_id FROM (
+        SELECT i.media_id,
+               min(i.media_id) OVER (PARTITION BY i.phash) AS keep
+        FROM img i
+      ) WHERE media_id = keep
     ), s2 AS (
-      SELECT b.media_id FROM s1 b
-      WHERE NOT EXISTS (
-        SELECT 1 FROM aud a JOIN aud x ON a.fingerprint = x.fingerprint
-        WHERE x.media_id = b.media_id AND a.media_id < b.media_id
-          AND a.media_id IN (SELECT media_id FROM s1))
+      SELECT media_id FROM (
+        SELECT a.media_id,
+               min(a.media_id) OVER (PARTITION BY a.fingerprint) AS keep
+        FROM aud a JOIN s1 USING (media_id)
+      ) WHERE media_id = keep
     ), s3 AS (
-      SELECT b.media_id FROM s2 b
-      WHERE NOT EXISTS (
-        SELECT 1 FROM vid a JOIN vid x ON a.fingerprint = x.fingerprint
-        WHERE x.media_id = b.media_id AND a.media_id < b.media_id
-          AND a.media_id IN (SELECT media_id FROM s2))
+      SELECT media_id FROM (
+        SELECT v.media_id,
+               min(v.media_id) OVER (PARTITION BY v.fingerprint) AS keep
+        FROM vid v JOIN s2 USING (media_id)
+      ) WHERE media_id = keep
     )
     SELECT * FROM (
       SELECT 0 AS stage, 'all' AS name,
