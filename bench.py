@@ -498,6 +498,19 @@ def main() -> None:
     except Exception:
         pass
 
+    # the multimodal fingerprint/near-dup family (r10b queries 216-222):
+    # codec round-trips + banding through the registered query surface
+    for q in ("multimodal_phash", "multimodal_audio_near_dup",
+              "multimodal_dedup_funnel"):
+        try:
+            extras[q] = best_of(
+                2,
+                lambda q=q: QUERIES[q].fn(spark, sf_dir)
+                .write.format("noop").mode("overwrite").save(),
+            )
+        except Exception:
+            pass
+
     print(
         json.dumps(
             {
