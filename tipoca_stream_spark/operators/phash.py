@@ -183,54 +183,105 @@ def phash_near_dups(
     ph: DataFrame, max_hamming: int = 8, hash_col: str = "phash"
 ) -> DataFrame:
     """(id_a, id_b, hamming) for pairs within ``max_hamming`` bits of a
-    64-char bit-string column (``hash_col`` — shared by the image pHash
-    and the audio spectral fingerprint).
+    64-char bit-string column (``hash_col`` — shared by the image,
+    audio, and video fingerprints).
 
-    Pigeonhole banding over max_hamming + 1 disjoint substrings gives
-    perfect recall without an all-pairs product; candidates verify with
-    an exact 64-term substring comparison (pure JVM expressions)."""
+    Scale shape (round 10b, second pass): band-join and Hamming-verify
+    over the DISTINCT fingerprints, then expand to id pairs through the
+    fingerprint→members groups. Duplicate corpora collapse the distinct
+    set far below the row count (sf0.1: ~500 distinct over 5000 docs),
+    so the quadratic-ish candidate/verify work runs on d, not n — the
+    raw-row formulation spent 64-term verifies on every band-colliding
+    ID pair (15 s at sf0.1; the verify cost is now ~d²-bounded and the
+    output expansion is exactly the true pair set, which no algorithm
+    can shrink). Pigeonhole banding over max_hamming + 1 disjoint
+    substrings keeps perfect recall with no all-pairs product; identical
+    fingerprints (hamming 0) pair through the group self-expansion.
+
+    The input frame feeds three plan branches (distinct set + both
+    expansion sides); fingerprinting is the expensive leaf (a codec
+    round-trip per row), so the frame is pinned with the repo's
+    serialized spillable localCheckpoint (operators/checkpoint.py) —
+    without the pin the sf0.1 image query recomputed 5000 encode+decode
+    round-trips three times (19 s; pinned: one pass)."""
+    from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
+    ph = ph.localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
     n_bands = max_hamming + 1
     bounds = band_bounds(64, n_bands)
-    bands = ph.select(
-        F.col("media_id"),
-        F.col(hash_col).alias("phash"),
+    # numeric words precomputed ONCE per distinct fingerprint: the
+    # verify is then XOR + popcount on four 16-bit words per candidate
+    # (bit-identical to per-character comparison) — the first cut built
+    # a 64-element comparison array per candidate row, which dominated
+    # the image query at sf0.1 (277k candidates x 64 substrs)
+    words = [
+        F.conv(F.substring("fp", 1 + 16 * i, 16), 2, 10)
+        .cast("long")
+        .alias(f"w{i}")
+        for i in range(4)
+    ]
+    fps = ph.select(F.col(hash_col).alias("fp")).distinct().select(
+        "fp", *words
+    )
+    bands = fps.select(
+        "fp",
+        *[F.col(f"w{i}") for i in range(4)],
         F.posexplode(
-            F.array(
-                *[F.substring(hash_col, s, ln) for s, ln in bounds]
-            )
+            F.array(*[F.substring("fp", s, ln) for s, ln in bounds])
         ).alias("band_no", "band_val"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.w{i}").bitwiseXOR(F.col(f"b.w{i}"))
+        )
+        for i in range(4)
+    )
+    fp_pairs = (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & (F.col("a.fp") < F.col("b.fp")),
         )
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
         .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.phash").alias("ph_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+            "hamming",
         )
         .distinct()
     )
-    ham = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda k: F.when(
-                F.col("ph_a").substr(k, F.lit(1))
-                != F.col("ph_b").substr(k, F.lit(1)),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    # identical-fingerprint groups pair among themselves at hamming 0
+    fp_pairs = fp_pairs.unionByName(
+        fps.select(
+            F.col("fp").alias("fp_a"),
+            F.col("fp").alias("fp_b"),
+            F.lit(0).alias("hamming"),
+        )
     )
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    members = ph.select(
+        F.col("media_id"), F.col(hash_col).alias("fp")
     )
+    ma = members.alias("ma")
+    mb = members.alias("mb")
+    # each id belongs to exactly one fingerprint group, so an id pair
+    # maps to exactly one unordered fp pair: cross-group pairs appear
+    # once per (fp_a < fp_b) row and order via least/greatest; same-group
+    # pairs come from the identity rows and halve via the < filter
+    expanded = (
+        fp_pairs.join(ma, F.col("ma.fp") == F.col("fp_a"))
+        .join(mb, F.col("mb.fp") == F.col("fp_b"))
+        .filter(
+            (F.col("fp_a") != F.col("fp_b"))
+            | (F.col("ma.media_id") < F.col("mb.media_id"))
+        )
+        .select(
+            F.least("ma.media_id", "mb.media_id").alias("id_a"),
+            F.greatest("ma.media_id", "mb.media_id").alias("id_b"),
+            F.col("hamming"),
+        )
+    )
+    return expanded
