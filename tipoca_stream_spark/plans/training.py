@@ -2969,8 +2969,13 @@ def multimodal_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per fingerprint group, which needs no transitive closure (exact
     equality IS an equivalence class), so every stage is one
     groupBy(min) + semi-join. Composes the three registered fingerprint
-    operators; the oracle replays all three and the survivor chain."""
+    operators; the oracle replays all three and the survivor chain.
+    Each fingerprint frame feeds multiple plan branches (its own stage
+    plus every later stage's survivor restriction and the stage
+    counts), so all three pin with the spillable localCheckpoint —
+    unpinned, the codec round-trips recompute once per branch."""
     from tipoca_stream_spark.operators.audiofp import audio_fingerprints
+    from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
     from tipoca_stream_spark.operators.phash import phash_from_documents
     from tipoca_stream_spark.operators.videofp import video_fingerprints
 
@@ -2985,9 +2990,21 @@ def multimodal_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id"
         )
 
-    img = phash_from_documents(docs).select("media_id", "phash")
-    aud = audio_fingerprints(docs).select("media_id", "fingerprint")
-    vid = video_fingerprints(docs).select("media_id", "fingerprint")
+    img = (
+        phash_from_documents(docs)
+        .select("media_id", "phash")
+        .localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
+    )
+    aud = (
+        audio_fingerprints(docs)
+        .select("media_id", "fingerprint")
+        .localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
+    )
+    vid = (
+        video_fingerprints(docs)
+        .select("media_id", "fingerprint")
+        .localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
+    )
     base = img.select("media_id")
     s1 = survivors(base, img, "phash")
     s2 = survivors(s1, aud, "fingerprint")
