@@ -1,0 +1,48 @@
+"""Pin the driver correctness-panel rotation (round 11): the driver
+grades the FIRST 50 entries of ``plans.QUERIES``; rounds 1-10 graded the
+same insertion-ordered prefix, so 157/222 queries never had a driver-side
+CORRECTNESS row. The reorder in plans/__init__.py must keep the
+reference-parity spine and put >= 15 never-graded queries in the prefix.
+"""
+
+import glob
+import json
+import os
+
+from tipoca_stream_spark.plans import QUERIES, _PANEL
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SPINE = [
+    "cdc_merge_lww",
+    "m2_dedupe_latest",
+    "m3_delete_common_anti",
+    "m4_delete_op_filter",
+    "a1_batch_event_counts",
+    "s10_tombstone_skip",
+    "mask_pipeline",
+]
+
+
+def test_first_fifty_is_the_panel():
+    names = list(QUERIES)
+    assert names[: len(_PANEL)] == _PANEL
+    assert len(_PANEL) == 50
+    assert len(set(_PANEL)) == 50
+
+
+def test_panel_keeps_spine_and_rotates_in_never_graded():
+    graded = set()  # what the driver graded BEFORE the round-11 rotation
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        digits = "".join(c for c in os.path.basename(f) if c.isdigit())
+        if digits and int(digits) <= 10:
+            graded |= set(json.load(open(f)))
+    for name in SPINE:
+        assert name in _PANEL[:10]
+    never = [n for n in _PANEL if n not in graded]
+    assert len(never) >= 15, f"only {len(never)} first-time-graded slots"
+
+
+def test_panel_entries_all_have_exact_oracles():
+    for name in _PANEL:
+        assert QUERIES[name].oracle is not None, name

@@ -2617,6 +2617,9 @@ def _phash_cos_values_sql() -> str:
 
 
 def _phash_oracle() -> str:
+    from tipoca_stream_spark.operators.phash import synth_pixel_sql
+
+    px_sql = synth_pixel_sql()  # single source of truth for the raster
     return f"""
     WITH d AS (
       SELECT doc_id::BIGINT AS mid,
@@ -2634,8 +2637,7 @@ def _phash_oracle() -> str:
       FROM dims, range(0, 32) gy, range(0, 32) gx
     ), px AS (
       SELECT mid, gy, gx,
-             ((mid // 16) * 37 + li * (7 + (mid // 16) % 31)) % 248
-             + CASE WHEN li = mid % (w * h) THEN 8 ELSE 0 END AS v
+             {px_sql} AS v
       FROM grid
     ), ct AS (
       SELECT * FROM (VALUES {_phash_cos_values_sql()}) AS t(u, x, c)
@@ -2720,6 +2722,68 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ph = phash_from_documents(_docs(spark, sf_dir))
     return phash_near_dups(ph, max_hamming=8)
+
+
+def _phash_group_rep_oracle(max_hamming: int = 8) -> str:
+    from tipoca_stream_spark.operators.phash import band_bounds
+
+    band_or = " OR ".join(
+        f"substr(a.fp,{s},{ln}) = substr(b.fp,{s},{ln})"
+        for s, ln in band_bounds(64, max_hamming + 1)
+    )
+    ham = " + ".join(
+        f"(substr(a.fp,{k},1) <> substr(b.fp,{k},1))::INT"
+        for k in range(1, 65)
+    )
+    return f"""
+    WITH ph AS ({_phash_oracle()}),
+    gmin AS (
+      SELECT phash AS fp, min(media_id) AS gmin FROM ph GROUP BY phash
+    ),
+    pairs AS (
+      SELECT fp_a, fp_b, hamming FROM (
+        SELECT a.fp AS fp_a, b.fp AS fp_b, ({ham})::INT AS hamming
+        FROM gmin a JOIN gmin b ON a.fp < b.fp AND ({band_or})
+      ) WHERE hamming <= {max_hamming}
+    ),
+    nb AS (
+      SELECT fp_a AS fp, fp_b AS nb, hamming FROM pairs
+      UNION ALL SELECT fp_b AS fp, fp_a AS nb, hamming FROM pairs
+      UNION ALL SELECT fp, fp AS nb, 0 AS hamming FROM gmin
+    ),
+    rep AS (
+      SELECT nb.fp,
+             min(g2.gmin) AS rep_id,
+             arg_min(nb.hamming, g2.gmin)::INT AS hamming
+      FROM nb JOIN gmin g2 ON g2.fp = nb.nb
+      GROUP BY nb.fp
+    )
+    SELECT ph.media_id AS member_id, rep.rep_id, rep.hamming
+    FROM ph JOIN rep ON rep.fp = ph.phash
+    """
+
+
+@query(
+    "multimodal_phash_group_rep",
+    _phash_group_rep_oracle(),
+    survey_ref="training: multimodal dedup (group-representative shape)",
+)
+def multimodal_phash_group_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-representative near-dup output: one row per document,
+    mapping it to the smallest id in its one-hop pHash Hamming
+    neighborhood (the funnel's keep-smallest-id rule). The scale answer
+    to the pair shape's m²/2 blow-up on mega-dup groups: an
+    identical-fingerprint group of 10⁵ members costs 10⁵ rows here vs
+    5·10⁹ pairs — candidate/verify work stays d²-bounded on distinct
+    fingerprints, member rows are touched exactly twice (group-min
+    aggregate + final O(m) expansion join), never self-joined."""
+    from tipoca_stream_spark.operators.phash import (
+        phash_from_documents,
+        phash_group_reps,
+    )
+
+    ph = phash_from_documents(_docs(spark, sf_dir))
+    return phash_group_reps(ph, max_hamming=8)
 
 
 # --- audio spectral fingerprint (round 10b) ----------------------------------
