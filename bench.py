@@ -9,10 +9,16 @@ PRIMARY forcing is a materializing noop sink (round 10, VERDICT r9 next
 downstream consumes, so projection-only queries (mask_pipeline, the rank
 windows, text_fingerprint) measured 2-5x less than their real work —
 optimizing against the count-forced number optimizes the wrong thing.
-The count-forced rows are still reported (``count_total`` /
-``queries_count``) for cross-round continuity: r9 closed at
-count=10.668 s / noop=13.427 s, so compare value-vs-value only within
-the same forcing. The count rows retire after r10.
+The count-forced HEADLINE rows retired in round 11 as planned (r10 kept
+them one round for continuity; compare noop-vs-noop across r10+).
+Extras that exercise non-query surfaces (steady-state merges, streaming,
+index refresh) still force with count()/action where a noop sink does
+not apply.
+
+Capture robustness (round 11, VERDICT r10 wrong #1): the driver's
+tail-based harness truncated the r10 headline line. The record is now
+ALSO written to BENCH_LOCAL.json before printing, and the printed line
+is the final stdout content.
 """
 
 from __future__ import annotations
@@ -76,22 +82,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        qdef = QUERIES[name]
-        timings[name] = best_of(3, lambda: qdef.fn(spark, sf_dir).count())
-
-    total = round(sum(timings.values()), 3)
-
-    # noop-sink forcing — THE PRIMARY metric since round 10 (the count()
-    # rows above are the retiring legacy metric, kept one more round for
-    # continuity). Rationale in the module docstring; correctness is
-    # unaffected either way (oracles collect full frames).
+    # noop-sink forcing — THE PRIMARY metric since round 10; the legacy
+    # count-forced headline rows retired this round as planned (r9
+    # count=10.668 / r10 count=7.95-9.93 remain in the archived records).
+    # min-of-3 now that the count pass no longer shares the budget.
     noop_timings: dict[str, float] = {}
     for name in HEADLINE:
         qdef = QUERIES[name]
         noop_timings[name] = best_of(
-            2,
+            3,
             lambda: qdef.fn(spark, sf_dir)
             .write.format("noop")
             .mode("overwrite")
@@ -475,12 +474,17 @@ def main() -> None:
         )
 
         def _decode_batches(batches):
-            from tipoca_stream_spark.operators.imagecodec import decode_jpeg
+            # round 11: whole-Arrow-batch C decode — two ctypes crossings
+            # per batch instead of per-image Python staging
+            from tipoca_stream_spark.operators.imagecodec import (
+                decode_jpeg_batch,
+            )
 
             for pdf in batches:
+                imgs = decode_jpeg_batch([bytes(p) for p in pdf["payload"]])
                 rows = [
-                    (int(i), int(decode_jpeg(bytes(p)).sum()))
-                    for i, p in zip(pdf["id"], pdf["payload"])
+                    (int(i), int(img.sum()))
+                    for i, img in zip(pdf["id"], imgs)
                 ]
                 yield _pd.DataFrame(rows, columns=["id", "px_sum"])
 
@@ -495,42 +499,44 @@ def main() -> None:
             n_img * len(jpeg_payload) / 1e6 / t_dec, 1
         )
         extras["image_decode_images_per_s"] = round(n_img / t_dec, 1)
-    except Exception:
-        pass
+    except Exception as e:  # a broken stage must be visible, not absent
+        extras["image_decode_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # the multimodal fingerprint/near-dup family (r10b queries 216-222):
     # codec round-trips + banding through the registered query surface
     for q in ("multimodal_phash", "multimodal_audio_near_dup",
-              "multimodal_dedup_funnel"):
+              "multimodal_dedup_funnel", "multimodal_phash_group_rep"):
         try:
             extras[q] = best_of(
                 2,
                 lambda q=q: QUERIES[q].fn(spark, sf_dir)
                 .write.format("noop").mode("overwrite").save(),
             )
-        except Exception:
-            pass
+        except Exception as e:
+            extras[f"{q}_error"] = f"{type(e).__name__}: {e}"[:300]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_noop",
-                "value": noop_total,
-                "unit": "sec",
-                "forcing": "noop",
-                "queries": noop_timings,
-                "count_total": total,
-                "queries_count": timings,
-                "note": (
-                    "primary forcing switched count->noop in r10 per "
-                    "VERDICT r9 #6; count rows retained one round for "
-                    "continuity (r9: count=10.668, noop=13.427)"
-                ),
-                "extras": extras,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_noop",
+        "value": noop_total,
+        "unit": "sec",
+        "forcing": "noop",
+        "queries": noop_timings,
+        "note": (
+            "count-forced headline rows retired in r11 (noop primary "
+            "since r10: r10 noop=9.72-9.81); full record also written "
+            "to BENCH_LOCAL.json for the tail-capture harness"
+        ),
+        "extras": extras,
+        "sf": sf,
+    }
+    # capture-robust: persist the record BEFORE printing so a truncated
+    # stdout tail (BENCH_r10.json parsed:null) can never lose the round
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as fh:
+        json.dump(record, fh)
+    print(json.dumps(record))
     sys.stdout.flush()
     spark.stop()
 

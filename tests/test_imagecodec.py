@@ -1941,3 +1941,97 @@ def test_lossless_native_matches_pure():
     # smooth image (small diffs, the common SSSS range)
     px = (np.cumsum(rng.integers(-2, 3, size=29 * 31)) % 256).reshape(29, 31)
     both(ic.encode_jpeg_lossless_gray(px.astype(np.int64), predictor=7))
+
+
+def test_lossless_malformed_ssss_rejected_both_paths():
+    """ADVICE r10: a lossless-scan DHT symbol in 17..255 (other than the
+    SSSS=16 escape) must be rejected as an invalid Huffman code on BOTH
+    entropy paths — the C segment walk previously reached read_bits with
+    s > 64 (a UB shift) while the pure path returned defined garbage."""
+    import pytest as _pytest
+
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    px = np.arange(20, dtype=np.int64).reshape(4, 5) % 256
+    payload = bytearray(ic.encode_jpeg_lossless_gray(px, predictor=1))
+    # patch every DHT symbol byte that is a valid SSSS (1..16) to 99
+    i = 0
+    while i < len(payload) - 1:
+        if payload[i] == 0xFF and payload[i + 1] == 0xC4:
+            ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+            body_start = i + 4
+            counts = payload[body_start + 1 : body_start + 17]
+            n_syms = sum(counts)
+            sym_start = body_start + 17
+            for k in range(n_syms):
+                if 1 <= payload[sym_start + k] <= 16:
+                    payload[sym_start + k] = 99
+            i += 2 + ln
+        else:
+            i += 1
+    payload = bytes(payload)
+
+    with _pytest.raises(ValueError):  # native path (or pure where no cc)
+        ic.decode_jpeg(payload)
+    saved, ic._NATIVE = ic._NATIVE, None
+    saved_t, ic._NATIVE_TRIED = ic._NATIVE_TRIED, True
+    try:
+        with _pytest.raises(ValueError):  # pure path
+            ic.decode_jpeg(payload)
+    finally:
+        ic._NATIVE, ic._NATIVE_TRIED = saved, saved_t
+
+
+def test_batch_decode_matches_single_across_corpus():
+    """Round 11: decode_jpeg_batch must be exactly decode_jpeg per
+    payload — bit-identical arrays for everything the C batch path
+    takes (baseline gray/color, subsampled, restart-dense), identical
+    fallbacks for everything it does not (progressive, lossless,
+    arithmetic, 12-bit) and None for non-JPEG bytes."""
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(11)
+    payloads = []
+    # baseline variants through the test encoder
+    for i in range(6):
+        px = rng.integers(0, 256, size=(17 + 8 * (i % 3), 25 + 8 * (i % 2), 3))
+        payloads.append(jpeg_encode(px, chroma_sub=(2, 2) if i % 2 else (1, 1))[0])
+    gray = rng.integers(0, 256, size=(21, 19))
+    payloads.append(jpeg_encode(gray)[0])
+    # fixture set: baseline with restarts, progressive, arithmetic
+    for name in ("baseline_board.jpg", "progressive_board.jpg",
+                 "arith_seq_gray.jpg", "arith_seq_color.jpg"):
+        with open(f"tests/fixtures/{name}", "rb") as fh:
+            payloads.append(fh.read())
+    # lossless (batch falls back), 12-bit (falls back), non-JPEG (None)
+    payloads.append(ic.encode_jpeg_lossless_gray(
+        np.arange(48, dtype=np.int64).reshape(6, 8) % 256, predictor=4))
+    payloads.append(b"not a jpeg at all")
+
+    singles = [ic.decode_jpeg(p) for p in payloads]
+    batched = ic.decode_jpeg_batch(payloads)
+    assert len(batched) == len(singles)
+    for i, (a, b) in enumerate(zip(singles, batched)):
+        if a is None:
+            assert b is None, i
+        else:
+            assert b is not None and a.dtype == b.dtype, i
+            assert np.array_equal(a, b), i
+
+
+def test_batch_decode_pure_python_fallback():
+    """With the native library unavailable, decode_jpeg_batch must fall
+    back to per-image decode_jpeg (same arrays)."""
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(16, 24, 3))
+    payload = jpeg_encode(px)[0]
+    ref = ic.decode_jpeg(payload)
+    saved, ic._NATIVE = ic._NATIVE, None
+    saved_t, ic._NATIVE_TRIED = ic._NATIVE_TRIED, True
+    try:
+        out = ic.decode_jpeg_batch([payload, b"xx"])
+    finally:
+        ic._NATIVE, ic._NATIVE_TRIED = saved, saved_t
+    assert np.array_equal(out[0], ref) and out[1] is None

@@ -765,12 +765,12 @@ int jpeg_idct_plane(
    ratios are 1/2/4 in practice and the Python wrapper falls back to
    numpy on a non-power-of-two ratio — per-pixel integer DIVISION was
    ~40% of the color stage).  Strides are in elements. */
-int jpeg_ycbcr_to_rgb(
+static int ycbcr_core(
     const uint16_t *yp, long ys, int y_ry, int y_rx,
     const uint16_t *cbp, long cbs, int cb_ry, int cb_rx,
     const uint16_t *crp, long crs, int cr_ry, int cr_rx,
     long h, long w, double center, double top,
-    uint16_t *out)
+    uint16_t *out, uint8_t *out8)
 {
     /* Row-planar restructuring (round 10b): the interleaved per-pixel
        loop's x>>rx reads are runtime-shift gathers the vectorizer
@@ -791,7 +791,8 @@ int jpeg_ycbcr_to_rgb(
         const uint16_t *yr = yp + (r >> y_ry) * ys;
         const uint16_t *cbr = cbp + (r >> cb_ry) * cbs;
         const uint16_t *crr = crp + (r >> cr_ry) * crs;
-        uint16_t *o = out + r * w * 3;
+        uint16_t *o = out ? out + r * w * 3 : 0;
+        uint8_t *o8 = out8 ? out8 + r * w * 3 : 0;
         for (x0 = 0; x0 < w; x0 += CCHUNK) {
             n = (w - x0 < CCHUNK) ? (int)(w - x0) : CCHUNK;
             if (y_rx == 0) {
@@ -832,15 +833,50 @@ int jpeg_ycbcr_to_rgb(
                 /* reuse yrow as the B staging row — its reads are done */
                 yrow[i] = B;
             }
-            for (i = 0; i < n; i++) {
-                uint16_t *ox = o + (x0 + i) * 3;
-                ox[0] = (uint16_t)rr[i];
-                ox[1] = (uint16_t)gg[i];
-                ox[2] = (uint16_t)yrow[i];
+            if (out8) {
+                for (i = 0; i < n; i++) {
+                    uint8_t *ox = o8 + (x0 + i) * 3;
+                    ox[0] = (uint8_t)rr[i];
+                    ox[1] = (uint8_t)gg[i];
+                    ox[2] = (uint8_t)yrow[i];
+                }
+            } else {
+                for (i = 0; i < n; i++) {
+                    uint16_t *ox = o + (x0 + i) * 3;
+                    ox[0] = (uint16_t)rr[i];
+                    ox[1] = (uint16_t)gg[i];
+                    ox[2] = (uint16_t)yrow[i];
+                }
             }
         }
     }
     return 0;
+}
+
+int jpeg_ycbcr_to_rgb(
+    const uint16_t *yp, long ys, int y_ry, int y_rx,
+    const uint16_t *cbp, long cbs, int cb_ry, int cb_rx,
+    const uint16_t *crp, long crs, int cr_ry, int cr_rx,
+    long h, long w, double center, double top,
+    uint16_t *out)
+{
+    return ycbcr_core(yp, ys, y_ry, y_rx, cbp, cbs, cb_ry, cb_rx,
+                      crp, crs, cr_ry, cr_rx, h, w, center, top, out, 0);
+}
+
+/* uint8 store variant (round 11): identical arithmetic, the final
+   interleave narrows directly — for 8-bit frames top == 255 so the
+   cast is lossless; the batch decoder uses it to skip the uint16
+   intermediate + astype pass entirely. */
+int jpeg_ycbcr_to_rgb8(
+    const uint16_t *yp, long ys, int y_ry, int y_rx,
+    const uint16_t *cbp, long cbs, int cb_ry, int cb_rx,
+    const uint16_t *crp, long crs, int cr_ry, int cr_rx,
+    long h, long w, double center, double top,
+    uint8_t *out)
+{
+    return ycbcr_core(yp, ys, y_ry, y_rx, cbp, cbs, cb_ry, cb_rx,
+                      crp, crs, cr_ry, cr_rx, h, w, center, top, 0, out);
 }
 
 /* PNG per-row unfilter (round 10b; PNG spec 9: None/Sub/Up/Average/
@@ -928,6 +964,10 @@ int jpeg_decode_lossless_segment(
                 r.nbits -= L;
                 s = ds[v];
                 if (s == 16) diff = 32768;
+                else if (s > 16) return -1; /* malformed DHT symbol: a
+                    17..255 SSSS would reach read_bits with k > 64 (UB
+                    shift); reject like an invalid Huffman code, matching
+                    the pure path's ValueError */
                 else diff = s ? extend_v(read_bits(&r, s), s) : 0;
                 if (first_line) {
                     px = x ? plane[y * w + x - 1] : default_pred;
@@ -1033,6 +1073,448 @@ int gif_lzw_decode(const uint8_t *data, long nbytes, int min_code_size,
         }
     }
     *n_out = n;
+    return 0;
+}
+
+/* ---- whole-image batch decode (round 11, VERDICT r10 next #3) ----
+   The per-image floor after the fused scan was Python staging: marker
+   walk, destuff, LUT/table numpy builds, two ctypes crossings, and the
+   uint16->uint8 astype copy (~4 ms of a 12 ms board-fixture decode).
+   These two entry points move the WHOLE baseline decode into C for a
+   batch of N images: one crossing reads every header (so the caller
+   can allocate outputs), a second parses tables, destuffs, entropy-
+   decodes + IDCTs (the existing fused unit), and color-converts
+   straight into caller-owned uint8 buffers.  Scope is the common
+   corpus shape — baseline/extended-sequential Huffman, 8-bit, 1 or 3
+   components, power-of-two sampling ratios; anything else (or any
+   malformed structure) sets status=1 and the Python path decodes that
+   image with its canonical errors, so batch semantics are exactly
+   decode_jpeg per image. */
+#include <stdlib.h>
+
+typedef struct {
+    uint64_t key;
+    int used;
+    int16_t sym[65536];
+    uint8_t len[65536];
+} lut_slot;
+
+static uint64_t fnv64(const uint8_t *d, long n) {
+    uint64_t h = 1469598103934665603ULL;
+    long i;
+    for (i = 0; i < n; i++) { h ^= d[i]; h *= 1099511628211ULL; }
+    return h;
+}
+
+/* canonical DHT -> 16-bit-peek LUT, the C twin of _HuffTable.__init__;
+   rejects count tables whose code space overflows (Python's list-slice
+   form would silently grow past 2^16 — those streams take the pure
+   path so the LUT contract stays exact) */
+static int build_lut(const uint8_t *counts, const uint8_t *syms,
+                     int16_t *sym, uint8_t *len) {
+    long code = 0;
+    int k = 0, L, i, v;
+    memset(len, 0, 65536);
+    for (L = 1; L <= 16; L++) {
+        for (i = 0; i < counts[L - 1]; i++) {
+            long lo = code << (16 - L), hi = (code + 1) << (16 - L);
+            if (hi > 65536) return 1;
+            for (v = (int)lo; v < (int)hi; v++) {
+                sym[v] = syms[k]; len[v] = (uint8_t)L;
+            }
+            code++; k++;
+        }
+        code <<= 1;
+    }
+    return 0;
+}
+
+typedef struct {
+    long h, w;
+    int ncomp, precision;
+    int comp_id[4], hi[4], vi[4], tq[4];
+    long restart;
+    long sos_pos;
+    int ns;
+    int sel_ci[4], sel_dc[4], sel_ac[4];
+    const uint8_t *dqt_seg[8]; long dqt_len[8]; int n_dqt;
+    const uint8_t *dht_seg[8]; long dht_len[8]; int n_dht;
+} jhdr;
+
+/* marker walk: 0 = supported baseline shape, 1 = let Python handle it
+   (other SOF process, >8-bit, 2/4-component, malformed, truncated) */
+static int parse_headers_c(const uint8_t *p, long n, jhdr *H) {
+    long pos = 2;
+    int have_frame = 0;
+    memset(H, 0, sizeof(*H));
+    if (n < 4 || p[0] != 0xFF || p[1] != 0xD8) return 1;
+    while (pos + 4 <= n) {
+        long seg_len;
+        int marker;
+        if (p[pos] != 0xFF) return 1;
+        marker = p[pos + 1];
+        pos += 2;
+        if (marker == 0xFF) { pos -= 1; continue; }
+        if (marker == 0xD8 || marker == 0x01 ||
+            (marker >= 0xD0 && marker <= 0xD7)) continue;
+        if (marker == 0xD9) return 1; /* EOI before SOS */
+        if (pos + 2 > n) return 1;
+        seg_len = ((long)p[pos] << 8) | p[pos + 1];
+        if (seg_len < 2 || pos + seg_len > n) return 1;
+        {
+            const uint8_t *body = p + pos + 2;
+            long blen = seg_len - 2;
+            int c, s;
+            pos += seg_len;
+            if (marker == 0xDB) {
+                if (H->n_dqt >= 8) return 1;
+                H->dqt_seg[H->n_dqt] = body;
+                H->dqt_len[H->n_dqt] = blen;
+                H->n_dqt++;
+            } else if (marker == 0xC4) {
+                if (H->n_dht >= 8) return 1;
+                H->dht_seg[H->n_dht] = body;
+                H->dht_len[H->n_dht] = blen;
+                H->n_dht++;
+            } else if (marker == 0xC0 || marker == 0xC1) {
+                if (blen < 6) return 1;
+                H->precision = body[0];
+                if (H->precision != 8) return 1;
+                H->h = ((long)body[1] << 8) | body[2];
+                H->w = ((long)body[3] << 8) | body[4];
+                H->ncomp = body[5];
+                if (H->ncomp != 1 && H->ncomp != 3) return 1;
+                if (blen < 6 + 3 * (long)H->ncomp) return 1;
+                for (c = 0; c < H->ncomp; c++) {
+                    H->comp_id[c] = body[6 + 3 * c];
+                    H->hi[c] = body[7 + 3 * c] >> 4;
+                    H->vi[c] = body[7 + 3 * c] & 15;
+                    H->tq[c] = body[8 + 3 * c];
+                    if (H->tq[c] > 3) return 1;
+                }
+                have_frame = 1;
+            } else if (marker >= 0xC2 && marker <= 0xCF) {
+                return 1; /* other SOF processes / DAC: Python path */
+            } else if (marker == 0xDD) {
+                if (blen < 2) return 1;
+                H->restart = ((long)body[0] << 8) | body[1];
+            } else if (marker == 0xDA) {
+                if (!have_frame || blen < 1) return 1;
+                H->ns = body[0];
+                if (H->ns != H->ncomp || blen < 1 + 2 * (long)H->ns)
+                    return 1; /* non-interleaved multi-scan: Python */
+                for (s = 0; s < H->ns; s++) {
+                    int cs = body[1 + 2 * s], ci = -1;
+                    for (c = 0; c < H->ncomp; c++)
+                        if (H->comp_id[c] == cs) ci = c;
+                    if (ci < 0) return 1;
+                    H->sel_ci[s] = ci;
+                    H->sel_dc[s] = body[2 + 2 * s] >> 4;
+                    H->sel_ac[s] = body[2 + 2 * s] & 15;
+                    if (H->sel_dc[s] > 3 || H->sel_ac[s] > 3) return 1;
+                }
+                H->sos_pos = pos;
+                return 0;
+            }
+            /* else: APPn / COM / DNL — skipped via seg_len */
+        }
+    }
+    return 1;
+}
+
+static int validate_hdr(const jhdr *H, long *mcus_x, long *mcus_y,
+                        int *hmax, int *vmax, int *nunits) {
+    int c, hm = 0, vm = 0, nu = 0;
+    if (H->h <= 0 || H->w <= 0) return 1;
+    for (c = 0; c < H->ncomp; c++) {
+        if (H->hi[c] == 0 || H->vi[c] == 0) return 1;
+        if (H->hi[c] > hm) hm = H->hi[c];
+        if (H->vi[c] > vm) vm = H->vi[c];
+    }
+    for (c = 0; c < H->ncomp; c++) {
+        int ry, rx;
+        if (hm % H->hi[c] || vm % H->vi[c]) return 1;
+        ry = vm / H->vi[c]; rx = hm / H->hi[c];
+        if ((ry & (ry - 1)) || (rx & (rx - 1))) return 1;
+        nu += H->hi[c] * H->vi[c];
+    }
+    if (nu > 64) return 1;
+    *hmax = hm; *vmax = vm; *nunits = nu;
+    *mcus_x = (H->w + 8L * hm - 1) / (8L * hm);
+    *mcus_y = (H->h + 8L * vm - 1) / (8L * vm);
+    return 0;
+}
+
+int jpeg_batch_headers(const uint8_t *blob, const int64_t *offs, long n,
+                       int64_t *dims, int32_t *status) {
+    long i;
+    for (i = 0; i < n; i++) {
+        jhdr H;
+        long mx, my;
+        int hm, vm, nu;
+        if (parse_headers_c(blob + offs[i], offs[i + 1] - offs[i], &H) != 0
+            || validate_hdr(&H, &mx, &my, &hm, &vm, &nu) != 0) {
+            status[i] = 1;
+            continue;
+        }
+        dims[i * 3] = H.h;
+        dims[i * 3 + 1] = H.w;
+        dims[i * 3 + 2] = H.ncomp;
+        status[i] = 0;
+    }
+    return 0;
+}
+
+/* DQT segments -> raster-order int32 tables (the zigzag reorder the
+   Python _parse_dqt applies) */
+static int parse_dqt_c(const jhdr *H, int32_t qt[4][64], int *present) {
+    int s, z;
+    long i;
+    for (s = 0; s < H->n_dqt; s++) {
+        const uint8_t *b = H->dqt_seg[s];
+        long blen = H->dqt_len[s];
+        i = 0;
+        while (i < blen) {
+            int pq = b[i] >> 4, tq = b[i] & 15;
+            i += 1;
+            if (tq > 3) return 1;
+            if (pq == 0) {
+                if (i + 64 > blen) return 1;
+                for (z = 0; z < 64; z++) qt[tq][ZIGZAG[z]] = b[i + z];
+                i += 64;
+            } else if (pq == 1) {
+                if (i + 128 > blen) return 1;
+                for (z = 0; z < 64; z++)
+                    qt[tq][ZIGZAG[z]] =
+                        ((int32_t)b[i + 2 * z] << 8) | b[i + 2 * z + 1];
+                i += 128;
+            } else return 1;
+            present[tq] = 1;
+        }
+    }
+    return 0;
+}
+
+/* DHT segments -> LUT pointers per (class, id), through a batch-wide
+   content-keyed cache (corpus images overwhelmingly share the Annex-K
+   tables; round-robin eviction over 16 slots can never evict one of the
+   <= 8 tables the CURRENT image just registered) */
+static int parse_dht_c(const jhdr *H, lut_slot *cache, int n_slots,
+                       int *next_evict,
+                       int16_t *hs[2][4], uint8_t *hl[2][4]) {
+    int s, k, e;
+    for (s = 0; s < H->n_dht; s++) {
+        const uint8_t *b = H->dht_seg[s];
+        long blen = H->dht_len[s], i = 0;
+        while (i < blen) {
+            int tc, th;
+            long total = 0;
+            if (i + 17 > blen) return 1;
+            tc = b[i] >> 4; th = b[i] & 15;
+            if (tc > 1 || th > 3) return 1;
+            for (k = 0; k < 16; k++) total += b[i + 1 + k];
+            if (total > 256 || i + 17 + total > blen) return 1;
+            {
+                uint64_t key = fnv64(b + i + 1, 16 + total);
+                int slot = -1;
+                for (e = 0; e < n_slots; e++)
+                    if (cache[e].used && cache[e].key == key) { slot = e; break; }
+                if (slot < 0) {
+                    for (e = 0; e < n_slots; e++)
+                        if (!cache[e].used) { slot = e; break; }
+                    if (slot < 0) {
+                        slot = *next_evict;
+                        *next_evict = (*next_evict + 1) % n_slots;
+                    }
+                    if (build_lut(b + i + 1, b + i + 17,
+                                  cache[slot].sym, cache[slot].len) != 0) {
+                        cache[slot].used = 0;
+                        return 1;
+                    }
+                    cache[slot].key = key;
+                    cache[slot].used = 1;
+                }
+                hs[tc][th] = cache[slot].sym;
+                hl[tc][th] = cache[slot].len;
+            }
+            i += 17 + total;
+        }
+    }
+    return 0;
+}
+
+/* entropy destuff, the C twin of _split_entropy_segments: strip 0xFF00
+   stuffing, split at RST0-7, stop at any other marker */
+static int destuff_c(const uint8_t *p, long n, long pos,
+                     uint8_t **out_data, int64_t **out_offs,
+                     long *out_nsegs) {
+    uint8_t *buf = (uint8_t *)malloc((size_t)(n - pos) + 1);
+    long cap = 16, nsegs = 0, o = 0;
+    int64_t *so = (int64_t *)malloc(sizeof(int64_t) * (cap + 1));
+    if (!buf || !so) { free(buf); free(so); return 1; }
+    so[0] = 0;
+    while (pos < n) {
+        if (p[pos] != 0xFF) { buf[o++] = p[pos++]; continue; }
+        if (pos + 1 >= n) { pos += 1; break; }
+        {
+            int m = p[pos + 1];
+            if (m == 0x00) { buf[o++] = 0xFF; pos += 2; }
+            else if (m >= 0xD0 && m <= 0xD7) {
+                if (nsegs + 1 >= cap) {
+                    int64_t *ns;
+                    cap *= 2;
+                    ns = (int64_t *)realloc(so, sizeof(int64_t) * (cap + 1));
+                    if (!ns) { free(buf); free(so); return 1; }
+                    so = ns;
+                }
+                nsegs += 1; so[nsegs] = o; pos += 2;
+            } else break; /* EOI or next real marker */
+        }
+    }
+    nsegs += 1; so[nsegs] = o;
+    *out_data = buf; *out_offs = so; *out_nsegs = nsegs;
+    return 0;
+}
+
+int jpeg_decode_baseline_batch(
+    const uint8_t *blob, const int64_t *offs, long n,
+    const double *basis, uint8_t **outs, int32_t *status)
+{
+    lut_slot *cache = (lut_slot *)calloc(16, sizeof(lut_slot));
+    int next_evict = 0;
+    long img;
+    /* plane arena reused across the batch: the fused decode writes
+       every sample of every padded plane (full MCU coverage), so no
+       per-image zeroing is needed — per-image calloc paid a fresh
+       page-fault walk on every image */
+    uint16_t *arena = 0;
+    size_t arena_cap = 0;
+    if (!cache) {
+        for (img = 0; img < n; img++)
+            if (status[img] == 0) status[img] = 1;
+        return 0;
+    }
+    for (img = 0; img < n; img++) {
+        jhdr H;
+        long mx, my;
+        int hm, vm, nu;
+        int32_t qt[4][64];
+        int qpresent[4] = {0, 0, 0, 0};
+        int16_t *hs[2][4] = {{0}};
+        uint8_t *hl[2][4] = {{0}};
+        uint8_t *seg_data = 0;
+        int64_t *seg_offs = 0;
+        long nsegs = 0;
+        uint16_t *planes[4] = {0, 0, 0, 0};
+        const uint8_t *p = blob + offs[img];
+        long len = offs[img + 1] - offs[img];
+        int fail = 0, c, s;
+
+        if (status[img] != 0) continue;
+        if (parse_headers_c(p, len, &H) != 0 ||
+            validate_hdr(&H, &mx, &my, &hm, &vm, &nu) != 0) {
+            status[img] = 1;
+            continue;
+        }
+        memset(qt, 0, sizeof(qt));
+        if (parse_dqt_c(&H, qt, qpresent) != 0 ||
+            parse_dht_c(&H, cache, 16, &next_evict, hs, hl) != 0) {
+            status[img] = 1;
+            continue;
+        }
+        for (s = 0; s < H.ns; s++) {
+            int ci = H.sel_ci[s];
+            if (!qpresent[H.tq[ci]] || !hs[0][H.sel_dc[s]] ||
+                !hs[1][H.sel_ac[s]])
+                fail = 1; /* missing tables: Python raises canonically */
+        }
+        if (fail || destuff_c(p, len, H.sos_pos, &seg_data, &seg_offs,
+                              &nsegs) != 0) {
+            status[img] = 1;
+            continue;
+        }
+        {
+            int32_t cou[64], ub[64];
+            int32_t quant[4 * 64];
+            int32_t vi_arr[4], hi_arr[4];
+            const int16_t *dc_sym[4];
+            const uint8_t *dc_len_[4];
+            const int16_t *ac_sym[4];
+            const uint8_t *ac_len_[4];
+            uint16_t *plane_ptrs[4];
+            int64_t plane_w[4];
+            int u = 0;
+            long n_mcus = mx * my;
+            for (s = 0; s < H.ns; s++) {
+                int ci = H.sel_ci[s], j;
+                for (j = 0; j < H.hi[ci] * H.vi[ci]; j++) {
+                    cou[u] = ci; ub[u] = j; u++;
+                }
+                dc_sym[ci] = hs[0][H.sel_dc[s]];
+                dc_len_[ci] = hl[0][H.sel_dc[s]];
+                ac_sym[ci] = hs[1][H.sel_ac[s]];
+                ac_len_[ci] = hl[1][H.sel_ac[s]];
+                memcpy(quant + ci * 64, qt[H.tq[ci]], 64 * sizeof(int32_t));
+                vi_arr[ci] = H.vi[ci];
+                hi_arr[ci] = H.hi[ci];
+            }
+            {
+                size_t need = 0, at = 0;
+                for (c = 0; c < H.ncomp; c++)
+                    need += (size_t)(my * (long)H.vi[c] * 8)
+                            * (size_t)(mx * (long)H.hi[c] * 8);
+                if (need > arena_cap) {
+                    uint16_t *na = (uint16_t *)malloc(need * 2);
+                    if (na) { free(arena); arena = na; arena_cap = need; }
+                    else fail = 1;
+                }
+                for (c = 0; c < H.ncomp && !fail; c++) {
+                    long pw = mx * (long)H.hi[c] * 8;
+                    planes[c] = arena + at;
+                    at += (size_t)(my * (long)H.vi[c] * 8) * (size_t)pw;
+                    plane_ptrs[c] = planes[c];
+                    plane_w[c] = pw;
+                }
+            }
+            if (!fail &&
+                jpeg_decode_scan_fused(
+                    seg_data, seg_offs, nsegs, n_mcus, H.restart, nu,
+                    cou, ub, dc_sym, dc_len_, ac_sym, ac_len_, quant,
+                    vi_arr, hi_arr, plane_ptrs, plane_w,
+                    basis, 128.0, 255.0, mx) != 0)
+                fail = 1;
+            if (!fail) {
+                uint8_t *out = outs[img];
+                if (H.ncomp == 1) {
+                    long r, x, pw = plane_w[0];
+                    for (r = 0; r < H.h; r++) {
+                        const uint16_t *row = planes[0] + r * pw;
+                        uint8_t *o = out + r * H.w;
+                        for (x = 0; x < H.w; x++) o[x] = (uint8_t)row[x];
+                    }
+                } else {
+                    int lg[3][2];
+                    for (c = 0; c < 3; c++) {
+                        int ry = vm / H.vi[c], rx = hm / H.hi[c], b2;
+                        for (b2 = 0; (1 << b2) < ry; b2++) ;
+                        lg[c][0] = b2;
+                        for (b2 = 0; (1 << b2) < rx; b2++) ;
+                        lg[c][1] = b2;
+                    }
+                    jpeg_ycbcr_to_rgb8(
+                        planes[0], plane_w[0], lg[0][0], lg[0][1],
+                        planes[1], plane_w[1], lg[1][0], lg[1][1],
+                        planes[2], plane_w[2], lg[2][0], lg[2][1],
+                        H.h, H.w, 128.0, 255.0, out);
+                }
+            }
+            if (fail) status[img] = 1;
+        }
+        free(seg_data);
+        free(seg_offs);
+    }
+    free(arena);
+    free(cache);
     return 0;
 }
 """
@@ -1248,11 +1730,31 @@ def _native_lib():
             ctypes.c_void_p,  # out uint8[max_pixels + 4097]
             ctypes.c_void_p,  # n_out long*
         ]
+        bheaders = lib.jpeg_batch_headers
+        bheaders.restype = ctypes.c_int
+        bheaders.argtypes = [
+            ctypes.c_char_p,  # concatenated payloads
+            ctypes.c_void_p,  # offsets int64[n+1]
+            ctypes.c_long,  # n images
+            ctypes.c_void_p,  # dims int64[n*3] out
+            ctypes.c_void_p,  # status int32[n] out
+        ]
+        bdecode = lib.jpeg_decode_baseline_batch
+        bdecode.restype = ctypes.c_int
+        bdecode.argtypes = [
+            ctypes.c_char_p,  # concatenated payloads
+            ctypes.c_void_p,  # offsets int64[n+1]
+            ctypes.c_long,  # n images
+            ctypes.c_void_p,  # basis double[64]
+            ctypes.c_void_p,  # outs uint8*[n]
+            ctypes.c_void_p,  # status int32[n] in/out
+        ]
         _NATIVE = {
             "scan": scan, "scan_batch": scan_batch, "fused": fused,
             "prog": prog, "idct": idct, "rgb": rgb,
             "png_unfilter": unfilter, "gif_lzw": lzw,
             "lossless": lossless,
+            "batch_headers": bheaders, "batch_decode": bdecode,
         }
     except Exception:
         _NATIVE = None
@@ -1771,6 +2273,60 @@ def _entropy_decode_native(native, segments, sel, comps, qt, huff, n_mcus,
     return [by_ci[ci] for ci in range(ncomp)]
 
 
+def decode_jpeg_batch(payloads):
+    """Decode a sequence of JPEG payloads with (at most) TWO ctypes
+    crossings for the whole batch (round 11, VERDICT r10 next #3): one
+    C pass reads every header so outputs can be allocated, a second
+    parses tables, destuffs, entropy-decodes + IDCTs (the fused unit)
+    and color-converts straight into the caller-owned uint8 arrays —
+    no per-image Python staging, no uint16 astype copy, and Huffman
+    LUTs cached across images by table content (corpus images
+    overwhelmingly share the Annex-K tables).
+
+    Semantics are exactly ``decode_jpeg`` per payload: any image the C
+    batch path does not take (progressive/lossless/arithmetic/12-bit,
+    2- or 4-component, malformed, or not a JPEG at all) falls back to
+    ``decode_jpeg`` individually — same arrays, same exceptions, same
+    None for non-JPEG. Parity is pinned both ways in
+    tests/test_imagecodec.py."""
+    import ctypes
+
+    import numpy as np
+
+    payloads = list(payloads)
+    n = len(payloads)
+    lib = _native_lib()
+    if n == 0:
+        return []
+    if lib is None or "batch_headers" not in lib:
+        return [decode_jpeg(p) for p in payloads]
+    blob = b"".join(payloads)
+    offs = np.zeros(n + 1, np.int64)
+    offs[1:] = np.cumsum([len(p) for p in payloads])
+    dims = np.zeros(n * 3, np.int64)
+    status = np.zeros(n, np.int32)
+    lib["batch_headers"](
+        blob, offs.ctypes.data, n, dims.ctypes.data, status.ctypes.data
+    )
+    outs: list = [None] * n
+    ptrs = (ctypes.c_void_p * n)()
+    for i in range(n):
+        if status[i] == 0:
+            h, w, c = (int(dims[3 * i]), int(dims[3 * i + 1]),
+                       int(dims[3 * i + 2]))
+            a = np.empty((h, w, c), np.uint8)
+            outs[i] = a
+            ptrs[i] = a.ctypes.data
+    lib["batch_decode"](
+        blob, offs.ctypes.data, n, _idct_basis_c().ctypes.data,
+        ctypes.addressof(ptrs), status.ctypes.data,
+    )
+    return [
+        outs[i] if status[i] == 0 else decode_jpeg(payloads[i])
+        for i in range(n)
+    ]
+
+
 def decode_jpeg(payload: bytes):
     """Baseline, extended-sequential (8/12-bit), progressive, or
     lossless JPEG -> (h, w, channels) array, or None if not a JPEG.
@@ -2168,6 +2724,10 @@ def _decode_jpeg_lossless(payload: bytes):
                 s = _decode_symbol(reader, tabs[ci])
                 if s == 16:
                     diff = 32768  # H.1.2.2: coded without extra bits
+                elif s > 16:
+                    # malformed DHT symbol (only 0..16 are valid SSSS in
+                    # lossless scans) — same contract as the C segment
+                    raise ValueError("invalid Huffman code")
                 elif s:
                     diff = _extend(reader.read_bits(s), s)
                 else:

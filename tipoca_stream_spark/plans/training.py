@@ -3038,12 +3038,17 @@ def multimodal_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus every later stage's survivor restriction and the stage
     counts), so all three pin with the spillable localCheckpoint —
     unpinned, the codec round-trips recompute once per branch."""
+    return funnel_over_docs(_docs(spark, sf_dir))
+
+
+def funnel_over_docs(docs: DataFrame) -> DataFrame:
+    """The funnel plan over an arbitrary documents frame — shared by the
+    registered query and the scale probes so curvature measurements run
+    the exact registered composition."""
     from tipoca_stream_spark.operators.audiofp import audio_fingerprints
     from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
     from tipoca_stream_spark.operators.phash import phash_from_documents
     from tipoca_stream_spark.operators.videofp import video_fingerprints
-
-    docs = _docs(spark, sf_dir)
 
     def survivors(prev: DataFrame, fps: DataFrame, col: str) -> DataFrame:
         cur = fps.join(prev, "media_id")  # restrict to current survivors
