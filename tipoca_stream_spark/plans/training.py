@@ -2724,7 +2724,12 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dups(ph, max_hamming=8)
 
 
-def _phash_group_rep_oracle(max_hamming: int = 8) -> str:
+def _group_rep_oracle(fp_cte: str, fp_col: str, max_hamming: int = 8) -> str:
+    """Shared oracle for the group-representative shape over any 64-bit
+    fingerprint CTE (image pHash / audio / video): fp-level one-hop
+    Hamming neighborhood via the same pigeonhole banding, rep = min
+    member id over the neighborhood's groups (arg_min is deterministic:
+    group minima are distinct)."""
     from tipoca_stream_spark.operators.phash import band_bounds
 
     band_or = " OR ".join(
@@ -2736,9 +2741,9 @@ def _phash_group_rep_oracle(max_hamming: int = 8) -> str:
         for k in range(1, 65)
     )
     return f"""
-    WITH ph AS ({_phash_oracle()}),
+    WITH ph AS ({fp_cte}),
     gmin AS (
-      SELECT phash AS fp, min(media_id) AS gmin FROM ph GROUP BY phash
+      SELECT {fp_col} AS fp, min(media_id) AS gmin FROM ph GROUP BY {fp_col}
     ),
     pairs AS (
       SELECT fp_a, fp_b, hamming FROM (
@@ -2759,13 +2764,13 @@ def _phash_group_rep_oracle(max_hamming: int = 8) -> str:
       GROUP BY nb.fp
     )
     SELECT ph.media_id AS member_id, rep.rep_id, rep.hamming
-    FROM ph JOIN rep ON rep.fp = ph.phash
+    FROM ph JOIN rep ON rep.fp = ph.{fp_col}
     """
 
 
 @query(
     "multimodal_phash_group_rep",
-    _phash_group_rep_oracle(),
+    _group_rep_oracle(_phash_oracle(), "phash"),
     survey_ref="training: multimodal dedup (group-representative shape)",
 )
 def multimodal_phash_group_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2888,6 +2893,25 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "fingerprint"
     )
     return phash_near_dups(fp, max_hamming=8, hash_col="fingerprint")
+
+
+@query(
+    "multimodal_audio_group_rep",
+    _group_rep_oracle(_afp_oracle(), "fingerprint"),
+    survey_ref="training: multimodal dedup (group-representative shape, audio)",
+)
+def multimodal_audio_group_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The group-representative near-dup shape over the audio
+    fingerprint — same generic operator and shared oracle construction
+    as the image variant (`phash_group_reps` is fingerprint-agnostic),
+    demonstrating the O(m) mega-dup answer across modalities."""
+    from tipoca_stream_spark.operators.audiofp import audio_fingerprints
+    from tipoca_stream_spark.operators.phash import phash_group_reps
+
+    fp = audio_fingerprints(_docs(spark, sf_dir)).select(
+        "media_id", "fingerprint"
+    )
+    return phash_group_reps(fp, max_hamming=8, hash_col="fingerprint")
 
 
 # --- video sample-size fingerprint (round 10b) -------------------------------
