@@ -2729,7 +2729,14 @@ def _group_rep_oracle(fp_cte: str, fp_col: str, max_hamming: int = 8) -> str:
     fingerprint CTE (image pHash / audio / video): fp-level one-hop
     Hamming neighborhood via the same pigeonhole banding, rep = min
     member id over the neighborhood's groups (arg_min is deterministic:
-    group minima are distinct)."""
+    group minima are distinct).
+
+    The CTEs are MATERIALIZED: DuckDB otherwise inlines the fingerprint
+    CTE into every reference (gmin feeds pairs twice and nb three ways),
+    and the re-expanded band self-join spilled >18.6 GB of temp at sf0.1
+    — the same off-SF oracle blow-up class as r10's funnel NOT EXISTS
+    chain. Materialized, the whole query runs in ~19 s at sf0.1 with no
+    spill (reproduced + fixed round 11; graded-SF behavior unchanged)."""
     from tipoca_stream_spark.operators.phash import band_bounds
 
     band_or = " OR ".join(
@@ -2741,17 +2748,17 @@ def _group_rep_oracle(fp_cte: str, fp_col: str, max_hamming: int = 8) -> str:
         for k in range(1, 65)
     )
     return f"""
-    WITH ph AS ({fp_cte}),
-    gmin AS (
+    WITH ph AS MATERIALIZED ({fp_cte}),
+    gmin AS MATERIALIZED (
       SELECT {fp_col} AS fp, min(media_id) AS gmin FROM ph GROUP BY {fp_col}
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT fp_a, fp_b, hamming FROM (
         SELECT a.fp AS fp_a, b.fp AS fp_b, ({ham})::INT AS hamming
         FROM gmin a JOIN gmin b ON a.fp < b.fp AND ({band_or})
       ) WHERE hamming <= {max_hamming}
     ),
-    nb AS (
+    nb AS MATERIALIZED (
       SELECT fp_a AS fp, fp_b AS nb, hamming FROM pairs
       UNION ALL SELECT fp_b AS fp, fp_a AS nb, hamming FROM pairs
       UNION ALL SELECT fp, fp AS nb, 0 AS hamming FROM gmin
