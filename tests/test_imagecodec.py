@@ -2035,3 +2035,55 @@ def test_batch_decode_pure_python_fallback():
     finally:
         ic._NATIVE, ic._NATIVE_TRIED = saved, saved_t
     assert np.array_equal(out[0], ref) and out[1] is None
+
+
+def test_batch_decode_fuzz_parity_on_mutated_payloads():
+    """The batch path's C parser consumes untrusted bytes: random
+    single-byte mutations of valid baseline JPEGs must behave exactly
+    like the per-image path — same array, same exception type, or the
+    same None. (The batch path may legitimately fall back to the Python
+    decoder, so 'agrees with decode_jpeg' is the whole contract.)"""
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(1311)
+    base = jpeg_encode(rng.integers(0, 256, size=(24, 32, 3)),
+                       chroma_sub=(2, 2))[0]
+    payloads = [base]
+    for _ in range(120):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        payloads.append(bytes(b))
+    # truncations at structural boundaries
+    for cut in (2, 4, 20, len(base) // 2, len(base) - 2):
+        payloads.append(base[:cut])
+
+    def single(p):
+        try:
+            return ("ok", ic.decode_jpeg(p))
+        except Exception as e:
+            return ("err", type(e).__name__)
+
+    refs = [single(p) for p in payloads]
+    try:
+        batched = ic.decode_jpeg_batch(payloads)
+        got = [("ok", a) for a in batched]
+    except Exception:
+        # a raising payload aborts the batch list comprehension; compare
+        # element-wise instead so every payload is still covered
+        got = None
+    for i, p in enumerate(payloads):
+        kind, ref = refs[i]
+        try:
+            out = ic.decode_jpeg_batch([p])[0]
+            assert kind == "ok", f"{i}: single raised {ref}, batch returned"
+            if ref is None:
+                assert out is None, i
+            else:
+                assert np.array_equal(out, ref), i
+        except AssertionError:
+            raise
+        except Exception as e:
+            assert kind == "err" and type(e).__name__ == ref, (
+                f"{i}: single {refs[i]}, batch raised {type(e).__name__}"
+            )
