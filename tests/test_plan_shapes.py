@@ -92,7 +92,8 @@ def test_multimodal_is_arrow_batched(spark):
     ["dedup_simhash_pairs", "similarity_neardup_pairs",
      "multimodal_phash_near_dup", "multimodal_audio_near_dup",
      "multimodal_video_near_dup",
-     "multimodal_phash_group_rep", "multimodal_audio_group_rep"],
+     "multimodal_phash_group_rep", "multimodal_audio_group_rep",
+     "multimodal_video_group_rep"],
 )
 def test_pair_queries_have_no_cartesian(spark, name):
     # near-dup pair generation must be banded candidate equi-joins, never an

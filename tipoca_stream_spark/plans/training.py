@@ -3005,6 +3005,24 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dups(fp, max_hamming=8, hash_col="fingerprint")
 
 
+@query(
+    "multimodal_video_group_rep",
+    _group_rep_oracle(_vfp_oracle(), "fingerprint"),
+    survey_ref="training: multimodal dedup (group-representative shape, video)",
+)
+def multimodal_video_group_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The group-representative near-dup shape over the video frame-size
+    fingerprint — completes the O(m) mega-dup answer across all three
+    modalities (shared generic operator + shared oracle construction)."""
+    from tipoca_stream_spark.operators.phash import phash_group_reps
+    from tipoca_stream_spark.operators.videofp import video_fingerprints
+
+    fp = video_fingerprints(_docs(spark, sf_dir)).select(
+        "media_id", "fingerprint"
+    )
+    return phash_group_reps(fp, max_hamming=8, hash_col="fingerprint")
+
+
 # --- multimodal dedup funnel (round 10b) -------------------------------------
 
 
