@@ -254,3 +254,23 @@ def test_cooccurrence_cap_leaves_small_groups_alone(spark):
     assert {(r["item_a"], r["item_b"], r["n_keys"]) for r in capped} == {
         (5, 6, 2), (5, 7, 1), (6, 7, 1)
     }
+
+
+def test_simhash_group_rep_mega_group(spark):
+    """The text twin of the round-11 group-rep scale pin: m docs sharing
+    one signature cost O(m) rows (the pair shape would emit m(m-1)/2),
+    and a within-threshold neighbor signature with a smaller min id
+    becomes every member's representative."""
+    rows = (
+        [(i, 0b1111) for i in range(100, 600)]   # mega group, 500 members
+        + [(5, 0b1110)]                          # hamming 1, global min id
+        + [(7, 0b1010101010101010)]              # far signature, isolated
+    )
+    sig = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    out = cd.simhash_group_reps(sig, "doc_id", max_hamming=4).collect()
+    assert len(out) == 502                       # one row per member
+    by_id = {r["member_id"]: (r["rep_id"], r["hamming"]) for r in out}
+    for i in range(100, 600):
+        assert by_id[i] == (5, 1)
+    assert by_id[5] == (5, 0)
+    assert by_id[7] == (7, 0)

@@ -432,3 +432,76 @@ def simhash_pairs(sig: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_group_reps(
+    sig: DataFrame, id_col: str, max_hamming: int, bits: int = 32
+) -> DataFrame:
+    """(member_id, rep_id, hamming): each document mapped to the smallest
+    id in its one-hop SimHash Hamming neighborhood — the text twin of
+    ``operators.phash.phash_group_reps`` (round 11) over packed-long
+    signatures instead of bit strings.
+
+    Why beside ``simhash_pairs``: the pair shape must emit the true pair
+    set, so m documents sharing one signature cost m²/2 rows — a
+    boilerplate-heavy real corpus (one license header pasted into 10⁵
+    files) would emit 5·10⁹ pairs. This shape emits exactly one row per
+    document: candidates and the XOR+popcount verify run on the DISTINCT
+    signatures (d²-bounded via the same pigeonhole banding), members are
+    touched exactly twice (group-min aggregate + O(m) expansion join),
+    never self-joined. rep_id is the min member id over the signature's
+    group and every signature within ``max_hamming`` bits (one hop —
+    exact equality is an equivalence class, no transitive closure);
+    rows with member_id == rep_id are the keepers."""
+    sig = sig.persist()
+    members = sig.select(F.col(id_col), F.col("simhash").alias("fp"))
+    gmin = members.groupBy("fp").agg(F.min(id_col).alias("gmin"))
+    fps = members.select("fp").distinct().withColumnRenamed("fp", "simhash")
+    bands = simhash_band_keys(
+        fps.withColumn("_fid", F.col("simhash")), "_fid", max_hamming, bits
+    ).select(F.col("simhash").alias("fp"), "band_no", "band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.fp") < F.col("b.fp")),
+        )
+        .select(
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    neighbors = (
+        pairs.select(F.col("fp_a").alias("fp"), F.col("fp_b").alias("nb"), "hamming")
+        .unionByName(
+            pairs.select(
+                F.col("fp_b").alias("fp"), F.col("fp_a").alias("nb"), "hamming"
+            )
+        )
+        .unionByName(
+            gmin.select(
+                F.col("fp"), F.col("fp").alias("nb"), F.lit(0).alias("hamming")
+            )
+        )
+    )
+    rep_per_fp = (
+        neighbors.join(gmin.select(F.col("fp").alias("nb"), "gmin"), "nb")
+        .groupBy("fp")
+        .agg(
+            F.min("gmin").alias("rep_id"),
+            F.min_by("hamming", "gmin").alias("hamming"),
+        )
+    )
+    return members.join(rep_per_fp, "fp").select(
+        F.col(id_col).alias("member_id"),
+        F.col("rep_id"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )

@@ -1059,6 +1059,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.simhash_pairs(sigs, "doc_id", MAX_HAMMING)
 
 
+@query(
+    "dedup_simhash_group_rep",
+    f"""
+    WITH sig AS MATERIALIZED ({SIMHASH_SIG_SQL}),
+    gmin AS MATERIALIZED (
+      SELECT simhash AS fp, min(doc_id) AS gmin FROM sig GROUP BY simhash
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.fp AS fp_a, b.fp AS fp_b,
+             bit_count(xor(a.fp, b.fp))::INT AS hamming
+      FROM gmin a JOIN gmin b ON a.fp < b.fp
+      WHERE bit_count(xor(a.fp, b.fp)) <= {MAX_HAMMING}
+    ),
+    nb AS MATERIALIZED (
+      SELECT fp_a AS fp, fp_b AS nb, hamming FROM pairs
+      UNION ALL SELECT fp_b AS fp, fp_a AS nb, hamming FROM pairs
+      UNION ALL SELECT fp, fp AS nb, 0 AS hamming FROM gmin
+    ),
+    rep AS (
+      SELECT nb.fp,
+             min(g2.gmin) AS rep_id,
+             arg_min(nb.hamming, g2.gmin)::INT AS hamming
+      FROM nb JOIN gmin g2 ON g2.fp = nb.nb
+      GROUP BY nb.fp
+    )
+    SELECT sig.doc_id AS member_id, rep.rep_id, rep.hamming
+    FROM sig JOIN rep ON rep.fp = sig.simhash
+    """,
+    survey_ref="training: simhash near-dup (group-representative shape)",
+)
+def dedup_simhash_group_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The group-representative shape for the TEXT near-dup family: one
+    row per document mapped to the smallest id in its one-hop SimHash
+    Hamming neighborhood — the O(m) mega-dup answer (a license header
+    pasted into 10⁵ files costs 10⁵ rows, not 5·10⁹ pairs), same
+    construction as the multimodal variants over packed-long signatures.
+    The oracle runs pair generation on the DISTINCT signatures (the
+    d²-bounded set) with MATERIALIZED CTEs so DuckDB cannot re-inline
+    the signature pipeline into the self-join."""
+    docs = _docs(spark, sf_dir)
+    sigs = cd.simhash(docs, "text", "doc_id", bits=SIMHASH_BITS)
+    return cd.simhash_group_reps(sigs, "doc_id", MAX_HAMMING, bits=SIMHASH_BITS)
+
+
 # --- similarity search ------------------------------------------------------
 
 QUERY_VEC_ID = 0
