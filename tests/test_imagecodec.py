@@ -2087,3 +2087,33 @@ def test_batch_decode_fuzz_parity_on_mutated_payloads():
             assert kind == "err" and type(e).__name__ == ref, (
                 f"{i}: single {refs[i]}, batch raised {type(e).__name__}"
             )
+
+
+def test_batch_decode_skips_app_and_comment_segments():
+    """Real corpus JPEGs carry APPn (EXIF/JFIF) and COM segments before
+    the frame; the C batch parser must skip them by length exactly like
+    the Python walk — and still take the batch path (not fall back)."""
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(17)
+    base = jpeg_encode(rng.integers(0, 256, size=(16, 24, 3)))[0]
+    # inject APP1 (fake EXIF), APP13, and COM right after SOI
+    inject = bytearray()
+    for marker, body in ((0xE1, b"Exif\x00\x00" + bytes(64)),
+                         (0xED, bytes(33)),
+                         (0xFE, b"a comment \xff\x00 with ff bytes")):
+        inject += bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+    payload = base[:2] + bytes(inject) + base[2:]
+    ref = ic.decode_jpeg(payload)
+    out = ic.decode_jpeg_batch([payload])[0]
+    assert np.array_equal(ref, out)
+    # prove the C path actually took it (headers report supported)
+    import ctypes
+    lib = ic._native_lib()
+    if lib is not None:
+        offs = np.array([0, len(payload)], np.int64)
+        dims = np.zeros(3, np.int64)
+        status = np.ones(1, np.int32)
+        lib["batch_headers"](payload, offs.ctypes.data, 1,
+                             dims.ctypes.data, status.ctypes.data)
+        assert status[0] == 0 and (dims[0], dims[1], dims[2]) == (16, 24, 3)
