@@ -110,6 +110,38 @@ def main() -> None:
         "output_ratio": round(pair_rows / rep_rows, 1),
     }
 
+    # --- curvature: the full registered pipeline (fingerprint + group
+    # rep) on growing synthetic documents corpora, same generator as the
+    # r10 phash curvature probe — group-rep output is exactly n rows, so
+    # unlike the pair shape there is no output-growth term at all
+    from tipoca_stream_spark.operators.phash import phash_from_documents
+
+    out["curvature"] = {}
+    for n_docs in (5000, 10000, 20000, 50000):
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("d"), F.expr("repeat('x', 20 + cast(id % 37 as int))")
+            ).alias("text"),
+        )
+
+        def build():
+            return phash_group_reps(phash_from_documents(docs), max_hamming=8)
+
+        build().write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        rows = build().count()
+        out["curvature"][str(n_docs)] = {"sec": round(best, 2), "rows": rows}
+        assert rows == n_docs  # exactly one row per member
+    secs = [out["curvature"][str(n)]["sec"] for n in (5000, 10000, 20000, 50000)]
+    out["curvature_doubling_ratios"] = [
+        round(b / a, 2) for a, b in zip(secs, secs[1:])
+    ]
+
     path = os.path.join(ROOT, "SCALE_PROBE_r11_grouprep.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
