@@ -46,3 +46,15 @@ def test_panel_keeps_spine_and_rotates_in_never_graded():
 def test_panel_entries_all_have_exact_oracles():
     for name in _PANEL:
         assert QUERIES[name].oracle is not None, name
+
+
+def test_driver_queries_dict_preserves_panel_prefix():
+    """The driver grades queries() (not QUERIES directly): the exported
+    dict must preserve the panel prefix through the wrap."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    assert names[: len(_PANEL)] == _PANEL
+    oracles = entrymod.oracle_sql()
+    for name in _PANEL:
+        assert name in oracles
