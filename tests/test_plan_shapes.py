@@ -93,7 +93,8 @@ def test_multimodal_is_arrow_batched(spark):
      "multimodal_phash_near_dup", "multimodal_audio_near_dup",
      "multimodal_video_near_dup",
      "multimodal_phash_group_rep", "multimodal_audio_group_rep",
-     "multimodal_video_group_rep", "dedup_simhash_group_rep"],
+     "multimodal_video_group_rep", "dedup_simhash_group_rep",
+     "multimodal_phash_screen"],
 )
 def test_pair_queries_have_no_cartesian(spark, name):
     # near-dup pair generation must be banded candidate equi-joins, never an

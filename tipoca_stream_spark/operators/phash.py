@@ -198,19 +198,27 @@ def _distinct_fps(ph: DataFrame, hash_col: str) -> DataFrame:
     )
 
 
-def _fp_near_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
-    """(fp_a, fp_b, hamming), fp_a < fp_b, over the distinct-fingerprint
-    frame: pigeonhole band equi-join for candidates (max_hamming + 1
-    disjoint bands -> perfect recall, no cartesian), word-XOR popcount
-    verify. d²-bounded — never touches member rows."""
+def _banded(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """One (fp, w0..w3, band_no, band_val) row per pigeonhole band of
+    each distinct fingerprint — the candidate-generation key shared by
+    the self-join (near-dup pairs / group reps) and the two-sided
+    batch-vs-corpus screen."""
     bounds = band_bounds(64, max_hamming + 1)
-    bands = fps.select(
+    return fps.select(
         "fp",
         *[F.col(f"w{i}") for i in range(4)],
         F.posexplode(
             F.array(*[F.substring("fp", s, ln) for s, ln in bounds])
         ).alias("band_no", "band_val"),
     )
+
+
+def _fp_near_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """(fp_a, fp_b, hamming), fp_a < fp_b, over the distinct-fingerprint
+    frame: pigeonhole band equi-join for candidates (max_hamming + 1
+    disjoint bands -> perfect recall, no cartesian), word-XOR popcount
+    verify. d²-bounded — never touches member rows."""
+    bands = _banded(fps, max_hamming)
     a = bands.alias("a")
     b = bands.alias("b")
     ham = sum(
@@ -368,4 +376,73 @@ def phash_group_reps(
         F.col("media_id").alias("member_id"),
         F.col("rep_id"),
         F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def phash_screen(
+    new: DataFrame,
+    corpus: DataFrame,
+    max_hamming: int = 8,
+    hash_col: str = "phash",
+) -> DataFrame:
+    """(member_id, dup_of, hamming): flag each NEW document whose
+    fingerprint lies within ``max_hamming`` bits of any CORPUS
+    fingerprint, with ``dup_of`` = the smallest such corpus member id —
+    the one-sided batch-vs-corpus screen an incremental multimodal
+    ingest runs per batch (the fingerprint twin of
+    ``IncrementalDeduper.screen``'s band probe and
+    ``IncrementalSemanticDeduper.screen``'s cluster probe; this is the
+    stateless primitive those maintained indexes wrap).
+
+    Scale shape: candidates come from a band equi-join between the NEW
+    side's distinct fingerprints and the CORPUS side's distinct
+    fingerprints — never a self-join, never member rows; verify is
+    XOR+popcount on precomputed words; the per-member expansion is one
+    O(batch) join at the end. A 10⁹-image corpus screens a batch at
+    cost ~|batch-distinct| x band collisions, independent of corpus
+    member count beyond its distinct-fingerprint set."""
+    from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
+    new = new.localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
+    corpus = corpus.localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
+    cg = corpus.select("media_id", F.col(hash_col).alias("fp")).groupBy(
+        "fp"
+    ).agg(F.min("media_id").alias("gmin"))
+    a = _banded(_distinct_fps(new, hash_col), max_hamming).alias("a")
+    b = _banded(_distinct_fps(corpus, hash_col), max_hamming).alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.w{i}").bitwiseXOR(F.col(f"b.w{i}")))
+        for i in range(4)
+    )
+    fp_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.fp").alias("fp_new"),
+            F.col("b.fp").alias("fp_corpus"),
+            "hamming",
+        )
+        .distinct()
+    )
+    rep = (
+        fp_pairs.join(cg, F.col("fp_corpus") == F.col("fp"))
+        .groupBy("fp_new")
+        .agg(
+            F.min("gmin").alias("dup_of"),
+            F.min_by("hamming", "gmin").cast("int").alias("hamming"),
+        )
+    )
+    return (
+        new.select("media_id", F.col(hash_col).alias("fp"))
+        .join(rep, F.col("fp") == F.col("fp_new"))
+        .select(
+            F.col("media_id").alias("member_id"),
+            F.col("dup_of"),
+            F.col("hamming"),
+        )
     )

@@ -2842,6 +2842,72 @@ def multimodal_phash_group_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_group_reps(ph, max_hamming=8)
 
 
+def _phash_screen_oracle(max_hamming: int = 8) -> str:
+    from tipoca_stream_spark.operators.phash import band_bounds
+
+    band_or = " OR ".join(
+        f"substr(n.fp,{s},{ln}) = substr(c.fp,{s},{ln})"
+        for s, ln in band_bounds(64, max_hamming + 1)
+    )
+    ham = " + ".join(
+        f"(substr(n.fp,{k},1) <> substr(c.fp,{k},1))::INT"
+        for k in range(1, 65)
+    )
+    return f"""
+    WITH ph AS MATERIALIZED ({_phash_oracle()}),
+    newd AS MATERIALIZED (
+      SELECT media_id, phash FROM ph WHERE media_id % 10 >= 8
+    ),
+    corp AS MATERIALIZED (
+      SELECT media_id, phash FROM ph WHERE media_id % 10 < 8
+    ),
+    cg AS MATERIALIZED (
+      SELECT phash AS fp, min(media_id) AS gmin FROM corp GROUP BY phash
+    ),
+    ng AS MATERIALIZED (SELECT DISTINCT phash AS fp FROM newd),
+    pairs AS MATERIALIZED (
+      SELECT fp_new, fp_corpus, hamming FROM (
+        SELECT n.fp AS fp_new, c.fp AS fp_corpus, ({ham})::INT AS hamming
+        FROM ng n JOIN cg c ON ({band_or})
+      ) WHERE hamming <= {max_hamming}
+    ),
+    rep AS (
+      SELECT fp_new,
+             min(cg.gmin) AS dup_of,
+             arg_min(pairs.hamming, cg.gmin)::INT AS hamming
+      FROM pairs JOIN cg ON cg.fp = pairs.fp_corpus
+      GROUP BY fp_new
+    )
+    SELECT newd.media_id AS member_id, rep.dup_of, rep.hamming
+    FROM newd JOIN rep ON rep.fp_new = newd.phash
+    """
+
+
+@query(
+    "multimodal_phash_screen",
+    _phash_screen_oracle(),
+    survey_ref="training: multimodal dedup (batch-vs-corpus screen)",
+)
+def multimodal_phash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus fingerprint screen: documents with media_id % 10
+    >= 8 play the incoming batch, the rest the accepted corpus; each
+    flagged batch member maps to the smallest corpus id within Hamming 8
+    of its pHash. The stateless one-sided primitive an incremental
+    multimodal ingest runs per batch (the fingerprint twin of the
+    MinHash/semantic screens): candidates from a band equi-join BETWEEN
+    the two sides' distinct-fingerprint sets — never a self-join, cost
+    independent of corpus member count beyond its distinct set."""
+    from tipoca_stream_spark.operators.phash import (
+        phash_from_documents,
+        phash_screen,
+    )
+
+    ph = phash_from_documents(_docs(spark, sf_dir))
+    new = ph.filter((F.col("media_id") % 10) >= 8)
+    corpus = ph.filter((F.col("media_id") % 10) < 8)
+    return phash_screen(new, corpus, max_hamming=8)
+
+
 # --- audio spectral fingerprint (round 10b) ----------------------------------
 
 
