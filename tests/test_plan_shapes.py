@@ -94,7 +94,8 @@ def test_multimodal_is_arrow_batched(spark):
      "multimodal_video_near_dup",
      "multimodal_phash_group_rep", "multimodal_audio_group_rep",
      "multimodal_video_group_rep", "dedup_simhash_group_rep",
-     "multimodal_phash_screen"],
+     "multimodal_phash_screen", "multimodal_audio_screen",
+     "multimodal_video_screen"],
 )
 def test_pair_queries_have_no_cartesian(spark, name):
     # near-dup pair generation must be banded candidate equi-joins, never an

@@ -2842,7 +2842,13 @@ def multimodal_phash_group_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_group_reps(ph, max_hamming=8)
 
 
-def _phash_screen_oracle(max_hamming: int = 8) -> str:
+def _screen_oracle(fp_cte: str, fp_col: str, max_hamming: int = 8) -> str:
+    """Shared oracle for the batch-vs-corpus screen over any 64-bit
+    fingerprint CTE: docs with media_id % 10 >= 8 play the batch, the
+    rest the corpus; banded candidates between the two sides' distinct
+    fingerprint sets, rep = min corpus id over within-threshold
+    neighbors. MATERIALIZED CTEs for the same re-inlining reason as
+    _group_rep_oracle."""
     from tipoca_stream_spark.operators.phash import band_bounds
 
     band_or = " OR ".join(
@@ -2854,12 +2860,12 @@ def _phash_screen_oracle(max_hamming: int = 8) -> str:
         for k in range(1, 65)
     )
     return f"""
-    WITH ph AS MATERIALIZED ({_phash_oracle()}),
+    WITH ph AS MATERIALIZED ({fp_cte}),
     newd AS MATERIALIZED (
-      SELECT media_id, phash FROM ph WHERE media_id % 10 >= 8
+      SELECT media_id, {fp_col} AS phash FROM ph WHERE media_id % 10 >= 8
     ),
     corp AS MATERIALIZED (
-      SELECT media_id, phash FROM ph WHERE media_id % 10 < 8
+      SELECT media_id, {fp_col} AS phash FROM ph WHERE media_id % 10 < 8
     ),
     cg AS MATERIALIZED (
       SELECT phash AS fp, min(media_id) AS gmin FROM corp GROUP BY phash
@@ -2885,7 +2891,7 @@ def _phash_screen_oracle(max_hamming: int = 8) -> str:
 
 @query(
     "multimodal_phash_screen",
-    _phash_screen_oracle(),
+    _screen_oracle(_phash_oracle(), "phash"),
     survey_ref="training: multimodal dedup (batch-vs-corpus screen)",
 )
 def multimodal_phash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3031,6 +3037,25 @@ def multimodal_audio_group_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_group_reps(fp, max_hamming=8, hash_col="fingerprint")
 
 
+@query(
+    "multimodal_audio_screen",
+    _screen_oracle(_afp_oracle(), "fingerprint"),
+    survey_ref="training: multimodal dedup (batch-vs-corpus screen, audio)",
+)
+def multimodal_audio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus screen over the audio fingerprint — the same
+    generic one-sided primitive as the image variant."""
+    from tipoca_stream_spark.operators.audiofp import audio_fingerprints
+    from tipoca_stream_spark.operators.phash import phash_screen
+
+    fp = audio_fingerprints(_docs(spark, sf_dir)).select(
+        "media_id", "fingerprint"
+    )
+    new = fp.filter((F.col("media_id") % 10) >= 8)
+    corpus = fp.filter((F.col("media_id") % 10) < 8)
+    return phash_screen(new, corpus, max_hamming=8, hash_col="fingerprint")
+
+
 # --- video sample-size fingerprint (round 10b) -------------------------------
 
 
@@ -3131,6 +3156,26 @@ def multimodal_video_group_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "fingerprint"
     )
     return phash_group_reps(fp, max_hamming=8, hash_col="fingerprint")
+
+
+@query(
+    "multimodal_video_screen",
+    _screen_oracle(_vfp_oracle(), "fingerprint"),
+    survey_ref="training: multimodal dedup (batch-vs-corpus screen, video)",
+)
+def multimodal_video_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus screen over the video frame-size fingerprint —
+    completes the one-sided screen primitive across all three
+    modalities."""
+    from tipoca_stream_spark.operators.phash import phash_screen
+    from tipoca_stream_spark.operators.videofp import video_fingerprints
+
+    fp = video_fingerprints(_docs(spark, sf_dir)).select(
+        "media_id", "fingerprint"
+    )
+    new = fp.filter((F.col("media_id") % 10) >= 8)
+    corpus = fp.filter((F.col("media_id") % 10) < 8)
+    return phash_screen(new, corpus, max_hamming=8, hash_col="fingerprint")
 
 
 # --- multimodal dedup funnel (round 10b) -------------------------------------
