@@ -100,3 +100,22 @@ def test_entry_contract(spark):
     oracle = entrymod.oracle_sql()
     assert set(oracle) <= names
     assert "cdc_merge_lww" in names
+
+
+def test_no_oracle_emits_nested_columns(ducksql):
+    """The driver's canonicalizer sorts result rows with pandas
+    ``sort_values``, which raises ``TypeError: unhashable type`` on
+    LIST/STRUCT/MAP cells (r11's one red CORRECTNESS row,
+    embed_quantize_int8). Pin: every registered oracle's output schema
+    must be flat scalars so any future panel rotation stays gradable.
+    DESCRIBE is binder-only, so this sweeps all oracles cheaply."""
+    offenders = []
+    for name in sorted(QUERIES):
+        sql = QUERIES[name].oracle
+        if sql is None:
+            continue
+        for row in ducksql.sql(f"DESCRIBE ({sql})").fetchall():
+            col, typ = row[0], row[1]
+            if "[" in typ or "STRUCT" in typ or "MAP" in typ:
+                offenders.append((name, col, typ))
+    assert not offenders, f"nested oracle output columns: {offenders}"

@@ -172,14 +172,25 @@ def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 0.0 END AS sc
       FROM embeddings)
     SELECT vec_id, round(sc, 6) AS scale,
-           list_transform(embedding, x -> round(x::double * sc)::int) AS qvec
+           array_to_string(
+             list_transform(embedding, x -> round(x::double * sc)::int),
+             ',') AS qvec
     FROM s
     """,
     survey_ref="training: embedding compression",
 )
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graded surface joins the int8 code to a comma string: the
+    driver's canonicalizer sorts rows with pandas, which cannot sort
+    list-valued cells (r11's one red CORRECTNESS row). The operator
+    itself (`sim.quantize_int8`) still returns the real array column."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.quantize_int8(emb)
+    q = sim.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec"),
+    )
 
 
 from pyspark.sql import functions as F  # noqa: E402  (late family addition)
