@@ -32,15 +32,18 @@ def test_first_fifty_is_the_panel():
 
 
 def test_panel_keeps_spine_and_rotates_in_never_graded():
-    graded = set()  # what the driver graded BEFORE the round-11 rotation
+    graded = set()  # what the driver graded BEFORE the round-12 wave-2 rotation
     for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         digits = "".join(c for c in os.path.basename(f) if c.isdigit())
-        if digits and int(digits) <= 10:
+        if digits and int(digits) <= 11:
             graded |= set(json.load(open(f)))
     for name in SPINE:
         assert name in _PANEL[:10]
     never = [n for n in _PANEL if n not in graded]
-    assert len(never) >= 15, f"only {len(never)} first-time-graded slots"
+    assert len(never) >= 35, f"only {len(never)} first-time-graded slots"
+    # r11's one red row (unsortable array output) was fixed in r12 and must
+    # stay on the panel until a green driver-side row confirms the fix
+    assert "embed_quantize_int8" in _PANEL
 
 
 def test_panel_entries_all_have_exact_oracles():
