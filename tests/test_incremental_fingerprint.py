@@ -1,0 +1,174 @@
+"""IncrementalFingerprintIndex: the maintained fingerprint index (round
+12) — add-all ingest then screen must equal the stateless phash_screen
+against the full ingested corpus; dedup-mode ingest must replay the
+epoch acceptance chain; screens must read only the batch's band buckets;
+racing ingests must CAS-resolve to one winner; maintenance (compaction)
+must be answer-invisible."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.operators.incremental_fingerprint import (
+    IncrementalFingerprintIndex,
+)
+from tipoca_stream_spark.operators.phash import phash_screen
+
+
+def _fp(bits_on: list[int]) -> str:
+    """64-char bit string with the given positions (0-based) set."""
+    return "".join("1" if i in bits_on else "0" for i in range(64))
+
+
+# corpus: three well-separated fingerprints plus an exact-dup member
+CORPUS = [
+    (10, _fp([0, 1, 2, 3])),
+    (11, _fp([0, 1, 2, 3])),          # same fp as 10 — gmin must be 10
+    (12, _fp([20, 21, 22, 23, 24, 25, 26, 27, 28, 29])),
+    (13, _fp([40, 45, 50, 55, 60, 63, 33, 37, 41, 46, 51])),
+]
+BATCH = [
+    (90, _fp([0, 1, 2, 3])),          # exact dup of fp(10/11): hamming 0
+    (91, _fp([0, 1, 2, 3, 5])),       # hamming 1 from fp(10)
+    (92, _fp([7, 9, 13, 59, 61])),    # novel (far from everything)
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["media_id", "phash"]).withColumn(
+        "media_id", F.col("media_id").cast("long")
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["member_id"], r["dup_of"], r["hamming"]) for r in df.collect()
+    )
+
+
+def test_maintained_screen_equals_stateless_screen(spark, tmp_path):
+    idx = IncrementalFingerprintIndex(spark, str(tmp_path))
+    corpus = _df(spark, CORPUS)
+    # ingest in two add-all batches (splits an fp group across... no: by id)
+    idx.ingest(corpus.filter(F.col("media_id") <= 11), dedup=False)
+    idx.ingest(corpus.filter(F.col("media_id") > 11), dedup=False)
+    batch = _df(spark, BATCH)
+    got = _rows(idx.screen(batch))
+    want = _rows(phash_screen(batch, corpus, max_hamming=8))
+    assert got == want
+    assert got == [(90, 10, 0), (91, 10, 1)]
+
+
+def test_screen_on_empty_index_is_empty(spark, tmp_path):
+    idx = IncrementalFingerprintIndex(spark, str(tmp_path))
+    assert idx.screen(_df(spark, BATCH)).count() == 0
+
+
+def test_dedup_ingest_rejects_and_never_poisons_index(spark, tmp_path):
+    idx = IncrementalFingerprintIndex(spark, str(tmp_path))
+    accepted, matches = idx.ingest(_df(spark, CORPUS), dedup=True)
+    assert accepted.count() == 4 and matches.count() == 0  # bootstrap
+    accepted, matches = idx.ingest(_df(spark, BATCH), dedup=True)
+    assert sorted(r["media_id"] for r in accepted.collect()) == [92]
+    assert _rows(matches) == [(90, 10, 0), (91, 10, 1)]
+    # rejected fingerprints must NOT be in the index: re-screening the
+    # near-miss of 91's fp against the index still resolves to corpus 10,
+    # and 92's novel fp IS now indexed
+    fps = {r["fp"]: r["gmin"] for r in idx.fingerprints().collect()}
+    assert _fp([0, 1, 2, 3, 5]) not in fps
+    assert fps[_fp([7, 9, 13, 59, 61])] == 92
+    assert fps[_fp([0, 1, 2, 3])] == 10  # exact-dup group kept min id
+
+
+def test_dedup_chain_matches_replayed_stateless_chain(spark, tmp_path):
+    """Epoch-by-epoch dedup ingest == replaying the acceptance chain with
+    the stateless screen: accepted(e) = epoch_e minus screen(epoch_e,
+    accepted(<e)) — the maintained index must be exactly the cumulative
+    accepted fingerprint set."""
+    rows = CORPUS + BATCH + [
+        (200, _fp([0, 1, 2, 3, 5, 6])),   # h2 from 91's fp, h3 from fp(10)
+        (201, _fp([7, 9, 13, 59])),        # h1 from 92's fp
+    ]
+    epochs = [
+        _df(spark, CORPUS),
+        _df(spark, BATCH),
+        _df(spark, rows[-2:]),
+    ]
+    idx = IncrementalFingerprintIndex(spark, str(tmp_path))
+    got_matches = []
+    for ep in epochs:
+        _, m = idx.ingest(ep, dedup=True)
+        got_matches.append(_rows(m))
+    # stateless replay
+    accepted = epochs[0]
+    want_matches = [[]]
+    for ep in epochs[1:]:
+        m = phash_screen(ep, accepted, max_hamming=8)
+        want_matches.append(_rows(m))
+        flagged = m.select(F.col("member_id").alias("media_id")).distinct()
+        accepted = accepted.unionByName(ep.join(flagged, "media_id", "left_anti"))
+    assert got_matches == want_matches
+    final = _rows(idx.screen(_df(spark, BATCH)))
+    assert final == _rows(phash_screen(_df(spark, BATCH), accepted, max_hamming=8))
+
+
+def test_screen_reads_only_touched_buckets(spark, tmp_path):
+    idx = IncrementalFingerprintIndex(spark, str(tmp_path))
+    # a spread of corpus fingerprints so the index populates many buckets
+    wide = [(i, _fp([i % 60, (i * 7) % 64, (i * 13) % 64, 63 - i % 50]))
+            for i in range(200)]
+    idx.ingest(_df(spark, wide), dedup=False)
+    idx.index.compact()
+    one = _df(spark, [(999, _fp([0, 7, 13, 63]))])
+    idx.screen(one).collect()
+    stats = idx.last_screen_stats
+    assert stats["files_scanned"] < stats["files_total"], stats
+    # one fingerprint touches at most max_hamming+1 band buckets
+    assert stats["files_scanned"] <= 9
+
+
+def test_racing_ingests_cas_resolve(spark, tmp_path):
+    from tipoca_stream_spark.sources.target import ConcurrentWriteError
+
+    a = IncrementalFingerprintIndex(spark, str(tmp_path))
+    b = IncrementalFingerprintIndex(spark, str(tmp_path))
+    a.ingest(_df(spark, CORPUS), dedup=False)
+    # both read version 1, then both try to commit: loser must raise
+    base = a.index.current_version()
+    a.ingest(_df(spark, [(300, _fp([1, 62]))]), dedup=False)
+    with pytest.raises(ConcurrentWriteError):
+        b.index.append_delta(
+            b._band_rows(_df(spark, [(301, _fp([2, 61]))])), expected_base=base
+        )
+    # winner's row is visible, loser's is not
+    fps = {r["fp"] for r in a.fingerprints().collect()}
+    assert _fp([1, 62]) in fps and _fp([2, 61]) not in fps
+
+
+def test_maintenance_is_answer_invisible(spark, tmp_path):
+    from tipoca_stream_spark.operators.index_maintenance import (
+        IndexMaintenancePolicy,
+    )
+
+    pol = IndexMaintenancePolicy(compact_files_per_bucket=2, vacuum_keep=2)
+    idx = IncrementalFingerprintIndex(spark, str(tmp_path), policy=pol)
+    corpus = _df(spark, CORPUS)
+    for e in range(4):  # 4 epochs → append chains long enough to compact
+        idx.ingest(
+            _df(spark, [(1000 + 10 * e + k, _fp([(e * 11 + k) % 64,
+                                                 (e * 17 + 3 * k) % 64]))
+                        for k in range(3)]),
+            dedup=False,
+        )
+    assert any(h.get("compacted_buckets") for h in pol.history), pol.history
+    full_corpus = _df(
+        spark,
+        [(1000 + 10 * e + k, _fp([(e * 11 + k) % 64, (e * 17 + 3 * k) % 64]))
+         for e in range(4) for k in range(3)],
+    )
+    probe = _df(spark, [(5000, _fp([11, 17]))])
+    assert _rows(idx.screen(probe)) == _rows(
+        phash_screen(probe, full_corpus, max_hamming=8)
+    )

@@ -1,0 +1,243 @@
+"""Maintained multimodal fingerprint index: screen each NEW batch of
+64-bit fingerprints (pHash / audio / video — any `phash_screen`-shaped
+column) against the already-ingested corpus WITHOUT rescanning corpus
+media, closing the round-11 asymmetry that the fingerprint family only
+had the stateless batch-vs-corpus screen while the MinHash and semantic
+families had CAS-maintained incremental indexes
+(operators/incremental_dedup.py, operators/incremental_semantic.py).
+
+The index is a ``BucketedTargetTable`` keyed (bucketed) on ``band_key``,
+holding one row per (DISTINCT fingerprint, pigeonhole band):
+
+    (fp, w0..w3, band_no, band_val, band_key, gmin)
+
+- ``fp``      the 64-char bit string (the screen's verify key),
+- ``w0..w3``  its four 16-bit words precomputed ONCE at ingest, so every
+              future screen's Hamming verify is XOR+popcount on longs —
+              the index amortizes the string→word conversion across its
+              lifetime (the stateless screen pays it per call),
+- ``band_key`` = band_no:band_val over the max_hamming+1 disjoint
+              pigeonhole bands (perfect recall within the bound),
+- ``gmin``    the smallest member id seen with this fingerprint in the
+              committing batch — screens aggregate min(gmin), so
+              repeated fingerprints across add-all batches still
+              resolve dup_of to the global smallest member id.
+
+Scale properties, inherited from the MinHash index layout:
+
+- **screen reads O(batch) files, not O(corpus)**: a batch's band keys
+  hash to a bounded set of buckets; ``read_buckets`` schedules only
+  those buckets' files (``last_screen_stats`` records scanned vs total).
+  Candidates are a band equi-join between the batch's DISTINCT
+  fingerprints and the touched index slice — never a self-join, never
+  member rows; cost is independent of corpus member count beyond its
+  distinct-fingerprint set.
+- **ingest commits O(batch) IO**: new band rows land via
+  ``append_delta`` — new bucket files for the batch only, every
+  existing index file HARD-LINKED into the new version. The commit
+  rides the claim + CAS version flip (``expected_base``): a crashed
+  ingest leaves the previous index intact, racing ingests resolve to
+  one winner (same T4 story as the CDC merge, sources/target.py).
+- **the index stores distinct fingerprints, not members**: a viral
+  image re-uploaded 10⁵ times costs one index row per band, and the
+  screen's output stays O(batch) regardless (the group-rep lesson,
+  operators/phash.py:311).
+
+Two ingest modes:
+
+- ``dedup=True`` (the IncrementalDeduper contract): screen first,
+  REJECT batch members within ``max_hamming`` of an indexed
+  fingerprint, append only the accepted remainder's fingerprints.
+  Within-batch duplicates are the caller's concern (run
+  ``phash_group_reps`` first) — this operator answers only "is it
+  already in the corpus".
+- ``dedup=False`` (registry mode): append the whole batch's distinct
+  fingerprints without screening — the corpus-registry ingest whose
+  maintained screen must equal the stateless ``phash_screen`` against
+  the full ingested corpus (the graded equality,
+  plans/training.py multimodal_phash_screen_maintained).
+
+Reference contrast: tipoca-stream has no media operators (its dedup is
+PK latest-wins, pkg/redshiftloader/load_processor.go); this is a
+training-pipeline extension mirroring its loader's
+maintenance-inside-the-batch-cycle stance
+(pkg/redshiftloader/load_processor.go:386-444).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tipoca_stream_spark.operators.phash import _banded, _distinct_fps
+from tipoca_stream_spark.sources.target import BucketedTargetTable
+
+
+class IncrementalFingerprintIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        max_hamming: int = 8,
+        index_buckets: int = 32,
+        hash_col: str = "phash",
+        id_col: str = "media_id",
+        policy=None,
+    ):
+        self.spark = spark
+        self.max_hamming = max_hamming
+        self.hash_col = hash_col
+        self.id_col = id_col
+        self.index = BucketedTargetTable(
+            spark, root, "fp_band_index", buckets=index_buckets, keys=["band_key"]
+        )
+        # consulted after every ingest commit (operators/index_maintenance.py)
+        # so a pipeline that only ever calls ingest() keeps append chains
+        # bounded; compaction/vacuum must be answer-invisible (graded by the
+        # maintained-screen oracle)
+        self.policy = policy
+        # (files_scanned, files_total) of the last screen's index read —
+        # the file-pruning evidence: scanned ∝ batch's band buckets
+        self.last_screen_stats: dict = {}
+
+    # --- index rows -------------------------------------------------------
+
+    def _band_rows(self, ph: DataFrame) -> DataFrame:
+        """One (fp, w0..w3, band_no, band_val, band_key, gmin) row per
+        band of each DISTINCT fingerprint in ``ph`` — gmin carried so the
+        screen never needs member rows."""
+        gmin = (
+            ph.select(self.id_col, F.col(self.hash_col).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min(self.id_col).alias("gmin"))
+        )
+        banded = _banded(_distinct_fps(ph, self.hash_col), self.max_hamming)
+        return (
+            banded.join(gmin, "fp")
+            .withColumn(
+                "band_key",
+                F.concat_ws(":", F.col("band_no").cast("string"), "band_val"),
+            )
+            .select(
+                "fp", "w0", "w1", "w2", "w3", "band_no", "band_val",
+                "band_key", "gmin",
+            )
+        )
+
+    def fingerprints(self) -> DataFrame:
+        """The distinct indexed fingerprints with their gmin (the
+        band_no=0 slice — every fingerprint has exactly one)."""
+        return (
+            self.index.read()
+            .filter(F.col("band_no") == 0)
+            .groupBy("fp")
+            .agg(F.min("gmin").alias("gmin"))
+        )
+
+    # --- screen -----------------------------------------------------------
+
+    def screen(self, ph: DataFrame) -> DataFrame:
+        """Read-only screen: ``(member_id, dup_of, hamming)`` for each
+        batch member within ``max_hamming`` bits of an indexed
+        fingerprint, dup_of = the smallest such indexed member id —
+        exactly ``phash_screen(batch, ingested_corpus)``, but the corpus
+        side is the bucket-pruned index slice, committing nothing."""
+        return self._screen(ph, self.index.current_version())
+
+    def _screen(self, ph: DataFrame, base: int | None) -> DataFrame:
+        from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
+        id_type = ph.schema[self.id_col].dataType.simpleString()
+        if base is None:
+            return self.spark.createDataFrame(
+                [], f"member_id {id_type}, dup_of bigint, hamming int"
+            )
+        # fingerprinting is the expensive leaf (a codec round-trip per row
+        # upstream) and feeds two branches (bands + final expansion): pin it
+        ph = ph.localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
+        bands_new = _banded(
+            _distinct_fps(ph, self.hash_col), self.max_hamming
+        ).withColumn(
+            "band_key",
+            F.concat_ws(":", F.col("band_no").cast("string"), "band_val"),
+        )
+        # the batch's band keys land in a bounded set of index buckets —
+        # schedule only those files (≤ min(batch × bands, buckets) ids on
+        # the driver, never rows)
+        touched = [
+            r["_b"]
+            for r in bands_new.select(
+                self.index.bucket_of().alias("_b")
+            ).distinct().collect()
+        ]
+        idx = self.index.read_buckets(touched, version=base)
+        self.last_screen_stats = dict(self.index.last_bucket_read_stats)
+        a = bands_new.alias("a")
+        b = idx.alias("b")
+        ham = sum(
+            F.bit_count(F.col(f"a.w{i}").bitwiseXOR(F.col(f"b.w{i}")))
+            for i in range(4)
+        )
+        # distinct over (fp_new, gmin, hamming): gmin is functionally
+        # determined by the corpus fingerprint (min member id of its
+        # group), and hamming by the (fp_new, fp_corpus) pair — so this is
+        # distinct candidate pairs with the verify carried through
+        cand = (
+            a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= self.max_hamming)
+            .select(F.col("a.fp").alias("fp_new"), "b.gmin", "hamming")
+            .distinct()
+        )
+        rep = cand.groupBy("fp_new").agg(
+            F.min("gmin").alias("dup_of"),
+            F.min_by("hamming", "gmin").cast("int").alias("hamming"),
+        )
+        return (
+            ph.select(self.id_col, F.col(self.hash_col).alias("fp"))
+            .join(rep, F.col("fp") == F.col("fp_new"))
+            .select(
+                F.col(self.id_col).alias("member_id"),
+                F.col("dup_of"),
+                F.col("hamming"),
+            )
+        )
+
+    # --- ingest -----------------------------------------------------------
+
+    def ingest(
+        self, ph: DataFrame, dedup: bool = True
+    ) -> tuple[DataFrame, DataFrame]:
+        """Commit a batch of fingerprints; return (accepted_members,
+        matches). ``dedup=True`` screens first and indexes only members
+        NOT within ``max_hamming`` of an indexed fingerprint;
+        ``dedup=False`` indexes everything (matches comes back empty —
+        registry mode never pays a screen it does not need)."""
+        from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+
+        ph = ph.localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
+        # CAS base: the index version this screen read — two pipelines
+        # ingesting concurrently would otherwise silently drop one side's
+        # accepted fingerprints; with the guard the loser raises
+        # ConcurrentWriteError and retries against the new index
+        base = self.index.current_version()
+        id_type = ph.schema[self.id_col].dataType.simpleString()
+        empty = self.spark.createDataFrame(
+            [], f"member_id {id_type}, dup_of bigint, hamming int"
+        )
+        if dedup and base is not None:
+            matches = self._screen(ph, base)
+            flagged = matches.select(
+                F.col("member_id").alias(self.id_col)
+            ).distinct()
+            accepted = ph.join(flagged, self.id_col, "left_anti")
+        else:
+            matches = empty
+            accepted = ph
+        self.index.append_delta(self._band_rows(accepted), expected_base=base)
+        if self.policy is not None:
+            # AFTER the commit: the batch is durable whatever maintenance
+            # does; a maintenance CAS loss is recorded and re-evaluated on
+            # the next batch, never blocks this one
+            self.policy.after_ingest(self.index)
+        return accepted, matches

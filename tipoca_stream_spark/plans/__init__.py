@@ -101,9 +101,10 @@ _PANEL = [
     # sketches / heavy hitters
     "agg_heavy_hitters",
     "agg_hll_sketch_rollup",
-    # canonical-doc dedup (placeholder slot: swapped for the round-12
-    # maintained-fingerprint-index query once it is registered)
-    "dedup_canonical_docs",
+    # round-12 maintained fingerprint index: the batch screened against
+    # the CAS-maintained band-bucketed index must equal the stateless
+    # screen (compaction/vacuum/hard-link appends answer-invisible)
+    "multimodal_phash_screen_maintained",
 ]
 
 

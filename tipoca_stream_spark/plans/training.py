@@ -2903,15 +2903,74 @@ def multimodal_phash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash/semantic screens): candidates from a band equi-join BETWEEN
     the two sides' distinct-fingerprint sets — never a self-join, cost
     independent of corpus member count beyond its distinct set."""
+    from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
     from tipoca_stream_spark.operators.phash import (
         phash_from_documents,
         phash_screen,
     )
 
-    ph = phash_from_documents(_docs(spark, sf_dir))
+    # pin the shared parent ONCE: phash_screen checkpoints each side, and
+    # without this pin materializing the two sides recomputes the codec
+    # round-trip per row twice (ADVICE r11 #3 — the funnel's lesson)
+    ph = phash_from_documents(_docs(spark, sf_dir)).localCheckpoint(
+        eager=False, storageLevel=SPILL_LEVEL
+    )
     new = ph.filter((F.col("media_id") % 10) >= 8)
     corpus = ph.filter((F.col("media_id") % 10) < 8)
     return phash_screen(new, corpus, max_hamming=8)
+
+
+N_FP_EPOCHS = 4
+
+
+@query(
+    "multimodal_phash_screen_maintained",
+    _screen_oracle(_phash_oracle(), "phash"),
+    survey_ref="training: maintained multimodal fingerprint index (round 12)",
+)
+def multimodal_phash_screen_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED sibling of ``multimodal_phash_screen`` (round 12,
+    VERDICT r11 next #3): the corpus (media_id % 10 < 8) is ingested
+    into an ``IncrementalFingerprintIndex`` in {N_FP_EPOCHS} ordered
+    epochs with the maintenance policy ON — chain threshold 2
+    files/bucket so bucket-scoped compaction genuinely fires mid-build,
+    vacuum keep=2 so old versions are reclaimed mid-build — then the
+    batch (media_id % 10 >= 8) is screened against the index. The oracle
+    is EXACTLY the stateless screen's oracle: the maintained screen must
+    equal ``phash_screen(batch, corpus)`` bit-for-bit, so O(batch)
+    hard-link appends, band-bucket file pruning, compaction, and vacuum
+    must all be answer-invisible or the value hash breaks."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tipoca_stream_spark.operators.incremental_fingerprint import (
+        IncrementalFingerprintIndex,
+    )
+    from tipoca_stream_spark.operators.index_maintenance import (
+        IndexMaintenancePolicy,
+    )
+    from tipoca_stream_spark.operators.phash import phash_from_documents
+
+    ph = phash_from_documents(_docs(spark, sf_dir))
+    corpus = ph.filter((F.col("media_id") % 10) < 8)
+    batch = ph.filter((F.col("media_id") % 10) >= 8)
+    tag = hashlib.sha1(f"{sf_dir}:{os.getpid()}:fpmaint".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"fpmaint_{tag}")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        pol = IndexMaintenancePolicy(compact_files_per_bucket=2, vacuum_keep=2)
+        idx = IncrementalFingerprintIndex(spark, root, max_hamming=8, policy=pol)
+        epoch = (F.col("media_id") / 10).cast("long") % N_FP_EPOCHS
+        for e in range(N_FP_EPOCHS):
+            idx.ingest(corpus.filter(epoch == e), dedup=False)
+        with open(marker, "w") as f:
+            f.write("ok")
+    else:
+        idx = IncrementalFingerprintIndex(spark, root, max_hamming=8)
+    return idx.screen(batch)
 
 
 # --- audio spectral fingerprint (round 10b) ----------------------------------
@@ -3046,11 +3105,12 @@ def multimodal_audio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus screen over the audio fingerprint — the same
     generic one-sided primitive as the image variant."""
     from tipoca_stream_spark.operators.audiofp import audio_fingerprints
+    from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
     from tipoca_stream_spark.operators.phash import phash_screen
 
     fp = audio_fingerprints(_docs(spark, sf_dir)).select(
         "media_id", "fingerprint"
-    )
+    ).localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
     new = fp.filter((F.col("media_id") % 10) >= 8)
     corpus = fp.filter((F.col("media_id") % 10) < 8)
     return phash_screen(new, corpus, max_hamming=8, hash_col="fingerprint")
@@ -3167,12 +3227,13 @@ def multimodal_video_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus screen over the video frame-size fingerprint —
     completes the one-sided screen primitive across all three
     modalities."""
+    from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
     from tipoca_stream_spark.operators.phash import phash_screen
     from tipoca_stream_spark.operators.videofp import video_fingerprints
 
     fp = video_fingerprints(_docs(spark, sf_dir)).select(
         "media_id", "fingerprint"
-    )
+    ).localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
     new = fp.filter((F.col("media_id") % 10) >= 8)
     corpus = fp.filter((F.col("media_id") % 10) < 8)
     return phash_screen(new, corpus, max_hamming=8, hash_col="fingerprint")
