@@ -529,14 +529,29 @@ def main() -> None:
         "extras": extras,
         "sf": sf,
     }
-    # capture-robust: persist the record BEFORE printing so a truncated
-    # stdout tail (BENCH_r10.json parsed:null) can never lose the round
+    # capture-robust: persist the FULL record BEFORE printing so a
+    # truncated stdout tail (BENCH_r10.json parsed:null) can never lose
+    # the round
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
         "w",
     ) as fh:
         json.dump(record, fh)
-    print(json.dumps(record))
+    # the PRINTED line is a compact subset — headline total + per-query
+    # headline timings only. r11 printed the full record (extras: 37 keys)
+    # and the driver's tail capture clipped the HEAD of the line, so
+    # BENCH_r11.json parsed:null despite the BENCH_LOCAL fallback
+    # (VERDICT r11 wrong #2). ~700 bytes fits any tail window.
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "forcing": record["forcing"],
+        "queries": record["queries"],
+        "sf": record["sf"],
+        "full_record": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact))
     sys.stdout.flush()
     spark.stop()
 

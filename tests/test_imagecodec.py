@@ -2067,11 +2067,19 @@ def test_batch_decode_fuzz_parity_on_mutated_payloads():
     refs = [single(p) for p in payloads]
     try:
         batched = ic.decode_jpeg_batch(payloads)
-        got = [("ok", a) for a in batched]
     except Exception:
-        # a raising payload aborts the batch list comprehension; compare
-        # element-wise instead so every payload is still covered
-        got = None
+        # a raising payload aborts the whole-batch call; the per-payload
+        # loop below still covers every payload
+        batched = None
+    if batched is not None:
+        # whole-batch parity: if the call succeeded, no payload may have
+        # raised singly, and every array/None must match element-wise
+        for i, (kind, ref) in enumerate(refs):
+            assert kind == "ok", f"{i}: single raised {ref}, whole batch returned"
+            if ref is None:
+                assert batched[i] is None, i
+            else:
+                assert np.array_equal(batched[i], ref), i
     for i, p in enumerate(payloads):
         kind, ref = refs[i]
         try:
@@ -2117,3 +2125,95 @@ def test_batch_decode_skips_app_and_comment_segments():
         lib["batch_headers"](payload, offs.ctypes.data, 1,
                              dims.ctypes.data, status.ctypes.data)
         assert status[0] == 0 and (dims[0], dims[1], dims[2]) == (16, 24, 3)
+
+
+def test_batch_decode_many_dht_tables_cannot_evict_live_lut():
+    """Spec-legal adversarial shape (ADVICE r11 #1): one image may
+    register MORE distinct Huffman tables than the batch decoder's
+    16-slot LUT cache (multiple tables per DHT segment, redefinitions).
+    The round-robin evictor must never wrap onto a slot the current
+    image's live (class, id) pointers still reference — pre-fix, the
+    scan silently decoded with the wrong table. 20 junk (tc=1, th=3)
+    tables are injected AFTER the real ones, so the real live slots sit
+    directly in the eviction path."""
+    import ctypes
+
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(1201)
+    base = jpeg_encode(rng.integers(0, 256, size=(24, 32, 3)),
+                       chroma_sub=(2, 2))[0]
+    sos = base.find(b"\xff\xda")
+    assert sos > 0
+    # two DHT segments x 10 single-code tables each, all content-distinct
+    inject = bytearray()
+    for seg in range(2):
+        body = bytearray()
+        for k in range(10):
+            body += bytes([0x13])                      # tc=1, th=3
+            body += bytes([1] + [0] * 15)              # one 1-bit code
+            body += bytes([seg * 10 + k])              # distinct symbol
+        inject += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    payload = base[:sos] + bytes(inject) + base[sos:]
+
+    ref = ic.decode_jpeg(payload)
+    assert np.array_equal(ref, ic.decode_jpeg(base))   # junk tables inert
+    out = ic.decode_jpeg_batch([payload])[0]
+    assert np.array_equal(out, ref)
+
+    # prove the C batch decode itself produced the pixels (no fallback)
+    lib = ic._native_lib()
+    if lib is not None and "batch_decode" in lib:
+        offs = np.array([0, len(payload)], np.int64)
+        dims = np.zeros(3, np.int64)
+        status = np.zeros(1, np.int32)
+        lib["batch_headers"](payload, offs.ctypes.data, 1,
+                             dims.ctypes.data, status.ctypes.data)
+        assert status[0] == 0, "header pass must accept the shape"
+        a = np.empty((int(dims[0]), int(dims[1]), int(dims[2])), np.uint8)
+        ptrs = (ctypes.c_void_p * 1)(a.ctypes.data)
+        lib["batch_decode"](payload, offs.ctypes.data, 1,
+                            ic._idct_basis_c().ctypes.data,
+                            ctypes.addressof(ptrs), status.ctypes.data)
+        assert status[0] == 0, "C path must decode, not fall back"
+        assert np.array_equal(a, ref)
+
+
+def test_batch_decode_allocation_caps_fall_back_per_image():
+    """Untrusted header dims must not drive N-at-once giant allocations
+    (ADVICE r11 #2): an image whose claimed pixel count exceeds the
+    per-image cap is routed to the one-at-a-time path (same result for
+    payloads that cannot actually carry those pixels: an exception or
+    None, exactly like decode_jpeg), and valid small images in the same
+    batch still decode on the C path."""
+    from tipoca_stream_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(77)
+    good = jpeg_encode(rng.integers(0, 256, size=(16, 24, 3)))[0]
+    # forge a tiny payload whose SOF claims 65535 x 65535 x 3
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    big = bytearray(good)
+    big[sof + 5:sof + 7] = (65535).to_bytes(2, "big")   # height
+    big[sof + 7:sof + 9] = (65535).to_bytes(2, "big")   # width
+    big = bytes(big)
+
+    def single(p):
+        try:
+            return ("ok", ic.decode_jpeg(p))
+        except Exception as e:
+            return ("err", type(e).__name__)
+
+    ref_big = single(big)
+    got = None
+    try:
+        got = ic.decode_jpeg_batch([good, big])
+    except Exception as e:
+        assert ref_big == ("err", type(e).__name__)
+    if got is not None:
+        assert ref_big[0] == "ok"
+        assert (got[1] is None) == (ref_big[1] is None)
+        if ref_big[1] is not None:
+            assert np.array_equal(got[1], ref_big[1])
+    # the small image always decodes either way
+    assert np.array_equal(ic.decode_jpeg_batch([good])[0], ic.decode_jpeg(good))

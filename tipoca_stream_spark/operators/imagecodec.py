@@ -1297,8 +1297,14 @@ static int parse_dqt_c(const jhdr *H, int32_t qt[4][64], int *present) {
 
 /* DHT segments -> LUT pointers per (class, id), through a batch-wide
    content-keyed cache (corpus images overwhelmingly share the Annex-K
-   tables; round-robin eviction over 16 slots can never evict one of the
-   <= 8 tables the CURRENT image just registered) */
+   tables). Eviction is round-robin but SKIPS any slot the current
+   image's hs/hl pointers still reference: one image may legally
+   register more than 16 distinct tables (multiple tables per DHT
+   segment, redefinitions), yet at most 8 (2 classes x 4 ids) can be
+   LIVE at once — so a non-live slot always exists among 16 and the
+   scan below cannot fail. Without the skip, a 17th registration would
+   wrap onto a live slot and the scan would decode with the wrong
+   table (ADVICE r11 #1). */
 static int parse_dht_c(const jhdr *H, lut_slot *cache, int n_slots,
                        int *next_evict,
                        int16_t *hs[2][4], uint8_t *hl[2][4]) {
@@ -1323,8 +1329,18 @@ static int parse_dht_c(const jhdr *H, lut_slot *cache, int n_slots,
                     for (e = 0; e < n_slots; e++)
                         if (!cache[e].used) { slot = e; break; }
                     if (slot < 0) {
-                        slot = *next_evict;
-                        *next_evict = (*next_evict + 1) % n_slots;
+                        int tries;
+                        for (tries = 0; tries < n_slots; tries++) {
+                            int cand = *next_evict, a, t, live = 0;
+                            *next_evict = (*next_evict + 1) % n_slots;
+                            for (a = 0; a < 2 && !live; a++)
+                                for (t = 0; t < 4; t++)
+                                    if (hs[a][t] == cache[cand].sym) {
+                                        live = 1; break;
+                                    }
+                            if (!live) { slot = cand; break; }
+                        }
+                        if (slot < 0) return 1; /* unreachable: <= 8 live */
                     }
                     if (build_lut(b + i + 1, b + i + 17,
                                   cache[slot].sym, cache[slot].len) != 0) {
@@ -2273,6 +2289,14 @@ def _entropy_decode_native(native, segments, sel, comps, qt, huff, n_mcus,
     return [by_ci[ci] for ci in range(ncomp)]
 
 
+# up-front allocation caps for the batch path: per-image samples (128 MiB
+# at uint8) and whole-batch samples (1 GiB) — large enough that no real
+# corpus image hits them, small enough that crafted headers cannot force
+# multi-GB empties before scan-data validation
+_IMAGE_PIXEL_CAP = 1 << 27
+_BATCH_PIXEL_BUDGET = 1 << 30
+
+
 def decode_jpeg_batch(payloads):
     """Decode a sequence of JPEG payloads with (at most) TWO ctypes
     crossings for the whole batch (round 11, VERDICT r10 next #3): one
@@ -2310,10 +2334,23 @@ def decode_jpeg_batch(payloads):
     )
     outs: list = [None] * n
     ptrs = (ctypes.c_void_p * n)()
+    # allocation guard (ADVICE r11 #2): header dims are untrusted at this
+    # point — a batch of tiny crafted payloads each claiming 65535x65535x3
+    # would otherwise force ~13 GB per image allocated up front, N at
+    # once. Oversized images fall back to the one-at-a-time decode_jpeg
+    # path (status=1), which allocates per image only after it has begun
+    # really decoding — same result for any payload that actually carries
+    # that many pixels, no N-at-once amplification for ones that don't.
+    budget = _BATCH_PIXEL_BUDGET
     for i in range(n):
         if status[i] == 0:
             h, w, c = (int(dims[3 * i]), int(dims[3 * i + 1]),
                        int(dims[3 * i + 2]))
+            px = h * w * c
+            if px > _IMAGE_PIXEL_CAP or px > budget:
+                status[i] = 1
+                continue
+            budget -= px
             a = np.empty((h, w, c), np.uint8)
             outs[i] = a
             ptrs[i] = a.ctypes.data
