@@ -376,3 +376,24 @@ def test_shuffle_order_no_global_sort(spark):
     assert "SinglePartition" not in plan, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    # the held-out benchmark shingle set must BROADCAST (at 100 TB the
+    # train side streams through it — a train-side shuffle for candidate
+    # generation would be the scale-killer); all JVM-side, no cartesian
+    plan = plan_of(spark, "corpus_contamination_screen")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_hybrid_rrf_jvm_side_no_cartesian(spark):
+    # both legs top-k first; the only BNLJ allowed is the documented
+    # 1-row totals / 1-row query-vector broadcast
+    plan = plan_of(spark, "retrieval_hybrid_rrf")
+    assert "CartesianProduct" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan

@@ -475,3 +475,46 @@ def quality_calibration_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.max("s"), 6).alias("hi_score"),
         )
     )
+
+
+# --- benchmark-contamination screen (round 12) --------------------------------
+
+CONTAM_N = 4  # word n-gram width; 4 gives real overlap structure at test SF
+
+
+def _contam_parts() -> str:
+    return "||' '||".join(f"w[i+{j}]" for j in range(CONTAM_N))
+
+
+@query(
+    "corpus_contamination_screen",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, {_contam_parts()} AS s
+           FROM words, unnest(range(1, len(w) - {CONTAM_N - 2})) AS t(i)),
+    tr AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+    te AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+    tot AS (SELECT doc_id, count(*) AS total_ngrams FROM tr GROUP BY doc_id),
+    shr AS (SELECT doc_id, count(*) AS shared_ngrams
+            FROM tr JOIN te USING (s) GROUP BY doc_id)
+    SELECT shr.doc_id, shared_ngrams, total_ngrams,
+           round(shared_ngrams / total_ngrams::double, 6) AS contamination
+    FROM shr JOIN tot USING (doc_id)
+    """,
+    survey_ref="training: benchmark decontamination (n-gram overlap screen)",
+)
+def corpus_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: documents with doc_id % 20 == 0 stand in
+    for the held-out benchmark suite; every other document is scored by
+    the fraction of its distinct word {CONTAM_N}-grams that appear
+    anywhere in the benchmark side (GPT-3's 13-gram dedup / PaLM's
+    contamination analysis, public literature — n is a knob). 100 TB
+    shape: the benchmark shingle set is tiny and BROADCAST, so the
+    corpus side streams through the join with no train-side shuffle;
+    the only shuffles are doc_id-keyed aggregates."""
+    from tipoca_stream_spark.operators.contamination import contamination_screen
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    test = docs.filter(F.col("doc_id") % 20 == 0)
+    return contamination_screen(train, test, n=CONTAM_N)

@@ -883,3 +883,76 @@ def embed_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_overlap"),
         F.round(F.count(F.lit(1)) / 10.0, 3).alias("recall_at_10"),
     )
+
+
+# --- hybrid retrieval: BM25 + dense, RRF-fused (round 12) ---------------------
+
+RRF_K = 60
+RRF_K_EACH = 20
+RRF_QUERY_VEC = 0
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+    tot AS (SELECT count(*)::double AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+           WHERE term IN {_BM25_TERMS!r} GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id,
+             round(ln((tot.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / tot.avgdl)),
+                   6) AS term_score
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), tot),
+    bm AS (SELECT doc_id, round(sum(term_score), 6) AS bm25
+           FROM sc GROUP BY doc_id
+           ORDER BY bm25 DESC, doc_id LIMIT {RRF_K_EACH}),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM bm),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+    pexpl AS (
+      SELECT e.vec_id, unnest(e.embedding)::double AS x,
+             unnest(q.qe)::double AS y
+      FROM embeddings e, q WHERE e.vec_id <> {RRF_QUERY_VEC}),
+    sims AS (
+      SELECT vec_id,
+             round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS sim
+      FROM pexpl GROUP BY vec_id),
+    sem0 AS (SELECT vec_id, sim FROM sims
+             ORDER BY sim DESC, vec_id LIMIT {RRF_K_EACH}),
+    sem AS (SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY sim DESC, vec_id) AS sem_rank
+            FROM sem0)
+    SELECT doc_id,
+           COALESCE(lex_rank, 0)::INT AS lex_rank,
+           COALESCE(sem_rank, 0)::INT AS sem_rank,
+           round(COALESCE(1.0 / ({RRF_K} + lex_rank), 0)
+                 + COALESCE(1.0 / ({RRF_K} + sem_rank), 0), 6) AS rrf
+    FROM lex FULL OUTER JOIN sem USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    survey_ref="training: hybrid lexical+dense retrieval (RRF fusion)",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tower retrieval: BM25 top-{RRF_K_EACH} for the fixed term bag
+    and exact-cosine top-{RRF_K_EACH} for the query vector (vec_id 0 —
+    doc_id and vec_id share the id space), fused by Reciprocal Rank
+    Fusion (Cormack et al. 2009): rrf = sum 1/(60 + rank) over the legs
+    the doc appears in; missing-leg ranks reported as 0. 100 TB shape:
+    each leg top-k's FIRST (TakeOrderedAndProject / broadcast-query
+    scan), so fusion windows and the full-outer join touch <= 2k rows."""
+    from tipoca_stream_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs, emb, list(_BM25_TERMS), RRF_QUERY_VEC,
+        k_each=RRF_K_EACH, k_out=10, rrf_k=RRF_K,
+    )

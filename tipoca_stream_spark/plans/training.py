@@ -2842,6 +2842,46 @@ def multimodal_phash_group_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_group_reps(ph, max_hamming=8)
 
 
+@query(
+    "multimodal_phash_cluster_sizes",
+    f"""
+    WITH g AS MATERIALIZED ({_group_rep_oracle(_phash_oracle(), "phash")}),
+    per_rep AS (SELECT rep_id, count(*) AS cluster_size FROM g GROUP BY rep_id)
+    SELECT cluster_size, count(*) AS n_clusters,
+           round(cluster_size * count(*) / tot.n::double, 6) AS member_frac
+    FROM per_rep, (SELECT count(*)::double AS n FROM g) tot
+    GROUP BY cluster_size, tot.n
+    """,
+    survey_ref="training: dedup cluster-size histogram (curation telemetry)",
+)
+def multimodal_phash_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate telemetry: the near-dup cluster-size histogram over
+    the pHash group-representative assignment — (cluster_size,
+    n_clusters, member_frac) is the curve a curation team reads to pick
+    thresholds (how much of the corpus sits in mega-groups vs
+    singletons). Layered on the O(m) group-rep shape, so a 10^5-member
+    viral group costs one histogram row, never a pair expansion."""
+    from tipoca_stream_spark.operators.phash import (
+        phash_from_documents,
+        phash_group_reps,
+    )
+
+    reps = phash_group_reps(phash_from_documents(_docs(spark, sf_dir)), max_hamming=8)
+    per_rep = reps.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    tot = per_rep.agg(F.sum("cluster_size").cast("double").alias("n"))
+    return (
+        per_rep.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            F.round(F.col("cluster_size") * F.col("n_clusters") / F.col("n"), 6)
+            .alias("member_frac"),
+        )
+    )
+
+
 def _screen_oracle(fp_cte: str, fp_col: str, max_hamming: int = 8) -> str:
     """Shared oracle for the batch-vs-corpus screen over any 64-bit
     fingerprint CTE: docs with media_id % 10 >= 8 play the batch, the
@@ -2970,6 +3010,48 @@ def multimodal_phash_screen_maintained(spark: SparkSession, sf_dir: str) -> Data
             f.write("ok")
     else:
         idx = IncrementalFingerprintIndex(spark, root, max_hamming=8)
+    return idx.screen(batch)
+
+
+def _maintained_fp_screen(spark, fp, tag: str, hash_col: str):
+    """Shared maintained-screen builder (round 12): ingest the corpus
+    side (media_id % 10 < 8) into an IncrementalFingerprintIndex in
+    {N_FP_EPOCHS} policy-on epochs, screen the batch side — must equal
+    the stateless screen bit-for-bit (same oracle)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+    from tipoca_stream_spark.operators.incremental_fingerprint import (
+        IncrementalFingerprintIndex,
+    )
+    from tipoca_stream_spark.operators.index_maintenance import (
+        IndexMaintenancePolicy,
+    )
+
+    fp = fp.localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
+    corpus = fp.filter((F.col("media_id") % 10) < 8)
+    batch = fp.filter((F.col("media_id") % 10) >= 8)
+    sig = hashlib.sha1(f"{os.getpid()}:{tag}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"{tag}_{sig}")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        pol = IndexMaintenancePolicy(compact_files_per_bucket=2, vacuum_keep=2)
+        idx = IncrementalFingerprintIndex(
+            spark, root, max_hamming=8, hash_col=hash_col, policy=pol
+        )
+        epoch = (F.col("media_id") / 10).cast("long") % N_FP_EPOCHS
+        for e in range(N_FP_EPOCHS):
+            idx.ingest(corpus.filter(epoch == e), dedup=False)
+        with open(marker, "w") as f:
+            f.write("ok")
+    else:
+        idx = IncrementalFingerprintIndex(
+            spark, root, max_hamming=8, hash_col=hash_col
+        )
     return idx.screen(batch)
 
 
@@ -3116,6 +3198,24 @@ def multimodal_audio_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_screen(new, corpus, max_hamming=8, hash_col="fingerprint")
 
 
+@query(
+    "multimodal_audio_screen_maintained",
+    _screen_oracle(_afp_oracle(), "fingerprint"),
+    survey_ref="training: maintained fingerprint index (audio modality)",
+)
+def multimodal_audio_screen_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-index screen over the AUDIO fingerprint — the
+    IncrementalFingerprintIndex is fingerprint-agnostic, so the same
+    CAS-versioned band-bucketed index serves every modality; graded by
+    the stateless audio screen's oracle (maintenance answer-invisible)."""
+    from tipoca_stream_spark.operators.audiofp import audio_fingerprints
+
+    fp = audio_fingerprints(_docs(spark, sf_dir)).select(
+        "media_id", "fingerprint"
+    )
+    return _maintained_fp_screen(spark, fp, "afpmaint", "fingerprint")
+
+
 # --- video sample-size fingerprint (round 10b) -------------------------------
 
 
@@ -3237,6 +3337,23 @@ def multimodal_video_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = fp.filter((F.col("media_id") % 10) >= 8)
     corpus = fp.filter((F.col("media_id") % 10) < 8)
     return phash_screen(new, corpus, max_hamming=8, hash_col="fingerprint")
+
+
+@query(
+    "multimodal_video_screen_maintained",
+    _screen_oracle(_vfp_oracle(), "fingerprint"),
+    survey_ref="training: maintained fingerprint index (video modality)",
+)
+def multimodal_video_screen_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-index screen over the VIDEO fingerprint — third
+    modality on the same IncrementalFingerprintIndex, graded by the
+    stateless video screen's oracle."""
+    from tipoca_stream_spark.operators.videofp import video_fingerprints
+
+    fp = video_fingerprints(_docs(spark, sf_dir)).select(
+        "media_id", "fingerprint"
+    )
+    return _maintained_fp_screen(spark, fp, "vfpmaint", "fingerprint")
 
 
 # --- multimodal dedup funnel (round 10b) -------------------------------------
