@@ -505,7 +505,10 @@ def main() -> None:
     # the multimodal fingerprint/near-dup family (r10b queries 216-222):
     # codec round-trips + banding through the registered query surface
     for q in ("multimodal_phash", "multimodal_audio_near_dup",
-              "multimodal_dedup_funnel", "multimodal_phash_group_rep"):
+              "multimodal_dedup_funnel", "multimodal_phash_group_rep",
+              # round-12 additions: decontamination broadcast screen and
+              # the hybrid-retrieval fusion
+              "corpus_contamination_screen", "retrieval_hybrid_rrf"):
         try:
             extras[q] = best_of(
                 2,

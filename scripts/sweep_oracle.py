@@ -53,6 +53,15 @@ def main() -> None:
 
     spark = get_spark("oracle-sweep", shuffle_partitions=32)
     con = duckdb.connect()
+    # off-SF oracle-plan hygiene (the standing gate since r11's 18.6 GB
+    # group-rep CTE spill): DUCKDB_TEMP_CAP=20GB runs every oracle under a
+    # hard temp ceiling, so a re-inlined plan fails loudly instead of
+    # silently spilling the disk
+    cap = os.environ.get("DUCKDB_TEMP_CAP")
+    if cap:
+        tmp = os.environ.get("DUCKDB_TEMP_DIR", "/tmp/duck_sweep_tmp")
+        con.sql(f"SET temp_directory='{tmp}'")
+        con.sql(f"SET max_temp_directory_size='{cap}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"

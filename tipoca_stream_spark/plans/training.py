@@ -3013,7 +3013,7 @@ def multimodal_phash_screen_maintained(spark: SparkSession, sf_dir: str) -> Data
     return idx.screen(batch)
 
 
-def _maintained_fp_screen(spark, fp, tag: str, hash_col: str):
+def _maintained_fp_screen(spark, sf_dir: str, fp, tag: str, hash_col: str):
     """Shared maintained-screen builder (round 12): ingest the corpus
     side (media_id % 10 < 8) into an IncrementalFingerprintIndex in
     {N_FP_EPOCHS} policy-on epochs, screen the batch side — must equal
@@ -3034,7 +3034,12 @@ def _maintained_fp_screen(spark, fp, tag: str, hash_col: str):
     fp = fp.localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
     corpus = fp.filter((F.col("media_id") % 10) < 8)
     batch = fp.filter((F.col("media_id") % 10) >= 8)
-    sig = hashlib.sha1(f"{os.getpid()}:{tag}".encode()).hexdigest()[:10]
+    # sf_dir MUST key the build root: the suite's empty/NULL-input
+    # sweeps run every query in the same process against synthetic
+    # dirs, and a root shared across sf_dirs would serve a stale
+    # (e.g. empty-corpus) index to the graded run (caught by the
+    # r12 full suite; the image variant always keyed on sf_dir)
+    sig = hashlib.sha1(f"{sf_dir}:{os.getpid()}:{tag}".encode()).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"{tag}_{sig}")
     marker = os.path.join(root, "_BUILT")
     if not os.path.exists(marker):
@@ -3213,7 +3218,7 @@ def multimodal_audio_screen_maintained(spark: SparkSession, sf_dir: str) -> Data
     fp = audio_fingerprints(_docs(spark, sf_dir)).select(
         "media_id", "fingerprint"
     )
-    return _maintained_fp_screen(spark, fp, "afpmaint", "fingerprint")
+    return _maintained_fp_screen(spark, sf_dir, fp, "afpmaint", "fingerprint")
 
 
 # --- video sample-size fingerprint (round 10b) -------------------------------
@@ -3353,7 +3358,7 @@ def multimodal_video_screen_maintained(spark: SparkSession, sf_dir: str) -> Data
     fp = video_fingerprints(_docs(spark, sf_dir)).select(
         "media_id", "fingerprint"
     )
-    return _maintained_fp_screen(spark, fp, "vfpmaint", "fingerprint")
+    return _maintained_fp_screen(spark, sf_dir, fp, "vfpmaint", "fingerprint")
 
 
 # --- multimodal dedup funnel (round 10b) -------------------------------------
