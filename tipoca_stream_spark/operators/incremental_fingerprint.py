@@ -206,13 +206,15 @@ class IncrementalFingerprintIndex:
     # --- ingest -----------------------------------------------------------
 
     def ingest(
-        self, ph: DataFrame, dedup: bool = True
+        self, ph: DataFrame, dedup: bool = True, metadata: dict | None = None
     ) -> tuple[DataFrame, DataFrame]:
         """Commit a batch of fingerprints; return (accepted_members,
         matches). ``dedup=True`` screens first and indexes only members
         NOT within ``max_hamming`` of an indexed fingerprint;
         ``dedup=False`` indexes everything (matches comes back empty —
-        registry mode never pays a screen it does not need)."""
+        registry mode never pays a screen it does not need).
+        ``metadata`` rides the version commit atomically (the streaming
+        ingest's epoch guard — same T4 shape as the CDC pipeline)."""
         from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
 
         ph = ph.localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
@@ -234,7 +236,9 @@ class IncrementalFingerprintIndex:
         else:
             matches = empty
             accepted = ph
-        self.index.append_delta(self._band_rows(accepted), expected_base=base)
+        self.index.append_delta(
+            self._band_rows(accepted), metadata=metadata, expected_base=base
+        )
         if self.policy is not None:
             # AFTER the commit: the batch is durable whatever maintenance
             # does; a maintenance CAS loss is recorded and re-evaluated on
