@@ -205,3 +205,32 @@ def test_default_fingerprinter_runs_real_codec_path(spark, tmp_path):
         phash_from_documents(docs).select("phash").distinct().count()
     )
     assert pipe.index.fingerprints().count() == want
+
+
+def test_epoch_guard_survives_maintenance(spark, tmp_path):
+    """Compaction/vacuum commit fresh versions; metadata=None carries the
+    current version's metadata forward (sources/target.py), so the epoch
+    guard must survive a policy-on ingest — a restart after mid-stream
+    maintenance must replay nothing."""
+    from tipoca_stream_spark.operators.index_maintenance import (
+        IndexMaintenancePolicy,
+    )
+
+    pol = IndexMaintenancePolicy(compact_files_per_bucket=1, vacuum_keep=2)
+    cfg = MultimodalIngestConfig(
+        root=str(tmp_path / "fpindex"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        fingerprinter=_passthrough_fingerprinter,
+        policy=pol,
+    )
+    pipe = MultimodalIngestPipeline(spark, cfg)
+    for e, rows in enumerate(EPOCHS):
+        pipe.run_batch(_df(spark, rows), epoch_id=e)
+    assert any(h.get("compacted_buckets") for h in pol.history), pol.history
+    assert pipe._ingested_epochs() == {0, 1, 2}
+    v = pipe.index.index.current_version()
+    n = pipe.index.fingerprints().count()
+    for e, rows in enumerate(EPOCHS):  # replay all: guard must skip all
+        pipe.run_batch(_df(spark, rows), epoch_id=e)
+    assert pipe.index.index.current_version() == v
+    assert pipe.index.fingerprints().count() == n
