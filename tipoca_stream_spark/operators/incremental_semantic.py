@@ -321,7 +321,12 @@ class IncrementalSemanticDeduper:
             n_prev = self._rows_at(base) if base is not None else 0
             self.index.append_delta(
                 accepted.select(self.id_col, "cluster_id", self.vec_col),
+                # FOREIGN metadata keys (e.g. a streaming wrapper's epoch
+                # guard) carry forward from the screened base — the same
+                # preserve-unknown-keys contract compact()'s metadata=None
+                # path gives every other index
                 metadata={
+                    **(self._meta_at(base) if base is not None else {}),
                     "seeds_version": sv,
                     "n_rows": n_prev + n_accepted,
                     # appended rows were assigned under the base's rule —
@@ -362,7 +367,10 @@ class IncrementalSemanticDeduper:
             reassigned = self._assigned(vectors, new_seeds, self.assign_mode)
             return self.index.write(
                 reassigned.select(self.id_col, "cluster_id", self.vec_col),
+                # preserve foreign metadata keys across the rebuild (same
+                # contract as the ingest commit above)
                 metadata={
+                    **self._meta_at(base),
                     "seeds_version": sv_new,
                     "n_rows": self._rows_at(base),
                     "assign_mode": self.assign_mode,
