@@ -531,6 +531,11 @@ def main() -> None:
         ),
         "extras": extras,
         "sf": sf,
+        # host-load evidence IN the artifact (VERDICT r12 wrong #2): the
+        # r11→r12 driver-vs-local bench disagreement was adjudicated as
+        # load-window noise only via separate ABBA runs; with the 1/5/15 min
+        # loadavg stamped on every record, the artifact self-adjudicates
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     # capture-robust: persist the FULL record BEFORE printing so a
     # truncated stdout tail (BENCH_r10.json parsed:null) can never lose
@@ -552,6 +557,7 @@ def main() -> None:
         "forcing": record["forcing"],
         "queries": record["queries"],
         "sf": record["sf"],
+        "loadavg": record["loadavg"],
         "full_record": "BENCH_LOCAL.json",
     }
     print(json.dumps(compact))

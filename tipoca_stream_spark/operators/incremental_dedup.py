@@ -56,10 +56,11 @@ from tipoca_stream_spark.operators.corpus_dedup import (
     minhash_signatures,
     word_shingles,
 )
+from tipoca_stream_spark.operators.index_base import MaintainedIndexBase
 from tipoca_stream_spark.sources.target import BucketedTargetTable
 
 
-class IncrementalDeduper:
+class IncrementalDeduper(MaintainedIndexBase):
     def __init__(
         self,
         spark: SparkSession,
@@ -70,22 +71,20 @@ class IncrementalDeduper:
         index_buckets: int = 32,
         policy=None,
     ):
-        self.spark = spark
+        # bucket-pruned screens, CAS ingest, foreign-metadata contract,
+        # and the post-commit maintenance hook live in the base
+        # (operators/index_base.py, VERDICT r12 next #4)
+        super().__init__(
+            spark,
+            BucketedTargetTable(
+                spark, root, "lsh_band_index", buckets=index_buckets,
+                keys=["band_key"],
+            ),
+            policy=policy,
+        )
         self.n_hashes = n_hashes
         self.band_size = band_size
         self.threshold = threshold
-        self.index = BucketedTargetTable(
-            spark, root, "lsh_band_index", buckets=index_buckets, keys=["band_key"]
-        )
-        # automatic maintenance (operators/index_maintenance.py): consulted
-        # after every ingest commit, so a pipeline that only ever calls
-        # ingest() keeps append chains bounded — the reference's loader
-        # does its maintenance inside each batch cycle too
-        # (pkg/redshiftloader/load_processor.go:386-444)
-        self.policy = policy
-        # (files_scanned, files_total) of the last screen's index read —
-        # the file-pruning evidence: scanned ∝ batch's band buckets
-        self.last_screen_stats: dict = {}
 
     @property
     def _sig_cols(self) -> list[str]:
@@ -127,18 +126,11 @@ class IncrementalDeduper:
             id_col, "new_id"
         )
         # the batch's band keys land in a bounded set of index buckets —
-        # schedule only those files (≤ min(batch × bands, buckets) ids on
-        # the driver, never rows)
-        touched = [
-            r["_b"]
-            for r in bands_new.select(
-                self.index.bucket_of().alias("_b")
-            ).distinct().collect()
-        ]
-        idx = self.index.read_buckets(touched, version=base).withColumnRenamed(
+        # schedule only those files (base._read_touched: ids on the
+        # driver, never rows)
+        idx = self._read_touched(bands_new, base).withColumnRenamed(
             id_col, "corpus_id"
         )
-        self.last_screen_stats = dict(self.index.last_bucket_read_stats)
         # distinct over (pair, sig…): the signature columns are
         # functionally dependent on corpus_id, so this is distinct pairs
         # with the corpus signature carried through — verification is a
@@ -202,9 +194,6 @@ class IncrementalDeduper:
             # the advertised retry path (ConcurrentWriteError) must not
             # strand a persisted signature frame per attempt
             sig_new.unpersist()
-        if self.policy is not None:
-            # AFTER the commit: the batch is durable whatever maintenance
-            # does; a maintenance CAS loss is recorded and re-evaluated on
-            # the next batch, never blocks this one
-            self.policy.after_ingest(self.index)
+        # AFTER the commit: the batch is durable whatever maintenance does
+        self._after_ingest()
         return accepted, pairs

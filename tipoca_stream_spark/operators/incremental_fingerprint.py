@@ -69,11 +69,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.index_base import MaintainedIndexBase
 from tipoca_stream_spark.operators.phash import _banded, _distinct_fps
 from tipoca_stream_spark.sources.target import BucketedTargetTable
 
 
-class IncrementalFingerprintIndex:
+class IncrementalFingerprintIndex(MaintainedIndexBase):
     def __init__(
         self,
         spark: SparkSession,
@@ -84,21 +85,21 @@ class IncrementalFingerprintIndex:
         id_col: str = "media_id",
         policy=None,
     ):
-        self.spark = spark
+        # bucket-pruned screens, CAS ingest, foreign-metadata contract,
+        # and the post-commit maintenance hook live in the base
+        # (operators/index_base.py — the shared core of the three
+        # maintained indexes, VERDICT r12 next #4)
+        super().__init__(
+            spark,
+            BucketedTargetTable(
+                spark, root, "fp_band_index", buckets=index_buckets,
+                keys=["band_key"],
+            ),
+            policy=policy,
+        )
         self.max_hamming = max_hamming
         self.hash_col = hash_col
         self.id_col = id_col
-        self.index = BucketedTargetTable(
-            spark, root, "fp_band_index", buckets=index_buckets, keys=["band_key"]
-        )
-        # consulted after every ingest commit (operators/index_maintenance.py)
-        # so a pipeline that only ever calls ingest() keeps append chains
-        # bounded; compaction/vacuum must be answer-invisible (graded by the
-        # maintained-screen oracle)
-        self.policy = policy
-        # (files_scanned, files_total) of the last screen's index read —
-        # the file-pruning evidence: scanned ∝ batch's band buckets
-        self.last_screen_stats: dict = {}
 
     # --- index rows -------------------------------------------------------
 
@@ -162,16 +163,9 @@ class IncrementalFingerprintIndex:
             F.concat_ws(":", F.col("band_no").cast("string"), "band_val"),
         )
         # the batch's band keys land in a bounded set of index buckets —
-        # schedule only those files (≤ min(batch × bands, buckets) ids on
-        # the driver, never rows)
-        touched = [
-            r["_b"]
-            for r in bands_new.select(
-                self.index.bucket_of().alias("_b")
-            ).distinct().collect()
-        ]
-        idx = self.index.read_buckets(touched, version=base)
-        self.last_screen_stats = dict(self.index.last_bucket_read_stats)
+        # schedule only those files (base._read_touched: ids on the
+        # driver, never rows)
+        idx = self._read_touched(bands_new, base)
         a = bands_new.alias("a")
         b = idx.alias("b")
         ham = sum(
@@ -214,7 +208,9 @@ class IncrementalFingerprintIndex:
         ``dedup=False`` indexes everything (matches comes back empty —
         registry mode never pays a screen it does not need).
         ``metadata`` rides the version commit atomically (the streaming
-        ingest's epoch guard — same T4 shape as the CDC pipeline)."""
+        ingest's epoch guard — same T4 shape as the CDC pipeline),
+        merged over the base version's foreign keys
+        (MaintainedIndexBase._merged_metadata)."""
         from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
 
         ph = ph.localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
@@ -237,11 +233,14 @@ class IncrementalFingerprintIndex:
             matches = empty
             accepted = ph
         self.index.append_delta(
-            self._band_rows(accepted), metadata=metadata, expected_base=base
+            self._band_rows(accepted),
+            metadata=(
+                self._merged_metadata(base, metadata)
+                if metadata is not None
+                else None  # append_delta carries the live metadata forward
+            ),
+            expected_base=base,
         )
-        if self.policy is not None:
-            # AFTER the commit: the batch is durable whatever maintenance
-            # does; a maintenance CAS loss is recorded and re-evaluated on
-            # the next batch, never blocks this one
-            self.policy.after_ingest(self.index)
+        # AFTER the commit: the batch is durable whatever maintenance does
+        self._after_ingest()
         return accepted, matches

@@ -61,12 +61,13 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.index_base import MaintainedIndexBase
 from tipoca_stream_spark.operators.semantic_dedup import assign_by_cosine
 from tipoca_stream_spark.operators.similarity import cosine
 from tipoca_stream_spark.sources.target import BucketedTargetTable
 
 
-class IncrementalSemanticDeduper:
+class IncrementalSemanticDeduper(MaintainedIndexBase):
     """``root`` holds the cluster-bucketed versioned index
     (id, cluster_id, embedding) plus versioned quantizer seeds. Pass
     ``seeds`` (seed_id, seed_vec) on first use; later instances load the
@@ -101,21 +102,21 @@ class IncrementalSemanticDeduper:
         # the probe-measured win past k≈10³
         # (SCALE_PROBE_r09_assignment.json).
         self.assign_mode = assign_mode
-        self.spark = spark
-        # automatic maintenance (operators/index_maintenance.py): runs
-        # after every ingest commit — density-triggered requantize keeps
-        # k ∝ n and chain-triggered bucket compaction bounds files/bucket,
-        # with no scheduler outside the ingest loop (reference anchor:
-        # load_processor.go:386-444 — maintenance inside the batch cycle)
-        self.policy = policy
+        # bucket-pruned screens, CAS ingest, the foreign-metadata
+        # contract (originally this operator's round-12 fix, promoted to
+        # the shared base), and the post-commit maintenance hook live in
+        # MaintainedIndexBase (operators/index_base.py)
+        super().__init__(
+            spark,
+            BucketedTargetTable(
+                spark, root, "sem_index", buckets=index_buckets,
+                keys=["cluster_id"],
+            ),
+            policy=policy,
+        )
         self.threshold = threshold
         self.id_col = id_col
         self.vec_col = vec_col
-        self.index = BucketedTargetTable(
-            spark, root, "sem_index", buckets=index_buckets, keys=["cluster_id"]
-        )
-        # (files_scanned, files_total) of the last screen's index read
-        self.last_screen_stats: dict = {}
         self._seeds_root = os.path.join(self.index.path, "_seeds")
         if seeds is not None and not os.path.isdir(self._seeds_root):
             self._stage_seeds(seeds)
@@ -169,12 +170,7 @@ class IncrementalSemanticDeduper:
     def seeds_at(self, base: int | None) -> DataFrame:
         return self.spark.read.parquet(self._seeds_dir(self._seeds_version_of(base)))
 
-    def _meta_at(self, base: int) -> dict:
-        try:
-            with open(os.path.join(self.index._vdir(base), "_meta.json")) as f:
-                return json.load(f)
-        except (FileNotFoundError, ValueError):
-            return {}
+    # _meta_at inherited from MaintainedIndexBase
 
     def _mode_at(self, base: int | None) -> str:
         """Assignment rule of index version ``base`` — from ITS commit
@@ -250,17 +246,9 @@ class IncrementalSemanticDeduper:
             ).limit(0)
         assigned = self._assigned(batch, seeds, self._mode_at(base))
         # the batch's clusters hash to a bounded set of index buckets —
-        # schedule only those buckets' FILES (the route_read discipline
-        # applied to the index itself; ≤ min(clusters, buckets) ids ever
-        # reach the driver)
-        touched = [
-            r["_b"]
-            for r in assigned.select(
-                self.index.bucket_of().alias("_b")
-            ).distinct().collect()
-        ]
-        idx_slice = self.index.read_buckets(touched, version=base)
-        self.last_screen_stats = dict(self.index.last_bucket_read_stats)
+        # schedule only those buckets' FILES (base._read_touched: the
+        # route_read discipline applied to the index itself)
+        idx_slice = self._read_touched(assigned, base)
         # salted cluster join (see semantic_dedup): k clusters alone cap
         # the join at k parallel tasks through the compute-bound cosine
         # stage; the batch side takes one deterministic salt, the index
@@ -322,26 +310,27 @@ class IncrementalSemanticDeduper:
             self.index.append_delta(
                 accepted.select(self.id_col, "cluster_id", self.vec_col),
                 # FOREIGN metadata keys (e.g. a streaming wrapper's epoch
-                # guard) carry forward from the screened base — the same
-                # preserve-unknown-keys contract compact()'s metadata=None
-                # path gives every other index
-                metadata={
-                    **(self._meta_at(base) if base is not None else {}),
-                    "seeds_version": sv,
-                    "n_rows": n_prev + n_accepted,
-                    # appended rows were assigned under the base's rule —
-                    # the mode carries with the version like the seeds do
-                    "assign_mode": self._mode_at(base),
-                },
+                # guard) carry forward from the screened base — the
+                # preserve-unknown-keys contract of the shared base
+                metadata=self._merged_metadata(
+                    base,
+                    {
+                        "seeds_version": sv,
+                        "n_rows": n_prev + n_accepted,
+                        # appended rows were assigned under the base's
+                        # rule — the mode carries with the version like
+                        # the seeds do
+                        "assign_mode": self._mode_at(base),
+                    },
+                ),
                 expected_base=base,
             )
         finally:
             accepted.unpersist()
-        if self.policy is not None:
-            # AFTER the commit: the batch is durable regardless of what
-            # maintenance does; requantize runs first (it resets chains),
-            # then chain-scoped compaction — see IndexMaintenancePolicy
-            self.policy.after_ingest(self.index, requantizer=self)
+        # AFTER the commit: the batch is durable regardless of what
+        # maintenance does; requantize runs first (it resets chains),
+        # then chain-scoped compaction — see IndexMaintenancePolicy
+        self._after_ingest(requantizer=self)
         return n_accepted, flagged
 
     # --- re-quantization --------------------------------------------------------
@@ -369,12 +358,14 @@ class IncrementalSemanticDeduper:
                 reassigned.select(self.id_col, "cluster_id", self.vec_col),
                 # preserve foreign metadata keys across the rebuild (same
                 # contract as the ingest commit above)
-                metadata={
-                    **self._meta_at(base),
-                    "seeds_version": sv_new,
-                    "n_rows": self._rows_at(base),
-                    "assign_mode": self.assign_mode,
-                },
+                metadata=self._merged_metadata(
+                    base,
+                    {
+                        "seeds_version": sv_new,
+                        "n_rows": self._rows_at(base),
+                        "assign_mode": self.assign_mode,
+                    },
+                ),
                 expected_base=base,
             )
         except BaseException:
