@@ -27,20 +27,21 @@ from tipoca_stream_spark.plans import graph as _graph  # noqa: F401
 from tipoca_stream_spark.plans import mlstats as _mlstats  # noqa: F401
 from tipoca_stream_spark.plans import pq as _pq  # noqa: F401
 
-# --- driver correctness-panel order (round 12: rotation wave 2) --------------
+# --- driver correctness-panel order (round 13: rotation wave 3) --------------
 # The driver's CORRECTNESS gate grades the FIRST 50 entries of QUERIES.
-# Round 11's rotation gave 40 queries their first driver-side row (39 green;
-# embed_quantize_int8 ERR'd on an unsortable array column, fixed this round
-# and therefore KEPT in the panel so the fix gets a green r12 row). Wave 2
-# rotates in the next never-graded tranche named by VERDICT r11 #2: the
-# graph suite, the phrase/positional index family, SCD2, funnel/streak
-# analytics, the r11 batch-vs-corpus screens and audio/video/text group-reps,
-# perplexity buckets, the matryoshka/binary-hamming recall curves, the
-# scalar/window/subquery suites, and heavy-hitter/HLL sketches. The
-# reference-parity spine (CDC merge, masking, tombstones — the operators the
-# reference's own loader exercises, pkg/redshiftloader/load_processor.go)
-# stays in slots 1-10. Every name has an exact DuckDB oracle. Queries not
-# listed keep their original relative order after the panel.
+# Waves 1-2 (rounds 11-12) gave 143 of the 235 registered queries a
+# driver-side row; wave 3 rotates in the next 40 never-graded queries named
+# by VERDICT r12 #1: the BPE/packing family, mixture/epoch ops, the dq_*
+# drift/FK gates, the TPC-H remainder (q2/q4/q5/q7/q10-q16/q18-q20/q22),
+# text bigram-PMI/vocab-coverage/Zipf, events histogram/gap-fill/markov, and
+# the round-12 additions (contamination screen, hybrid RRF, cluster sizes,
+# audio/video maintained screens). The reference-parity spine (CDC merge,
+# masking, tombstones — the operators the reference's own loader exercises,
+# pkg/redshiftloader/load_processor.go) stays in slots 1-10. Every name has
+# an exact DuckDB oracle; all 40 were pre-validated at round-12 close under
+# the driver's exact pandas canon (scripts/verify_panel.py) and re-verified
+# before this commit. Queries not listed keep their original relative order
+# after the panel.
 _PANEL = [
     # reference-parity spine (kept from the historical panel)
     "cdc_merge_lww",
@@ -53,58 +54,53 @@ _PANEL = [
     "setop_union_distinct",
     "temporal_debezium_roundtrip",
     "dedup_semantic_flipped",
-    # r11's one red row — fixed this round, re-graded to confirm
-    "embed_quantize_int8",
-    # graph suite (never driver-graded)
-    "dedup_components",
-    "graph_pagerank_supplier_part",
-    "graph_triangle_counts",
-    "graph_label_propagation",
-    "graph_bfs_distances",
-    "graph_kcore",
-    "graph_clustering_coefficient",
-    # phrase/positional index family
-    "text_index_phrase_match",
-    "text_index_phrase_incremental",
-    # SCD2 + point-in-time
-    "cdc_scd2_history",
-    "join_scd2_pointintime",
-    # funnel / streak / session analytics
-    "events_funnel_counts",
-    "events_activity_streaks",
-    "events_session_window_native",
-    # r11 batch-vs-corpus screens + remaining group-reps
-    "multimodal_phash_screen",
-    "multimodal_audio_screen",
-    "multimodal_video_screen",
-    "multimodal_audio_group_rep",
-    "multimodal_video_group_rep",
-    "dedup_simhash_group_rep",
-    # text / embedding quality curves
-    "text_perplexity_buckets",
-    "embed_matryoshka_recall",
-    "embed_binary_hamming_recall",
-    # scalar / window / subquery suites
-    "scalar_math_suite",
-    "scalar_conditional_suite",
-    "scalar_array_suite",
-    "scalar_map_suite",
-    "scalar_string_suite2",
-    "scalar_date_suite2",
-    "scalar_trycast_suite",
-    "scalar_bitwise_suite",
-    "window_frame_suite",
-    "subquery_suite",
-    "window_rolling_median",
-    "window_first_last",
-    "asof_nearest_view",
-    # sketches / heavy hitters
-    "agg_heavy_hitters",
-    "agg_hll_sketch_rollup",
-    # round-12 maintained fingerprint index: the batch screened against
-    # the CAS-maintained band-bucketed index must equal the stateless
-    # screen (compaction/vacuum/hard-link appends answer-invisible)
-    "multimodal_phash_screen_maintained",
+    # BPE / packing family (never driver-graded)
+    "bpe_token_freq",
+    "bpe_doc_token_counts",
+    "bpe_encode_ids",
+    "bpe_pack_sequences",
+    "bpe_fertility_by_lang",
+    "pack_doc_spans",
+    # mixture / epoch ops
+    "mixture_temperature_sample",
+    "mixture_epoch_totals",
+    "corpus_mix_weights",
+    # dq_* drift + FK gates
+    "dq_psi_drift",
+    "dq_chisq_drift",
+    "dq_orders_gate",
+    "dq_orders_fk_gate",
+    "dq_fk_matrix",
+    # TPC-H remainder
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_late_ship",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_by_returnflag",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q22_global_sales",
+    # text statistics
+    "text_bigram_pmi",
+    "text_vocab_coverage",
+    "text_zipf_slope",
+    # events histogram / gap-fill / markov
+    "events_value_histogram",
+    "events_gapfill_locf",
+    "events_markov_transitions",
+    # round-12 additions
+    "corpus_contamination_screen",
+    "retrieval_hybrid_rrf",
+    "multimodal_phash_cluster_sizes",
+    "multimodal_audio_screen_maintained",
+    "multimodal_video_screen_maintained",
 ]
 
 
