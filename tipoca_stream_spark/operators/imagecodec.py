@@ -195,6 +195,12 @@ typedef struct {
     long bp;
     uint64_t acc;
     int nbits;
+    int raw;        /* 1 = read the RAW entropy stream: destuff 0xFF00
+                       inline and PIN at any marker (round 13: one pass
+                       over entropy bytes instead of destuff + read) */
+    int at_marker;  /* raw mode: bp rests on the 0xFF of a marker (or a
+                       trailing lone 0xFF); fills deliver 1-bit padding
+                       without advancing */
 } bitreader;
 
 /* Past the end the reader produces 1-bits (T.81 F.1.2.3 padding) — the
@@ -204,23 +210,48 @@ typedef struct {
    with nbits <= 16 on entry — every consumer peeks/reads at most 16 —
    the result fits the 64-bit accumulator.  The byte-at-a-time tail
    with 0xFF padding is unchanged, so the delivered bit-stream is
-   identical. */
+   identical.
+
+   Raw mode (round 13, the destuff fusion): the same reader over the
+   UN-destuffed stream.  The fast path additionally requires none of
+   the 6 bytes to be 0xFF (0xFF starts either a stuffed pair or a
+   marker); the tail skips 0xFF00 stuffing and pins at the first real
+   marker, delivering 0xFF padding from there on — bit-for-bit the
+   stream the two-pass destuff produced, including its treatment of a
+   trailing lone 0xFF (stream end) and of 0xFF followed by any
+   non-stuffing byte (segment end; the restart walk decides whether a
+   valid RST follows). */
 static void fill(bitreader *r, int need) {
     r->acc &= ((((uint64_t)1) << r->nbits) - 1);
-    if (r->nbits <= 16 && r->bp + 6 <= r->n) {
+    if (r->nbits <= 16 && r->bp + 6 <= r->n && !r->at_marker) {
         const uint8_t *p = r->d + r->bp;
-        uint64_t chunk =
-            ((uint64_t)p[0] << 40) | ((uint64_t)p[1] << 32) |
-            ((uint64_t)p[2] << 24) | ((uint64_t)p[3] << 16) |
-            ((uint64_t)p[4] << 8) | (uint64_t)p[5];
-        r->acc = (r->acc << 48) | chunk;
-        r->nbits += 48;
-        r->bp += 6;
-        return;
+        if (!r->raw ||
+            (p[0] != 0xFF && p[1] != 0xFF && p[2] != 0xFF &&
+             p[3] != 0xFF && p[4] != 0xFF && p[5] != 0xFF)) {
+            uint64_t chunk =
+                ((uint64_t)p[0] << 40) | ((uint64_t)p[1] << 32) |
+                ((uint64_t)p[2] << 24) | ((uint64_t)p[3] << 16) |
+                ((uint64_t)p[4] << 8) | (uint64_t)p[5];
+            r->acc = (r->acc << 48) | chunk;
+            r->nbits += 48;
+            r->bp += 6;
+            return;
+        }
     }
     while (r->nbits < need) {
-        uint8_t b = (r->bp < r->n) ? r->d[r->bp] : 0xFF;
-        r->bp += 1;
+        uint8_t b = 0xFF;
+        if (!r->at_marker && r->bp < r->n) {
+            b = r->d[r->bp];
+            if (r->raw && b == 0xFF) {
+                if (r->bp + 1 < r->n && r->d[r->bp + 1] == 0x00) {
+                    r->bp += 2;          /* stuffed 0xFF data byte */
+                } else {
+                    r->at_marker = 1;    /* pin; deliver padding */
+                }
+            } else {
+                r->bp += 1;
+            }
+        }
         r->acc = (r->acc << 8) | b;
         r->nbits += 8;
     }
@@ -471,6 +502,77 @@ static void idct_block_to_plane(
    bit-exact unit as jpeg_idct_plane.  unit_block[u] is the unit's
    block index within its component's MCU tile (by = j / hi,
    bx = j % hi). */
+static int fused_segment_run(
+    bitreader *r, int64_t *pred, long done, long n_seg, int nunits,
+    const int32_t *comp_of_unit, const int32_t *unit_block,
+    const int16_t *const *dc_sym, const uint8_t *const *dc_len,
+    const int16_t *const *ac_sym, const uint8_t *const *ac_len,
+    const int32_t *quant,
+    const int32_t *vi_arr, const int32_t *hi_arr,
+    uint16_t **plane_ptrs, const int64_t *plane_w,
+    const double *basis, double center, double top,
+    long mcus_x)
+{
+    long m;
+    for (m = 0; m < n_seg; m++) {
+        long gm = done + m;
+        long my = gm / mcus_x, mx = gm % mcus_x;
+        int u, k;
+        for (u = 0; u < nunits; u++) {
+            int ci = comp_of_unit[u];
+            int j = unit_block[u];
+            const int16_t *ds = dc_sym[ci];
+            const uint8_t *dl = dc_len[ci];
+            const int16_t *as = ac_sym[ci];
+            const uint8_t *al = ac_len[ci];
+            const int32_t *q = quant + ci * 64;
+            int vi = vi_arr[ci], hi = hi_arr[ci];
+            int byy = j / hi, bxx = j % hi;
+            long row0 = (my * (long)vi + byy) * 8;
+            long col0 = (mx * (long)hi + bxx) * 8;
+            int64_t blk[64];
+            int occ = 0;  /* max(row, col) over written coefficients */
+            int v = peek16(r);
+            int L = dl[v];
+            int s;
+            if (L == 0) return -1;
+            r->nbits -= L;
+            s = ds[v];
+            pred[ci] += s ? extend_v(read_bits(r, s), s) : 0;
+            memset(blk, 0, sizeof(blk));
+            blk[0] = pred[ci] * (int64_t)q[0];
+            k = 0;
+            while (k < 63) {
+                int rs, run, size, zz, zr, zc;
+                v = peek16(r);
+                L = al[v];
+                if (L == 0) return -1;
+                r->nbits -= L;
+                rs = as[v];
+                run = rs >> 4;
+                size = rs & 15;
+                if (size == 0) {
+                    if (run == 15) { k += 16; continue; }
+                    break;
+                }
+                k += run + 1;
+                if (k > 63) return -2;
+                zz = ZIGZAG[k];
+                blk[zz] = (int64_t)extend_v(read_bits(r, size), size)
+                          * q[zz];
+                zr = zz >> 3; zc = zz & 7;
+                if (zr > occ) occ = zr;
+                if (zc > occ) occ = zc;
+            }
+            idct_block_to_plane(
+                blk, basis, center, top,
+                plane_ptrs[ci] + row0 * plane_w[ci] + col0,
+                plane_w[ci], occ);
+        }
+    }
+    return 0;
+}
+
 int jpeg_decode_scan_fused(
     const uint8_t *data, const int64_t *offs, long n_segs,
     long n_mcus, long restart_interval, int nunits,
@@ -486,76 +588,85 @@ int jpeg_decode_scan_fused(
     int64_t pred[16];
     long done = 0, seg = 0;
     while (done < n_mcus) {
-        long n_seg = n_mcus - done, m;
+        long n_seg = n_mcus - done;
         bitreader r;
-        int i;
+        int i, rc;
         if (restart_interval && restart_interval < n_seg)
             n_seg = restart_interval;
         if (seg >= n_segs) return -5;
         r.d = data + offs[seg];
         r.n = offs[seg + 1] - offs[seg];
-        r.bp = 0; r.acc = 0; r.nbits = 0;
+        r.bp = 0; r.acc = 0; r.nbits = 0; r.raw = 0; r.at_marker = 0;
         for (i = 0; i < 16; i++) pred[i] = 0;
-        for (m = 0; m < n_seg; m++) {
-            long gm = done + m;
-            long my = gm / mcus_x, mx = gm % mcus_x;
-            int u, k;
-            for (u = 0; u < nunits; u++) {
-                int ci = comp_of_unit[u];
-                int j = unit_block[u];
-                const int16_t *ds = dc_sym[ci];
-                const uint8_t *dl = dc_len[ci];
-                const int16_t *as = ac_sym[ci];
-                const uint8_t *al = ac_len[ci];
-                const int32_t *q = quant + ci * 64;
-                int vi = vi_arr[ci], hi = hi_arr[ci];
-                int byy = j / hi, bxx = j % hi;
-                long row0 = (my * (long)vi + byy) * 8;
-                long col0 = (mx * (long)hi + bxx) * 8;
-                int64_t blk[64];
-                int occ = 0;  /* max(row, col) over written coefficients */
-                int v = peek16(&r);
-                int L = dl[v];
-                int s;
-                if (L == 0) return -1;
-                r.nbits -= L;
-                s = ds[v];
-                pred[ci] += s ? extend_v(read_bits(&r, s), s) : 0;
-                memset(blk, 0, sizeof(blk));
-                blk[0] = pred[ci] * (int64_t)q[0];
-                k = 0;
-                while (k < 63) {
-                    int rs, run, size, zz, zr, zc;
-                    v = peek16(&r);
-                    L = al[v];
-                    if (L == 0) return -1;
-                    r.nbits -= L;
-                    rs = as[v];
-                    run = rs >> 4;
-                    size = rs & 15;
-                    if (size == 0) {
-                        if (run == 15) { k += 16; continue; }
-                        break;
-                    }
-                    k += run + 1;
-                    if (k > 63) return -2;
-                    zz = ZIGZAG[k];
-                    blk[zz] = (int64_t)extend_v(read_bits(&r, size), size)
-                              * q[zz];
-                    zr = zz >> 3; zc = zz & 7;
-                    if (zr > occ) occ = zr;
-                    if (zc > occ) occ = zc;
-                }
-                idct_block_to_plane(
-                    blk, basis, center, top,
-                    plane_ptrs[ci] + row0 * plane_w[ci] + col0,
-                    plane_w[ci], occ);
-            }
-        }
+        rc = fused_segment_run(
+            &r, pred, done, n_seg, nunits, comp_of_unit, unit_block,
+            dc_sym, dc_len, ac_sym, ac_len, quant, vi_arr, hi_arr,
+            plane_ptrs, plane_w, basis, center, top, mcus_x);
+        if (rc) return rc;
         done += n_seg;
         seg += 1;
     }
     return 0;
+}
+
+/* Raw-stream fused decode (round 13, the destuff fusion): same decode
+   as jpeg_decode_scan_fused but reading the entropy bytes ONCE —
+   straight from the scan data at sos_pos, destuffing inside the
+   bitreader instead of a separate malloc+copy pass (destuff_c).  The
+   restart walk replaces the pre-split segment offsets: after each
+   restart interval the reader discards its byte-padding bits, skips
+   any unconsumed remainder of the segment exactly as destuff_c's
+   splitter did (stuffed pairs stay data, any real marker ends the
+   segment), and requires an RST0-7 marker — anything else is the
+   two-pass walker's -5 (missing restart segment), including EOI, a
+   non-RST marker, 0xFF-fill before the marker, and end-of-stream. */
+int jpeg_decode_scan_fused_raw(
+    const uint8_t *p, long len, long sos_pos,
+    long n_mcus, long restart_interval, int nunits,
+    const int32_t *comp_of_unit, const int32_t *unit_block,
+    const int16_t *const *dc_sym, const uint8_t *const *dc_len,
+    const int16_t *const *ac_sym, const uint8_t *const *ac_len,
+    const int32_t *quant,
+    const int32_t *vi_arr, const int32_t *hi_arr,
+    uint16_t **plane_ptrs, const int64_t *plane_w,
+    const double *basis, double center, double top,
+    long mcus_x)
+{
+    int64_t pred[16];
+    long done = 0;
+    bitreader r;
+    r.d = p; r.n = len; r.bp = sos_pos;
+    r.acc = 0; r.nbits = 0; r.raw = 1; r.at_marker = 0;
+    for (;;) {
+        long n_seg = n_mcus - done;
+        int i, rc;
+        if (restart_interval && restart_interval < n_seg)
+            n_seg = restart_interval;
+        for (i = 0; i < 16; i++) pred[i] = 0;
+        rc = fused_segment_run(
+            &r, pred, done, n_seg, nunits, comp_of_unit, unit_block,
+            dc_sym, dc_len, ac_sym, ac_len, quant, vi_arr, hi_arr,
+            plane_ptrs, plane_w, basis, center, top, mcus_x);
+        if (rc) return rc;
+        done += n_seg;
+        if (done >= n_mcus) return 0;
+        /* skip the segment's unconsumed remainder up to the next real
+           marker (destuff_c split semantics: 0xFF00 pairs are data, a
+           trailing lone 0xFF or any 0xFFxx marker ends the segment) */
+        if (!r.at_marker) {
+            while (r.bp < r.n) {
+                if (p[r.bp] != 0xFF) { r.bp += 1; continue; }
+                if (r.bp + 1 < r.n && p[r.bp + 1] == 0x00) { r.bp += 2; continue; }
+                break;
+            }
+        }
+        /* expect RST0-7; anything else = missing restart segment */
+        if (r.bp + 1 >= r.n || p[r.bp] != 0xFF ||
+            p[r.bp + 1] < 0xD0 || p[r.bp + 1] > 0xD7)
+            return -5;
+        r.bp += 2;
+        r.acc = 0; r.nbits = 0; r.at_marker = 0;
+    }
 }
 
 static int read_bit1(bitreader *r) {
@@ -1082,9 +1193,10 @@ int gif_lzw_decode(const uint8_t *data, long nbytes, int min_code_size,
    uint16->uint8 astype copy (~4 ms of a 12 ms board-fixture decode).
    These two entry points move the WHOLE baseline decode into C for a
    batch of N images: one crossing reads every header (so the caller
-   can allocate outputs), a second parses tables, destuffs, entropy-
-   decodes + IDCTs (the existing fused unit), and color-converts
-   straight into caller-owned uint8 buffers.  Scope is the common
+   can allocate outputs), a second parses tables, entropy-decodes +
+   IDCTs (the fused unit, reading the raw entropy bytes ONCE — the
+   round-13 destuff fusion), and color-converts straight into
+   caller-owned uint8 buffers.  Scope is the common
    corpus shape — baseline/extended-sequential Huffman, 8-bit, 1 or 3
    components, power-of-two sampling ratios; anything else (or any
    malformed structure) sets status=1 and the Python path decodes that
@@ -1359,38 +1471,10 @@ static int parse_dht_c(const jhdr *H, lut_slot *cache, int n_slots,
     return 0;
 }
 
-/* entropy destuff, the C twin of _split_entropy_segments: strip 0xFF00
-   stuffing, split at RST0-7, stop at any other marker */
-static int destuff_c(const uint8_t *p, long n, long pos,
-                     uint8_t **out_data, int64_t **out_offs,
-                     long *out_nsegs) {
-    uint8_t *buf = (uint8_t *)malloc((size_t)(n - pos) + 1);
-    long cap = 16, nsegs = 0, o = 0;
-    int64_t *so = (int64_t *)malloc(sizeof(int64_t) * (cap + 1));
-    if (!buf || !so) { free(buf); free(so); return 1; }
-    so[0] = 0;
-    while (pos < n) {
-        if (p[pos] != 0xFF) { buf[o++] = p[pos++]; continue; }
-        if (pos + 1 >= n) { pos += 1; break; }
-        {
-            int m = p[pos + 1];
-            if (m == 0x00) { buf[o++] = 0xFF; pos += 2; }
-            else if (m >= 0xD0 && m <= 0xD7) {
-                if (nsegs + 1 >= cap) {
-                    int64_t *ns;
-                    cap *= 2;
-                    ns = (int64_t *)realloc(so, sizeof(int64_t) * (cap + 1));
-                    if (!ns) { free(buf); free(so); return 1; }
-                    so = ns;
-                }
-                nsegs += 1; so[nsegs] = o; pos += 2;
-            } else break; /* EOI or next real marker */
-        }
-    }
-    nsegs += 1; so[nsegs] = o;
-    *out_data = buf; *out_offs = so; *out_nsegs = nsegs;
-    return 0;
-}
+/* (round 13: destuff_c removed — the batch path's entropy destuffing is
+   fused into the bitreader, jpeg_decode_scan_fused_raw; the one-at-a-
+   time path still decodes Python-destuffed segments, so batch-vs-single
+   parity pins exercise fused-raw against the two-pass split.) */
 
 int jpeg_decode_baseline_batch(
     const uint8_t *blob, const int64_t *offs, long n,
@@ -1418,9 +1502,6 @@ int jpeg_decode_baseline_batch(
         int qpresent[4] = {0, 0, 0, 0};
         int16_t *hs[2][4] = {{0}};
         uint8_t *hl[2][4] = {{0}};
-        uint8_t *seg_data = 0;
-        int64_t *seg_offs = 0;
-        long nsegs = 0;
         uint16_t *planes[4] = {0, 0, 0, 0};
         const uint8_t *p = blob + offs[img];
         long len = offs[img + 1] - offs[img];
@@ -1444,8 +1525,7 @@ int jpeg_decode_baseline_batch(
                 !hs[1][H.sel_ac[s]])
                 fail = 1; /* missing tables: Python raises canonically */
         }
-        if (fail || destuff_c(p, len, H.sos_pos, &seg_data, &seg_offs,
-                              &nsegs) != 0) {
+        if (fail) {
             status[img] = 1;
             continue;
         }
@@ -1492,9 +1572,12 @@ int jpeg_decode_baseline_batch(
                     plane_w[c] = pw;
                 }
             }
+            /* round 13: the raw fused decode reads the entropy bytes
+               ONCE (destuffing inside the bitreader) — no per-image
+               destuff malloc+copy pass */
             if (!fail &&
-                jpeg_decode_scan_fused(
-                    seg_data, seg_offs, nsegs, n_mcus, H.restart, nu,
+                jpeg_decode_scan_fused_raw(
+                    p, len, H.sos_pos, n_mcus, H.restart, nu,
                     cou, ub, dc_sym, dc_len_, ac_sym, ac_len_, quant,
                     vi_arr, hi_arr, plane_ptrs, plane_w,
                     basis, 128.0, 255.0, mx) != 0)
@@ -1526,8 +1609,6 @@ int jpeg_decode_baseline_batch(
             }
             if (fail) status[img] = 1;
         }
-        free(seg_data);
-        free(seg_offs);
     }
     free(arena);
     free(cache);
