@@ -40,6 +40,50 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def keep_best_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Quality-aware exact dedup (round 13): per near-identical group
+    (the word-set fingerprint, operators/text.fingerprint — robust to
+    word order and repetition), keep the HIGHEST-QUALITY member instead
+    of the smallest id — what a real curation pass does when a crawl
+    holds several renditions of the same page (truncated copies, mirrors
+    with boilerplate, re-paginated versions). Ordering: distinct_ratio
+    DESC (the least-redundant rendition), then n_tokens DESC (the most
+    complete one), then id ASC (deterministic). Returns the kept rows
+    as (id, fingerprint, n_members, n_tokens, distinct_ratio).
+
+    100 TB shape: one fingerprint projection, one id-keyed join of two
+    narrow per-doc frames, then a single fingerprint-keyed window —
+    group-local work, no self-join; a 10^5-member viral group costs one
+    partition-local rank, and the output is O(groups)."""
+    from tipoca_stream_spark.operators.text import fingerprint, quality_scores
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.col(text_col).isNotNull())
+    fp = fingerprint(base, text_col, id_col)
+    q = quality_scores(base, text_col, id_col).select(
+        id_col, "n_tokens", "distinct_ratio"
+    )
+    j = fp.join(q, id_col)
+    w = Window.partitionBy("fingerprint")
+    ranked = j.select(
+        F.col(id_col),
+        "fingerprint",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+        "n_tokens",
+        "distinct_ratio",
+        F.row_number()
+        .over(
+            w.orderBy(
+                F.col("distinct_ratio").desc(),
+                F.col("n_tokens").desc(),
+                F.col(id_col),
+            )
+        )
+        .alias("_rn"),
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+
 def word_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, carry: list[str] | None = None
 ) -> DataFrame:

@@ -114,6 +114,49 @@ def rolling_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), h.alias("rolling_hash"))
 
 
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY (round 13): the fraction of a doc's
+    distinct word n-grams whose global first occurrence (smallest id of
+    any doc containing the shingle) is this document. A curation-side
+    diversity signal: near-1 documents introduce new content, near-0
+    documents restate what an earlier doc already contributed — the
+    soft (fractional) counterpart of hard near-dup removal, usable as a
+    sampling weight instead of a drop rule. Docs with fewer than ``n``
+    words contribute no shingles and are absent from the output.
+
+    100 TB shape: distinct (id, shingle) → one shingle-keyed aggregate
+    for the global min (map-side combinable) → join back → one id-keyed
+    aggregate. No self-join, no window over the corpus; the widest
+    shuffle carries (shingle, id) pairs, the same footprint as the LSH
+    shingle stage."""
+    from tipoca_stream_spark.operators.corpus_dedup import word_shingles
+
+    sh = word_shingles(
+        df.filter(F.col(text_col).isNotNull()), text_col, id_col, n=n
+    ).distinct()
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )
+
+
 # --- Gopher-style quality rules (Rae et al. 2021, §A1.1 heuristics) ---------
 
 GOPHER_MIN_WORDS = 5

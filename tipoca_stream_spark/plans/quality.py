@@ -518,3 +518,117 @@ def corpus_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 20 != 0)
     test = docs.filter(F.col("doc_id") % 20 == 0)
     return contamination_screen(train, test, n=CONTAM_N)
+
+
+# --- quality-aware dedup + novelty (round 13) ---------------------------------
+
+_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "string_split(lower(text), ' '))), ' '))"
+)
+
+
+@query(
+    "dedup_keep_best_quality",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    fp AS (SELECT doc_id, {_FP_SQL} AS fingerprint FROM base),
+    q AS (SELECT doc_id,
+                 len(string_split(text, ' '))::bigint AS n_tokens,
+                 len(list_distinct(string_split(text, ' ')))::double
+                   / len(string_split(text, ' ')) AS distinct_ratio
+          FROM base),
+    j AS (SELECT fp.doc_id, fingerprint, n_tokens, distinct_ratio
+          FROM fp JOIN q USING (doc_id)),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY fingerprint
+                                    ORDER BY distinct_ratio DESC,
+                                             n_tokens DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY fingerprint) AS nm
+          FROM j)
+    SELECT doc_id, fingerprint, nm::bigint AS n_members, n_tokens,
+           distinct_ratio
+    FROM r WHERE rn = 1
+    """,
+    survey_ref="training: quality-aware dedup (keep best rendition per group)",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: per word-set-fingerprint group keep the
+    HIGHEST-QUALITY rendition (distinct_ratio DESC, n_tokens DESC, id ASC)
+    instead of the smallest id — the curation rule for crawls holding
+    truncated copies / boilerplate-padded mirrors of the same page. One
+    fingerprint-keyed window over group-local rows; no self-join; output
+    is O(groups) (operators/corpus_dedup.keep_best_quality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cd.keep_best_quality(docs, "text", "doc_id")
+
+
+@query(
+    "text_ngram_novelty",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents WHERE text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM words, unnest(range(1, len(w) - 1)) AS t(i)),
+    f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    per AS (SELECT sh.doc_id,
+                   count(*) AS n_shingles,
+                   sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                     AS n_novel
+            FROM sh JOIN f USING (s) GROUP BY sh.doc_id)
+    SELECT doc_id, n_shingles::bigint AS n_shingles,
+           n_novel::bigint AS n_novel,
+           round(n_novel / n_shingles::double, 6) AS novelty
+    FROM per
+    """,
+    survey_ref="training: per-doc n-gram novelty (diversity weighting)",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty: the fraction of a doc's distinct shingles
+    globally FIRST seen in it (smallest containing doc_id) — the soft
+    counterpart of near-dup removal, usable as a sampling weight. One
+    shingle-keyed aggregate + one doc-keyed aggregate; no self-join
+    (operators/text.ngram_novelty)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from tipoca_stream_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(docs, "text", "doc_id", n=3)
+
+
+@query(
+    "corpus_dedup_rate_by_source",
+    f"""
+    WITH fp AS (SELECT doc_id, source, {_FP_SQL} AS f
+                FROM documents
+                WHERE text IS NOT NULL AND source IS NOT NULL)
+    SELECT source,
+           count(*)::bigint AS n_docs,
+           count(DISTINCT f)::bigint AS n_distinct,
+           round(1 - count(DISTINCT f) / count(*)::double, 6) AS dup_rate
+    FROM fp GROUP BY source
+    """,
+    survey_ref="training: per-source duplication-rate telemetry",
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate telemetry per source — the number a curation run
+    reports before deciding which crawl snapshots to drop: docs, distinct
+    word-set fingerprints, and the dup rate. One source-keyed aggregate
+    with a distinct count; map-side combinable."""
+    from tipoca_stream_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    fp = fingerprint(docs, "text", "doc_id").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fingerprint").cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1)
+            - F.countDistinct("fingerprint").cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
