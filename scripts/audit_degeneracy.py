@@ -69,6 +69,11 @@ ALLOW = {
     ("training_fim_transform", "*"),  # every sf0.01 doc has >= 10 words; the
                                       # <3-word passthrough branch is exercised
                                       # by the NULL/empty sweeps
+    ("corpus_dedup_rate_by_source", "*"),  # n_docs=25/source: the generator
+                                           # spreads 500 docs evenly over 20
+                                           # sources; n_distinct (23-25) and
+                                           # dup_rate (0-0.08) DO vary — the
+                                           # telemetry the query exists for
     ("dq_fk_matrix", "*"),  # n_orphans=0 on all 7 edges: the synthetic data
                             # maintains referential integrity by construction
                             # (TESTDATA.md / make_scale_dataset FK offsets);

@@ -27,7 +27,14 @@ def main() -> None:
     from tipoca_stream_spark.plans import QUERIES, _PANEL
     from tipoca_stream_spark.session import get_spark
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # --unverified (round 13): verify the queries NOT in the current
+    # panel instead — the wave-(N+1) pre-validation (pass CORRECTNESS
+    # files on the driver side; here "unverified" = registry minus panel)
+    names = list(_PANEL)
+    argv = [a for a in sys.argv[1:] if a != "--unverified"]
+    if "--unverified" in sys.argv[1:]:
+        names = [n for n in QUERIES if n not in set(_PANEL)]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     spark = get_spark("panel-verify", shuffle_partitions=32)
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -47,7 +54,7 @@ def main() -> None:
         return df.sort_values(cols).reset_index(drop=True).astype(str)
 
     bad = []
-    for i, name in enumerate(_PANEL):
+    for i, name in enumerate(names):
         q = QUERIES[name]
         t0 = time.time()
         try:
@@ -62,7 +69,7 @@ def main() -> None:
         except Exception as e:
             status = f"FAIL: {type(e).__name__}: {e}"
             bad.append((name, status))
-        print(f"{i + 1:2d}/{len(_PANEL)} {name}: {status} "
+        print(f"{i + 1:2d}/{len(names)} {name}: {status} "
               f"({time.time() - t0:.1f}s)", flush=True)
     print("FAILURES:", bad if bad else "none")
     sys.exit(1 if bad else 0)
