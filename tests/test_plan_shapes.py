@@ -397,3 +397,25 @@ def test_hybrid_rrf_jvm_side_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_keep_best_quality_single_group_window_jvm_side(spark):
+    # one fingerprint-keyed exchange feeding the group-local window; no
+    # cartesian, no Python eval — the group-rep shape (O(groups) output)
+    plan = plan_of(spark, "dedup_keep_best_quality")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    assert "Window" in plan
+
+
+def test_ngram_novelty_jvm_side_no_cartesian(spark):
+    # shingle-keyed min + doc-keyed aggregate; the join back is a keyed
+    # equi-join (AQE may pick broadcast or SMJ) — never a cartesian, and
+    # no corpus-wide window
+    plan = plan_of(spark, "text_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
