@@ -536,9 +536,26 @@ static int fused_segment_run(
             int L = dl[v];
             int s;
             if (L == 0) return -1;
-            r->nbits -= L;
             s = ds[v];
-            pred[ci] += s ? extend_v(read_bits(r, s), s) : 0;
+            /* in-window value extraction (round 13): peek16 leaves
+               >= 16 unconsumed bits buffered, so when the symbol's
+               value bits also fit the same window (L + size <= 16 —
+               the overwhelmingly common case for 8-bit baseline) they
+               are already in ``v``: take them with a shift+mask and
+               consume both at once, skipping read_bits' fill-check and
+               shift chain. The delivered bits and consumption counts
+               are identical to the read_bits path, which remains for
+               the L + size > 16 tail. No new tables (the merged-LUT
+               variant of this idea was measured 1.1-1.3x SLOWER on
+               small-image corpora — BENCH_JPEG_r13b.json: the split
+               len table's cache locality is what the loop lives on). */
+            if (s && L + s <= 16) {
+                pred[ci] += extend_v((v >> (16 - L - s)) & ((1 << s) - 1), s);
+                r->nbits -= L + s;
+            } else {
+                r->nbits -= L;
+                pred[ci] += s ? extend_v(read_bits(r, s), s) : 0;
+            }
             memset(blk, 0, sizeof(blk));
             blk[0] = pred[ci] * (int64_t)q[0];
             k = 0;
@@ -547,19 +564,27 @@ static int fused_segment_run(
                 v = peek16(r);
                 L = al[v];
                 if (L == 0) return -1;
-                r->nbits -= L;
                 rs = as[v];
                 run = rs >> 4;
                 size = rs & 15;
                 if (size == 0) {
+                    r->nbits -= L;
                     if (run == 15) { k += 16; continue; }
                     break;
                 }
                 k += run + 1;
                 if (k > 63) return -2;
                 zz = ZIGZAG[k];
-                blk[zz] = (int64_t)extend_v(read_bits(r, size), size)
-                          * q[zz];
+                if (L + size <= 16) {
+                    blk[zz] = (int64_t)extend_v(
+                        (v >> (16 - L - size)) & ((1 << size) - 1), size)
+                        * q[zz];
+                    r->nbits -= L + size;
+                } else {
+                    r->nbits -= L;
+                    blk[zz] = (int64_t)extend_v(read_bits(r, size), size)
+                              * q[zz];
+                }
                 zr = zz >> 3; zc = zz & 7;
                 if (zr > occ) occ = zr;
                 if (zc > occ) occ = zc;
