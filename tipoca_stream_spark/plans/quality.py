@@ -632,3 +632,37 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "corpus_cluster_weights",
+    f"""
+    WITH fp AS (SELECT doc_id, {_FP_SQL} AS f
+                FROM documents WHERE text IS NOT NULL),
+    sz AS (SELECT f, count(*) AS n FROM fp GROUP BY f)
+    SELECT fp.doc_id, sz.n::bigint AS cluster_size,
+           round(1.0 / sz.n, 6) AS weight
+    FROM fp JOIN sz USING (f)
+    """,
+    survey_ref="training: inverse-duplication sampling weights",
+)
+def corpus_cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-duplication sampling weights: each doc weighted 1/size of
+    its exact-dup (word-set fingerprint) group, so a page crawled 29
+    times contributes ~one page of probability mass instead of 29 — the
+    soft alternative to dropping duplicates outright (keeps rare
+    renditions reachable), pairing with text_ngram_novelty on the
+    near-dup side. One fingerprint-keyed aggregate + a keyed join back;
+    no window over the corpus, no self-join."""
+    from tipoca_stream_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    fp = fingerprint(docs, "text", "doc_id")
+    sz = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return fp.join(sz, "fingerprint").select(
+        "doc_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )

@@ -492,3 +492,67 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.col("dsir_logweight").desc(), "doc_id")
         ),
     )
+
+
+# --- split-leakage detector (round 13) ---------------------------------------
+
+_SPLIT_CASE = (
+    f"CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '{SPLIT_SALT}'), 1, 8))::BIGINT"
+    f" % 100 < {EVAL_PCT} THEN 'eval' ELSE 'train' END"
+)
+
+
+@query(
+    "dq_split_leakage",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), ' ')) AS fingerprint,
+             {_SPLIT_CASE} AS split
+      FROM documents WHERE text IS NOT NULL)
+    SELECT fingerprint,
+           count(*)::bigint AS n_members,
+           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::bigint AS n_train,
+           sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END)::bigint AS n_eval
+    FROM fp GROUP BY fingerprint
+    HAVING count(DISTINCT split) > 1
+    """,
+    survey_ref="training: train/eval split leakage detector (near-dup across split)",
+)
+def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity gate: near-identical documents (same word-set
+    fingerprint) that landed on BOTH sides of the deterministic
+    train/eval split — each such group silently leaks training content
+    into evaluation, the failure mode benchmark decontamination exists
+    to catch INSIDE one's own corpus. Reports every leaking group with
+    its side counts; an empty result is the passing state a real
+    pipeline gates on.
+
+    100 TB shape: the split is a pure projection (no shuffle) and the
+    leak check is ONE fingerprint-keyed aggregate with two conditional
+    sums — the same single-shuffle footprint as exact dedup; no join of
+    the corpus against itself."""
+    from tipoca_stream_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    fp = fingerprint(docs, "text", "doc_id")
+    split = F.when(_bucket(F.col("doc_id"), SPLIT_SALT) < EVAL_PCT, "eval").otherwise(
+        "train"
+    )
+    tagged = fp.select("fingerprint", split.alias("split"))
+    return (
+        tagged.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum((F.col("split") == "train").cast("long"))
+            .cast("long")
+            .alias("n_train"),
+            F.sum((F.col("split") == "eval").cast("long"))
+            .cast("long")
+            .alias("n_eval"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_eval") > 0))
+    )
