@@ -26,8 +26,10 @@ reproducible in ANSI SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from tipoca_stream_spark.operators.exprcache import memo_expr
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -100,19 +102,33 @@ def word_shingles(
     arr = df.select(
         F.col(id_col), *[F.col(c) for c in carry], F.split(F.col(text_col), " ").alias("_w")
     )
-    w = F.col("_w")
-    # guard short docs: sequence(0, negative) produces a DESCENDING sequence
-    # in Spark (auto step -1), not an empty one → element_at out-of-bounds
-    idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
-    )
+    shingle = _shingle_array_expr(n)
     return arr.select(
         F.col(id_col), *[F.col(c) for c in carry], F.explode(shingle).alias("shingle")
     )
+
+
+def _shingle_array_expr(n: int) -> Column:
+    """Array of word n-gram shingles over the materialized split column
+    ``_w`` — memoized per ``n`` (round 14): the transform lambda costs
+    ~30 py4j round trips to rebuild per construction."""
+
+    def build() -> Column:
+        w = F.col("_w")
+        # guard short docs: sequence(0, negative) produces a DESCENDING
+        # sequence in Spark (auto step -1), not an empty one →
+        # element_at out-of-bounds
+        idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+
+    return memo_expr(("shingle_array", "_w", n), build)
 
 
 def minhash_signatures(
@@ -120,10 +136,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: for seed k, min over shingles of
     ``md5(shingle || '#k')``. One hash-aggregate shuffle keyed by doc."""
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))).alias(f"s{k}")
-        for k in range(n_hashes)
-    ]
+    aggs = memo_expr(
+        ("minhash_aggs", "shingle", n_hashes),
+        lambda: [
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{k}")))).alias(f"s{k}")
+            for k in range(n_hashes)
+        ],
+    )
     return shingled.groupBy(id_col).agg(*aggs)
 
 
@@ -149,11 +168,16 @@ def lsh_band_keys(
     if sig_cols is None:
         sig_cols = [c for c in signatures.columns if c != id_col and c not in carry]
     n_bands = len(sig_cols) // band_size
-    band_digests = F.array(
-        *[
-            F.md5(F.concat(*[F.col(c) for c in sig_cols[b * band_size : (b + 1) * band_size]]))
-            for b in range(n_bands)
-        ]
+    band_digests = memo_expr(
+        ("lsh_band_digests", tuple(sig_cols), band_size),
+        lambda: F.array(
+            *[
+                F.md5(
+                    F.concat(*[F.col(c) for c in sig_cols[b * band_size : (b + 1) * band_size]])
+                )
+                for b in range(n_bands)
+            ]
+        ),
     )
     return signatures.select(
         F.col(id_col),
@@ -360,9 +384,18 @@ def simhash(
     distance); shingles restore discrimination. ``feature='word'`` gives the
     classic distinct-word variant."""
     if feature == "shingle":
-        words = word_shingles(df, text_col, id_col, n=shingle_n).select(
-            F.col(id_col), F.col("shingle").alias("w")
-        ).distinct()
+        # round 14: the distinct shingle SET is computed per row with
+        # array_distinct BEFORE the explode — one projection instead of a
+        # (id, shingle)-keyed distinct, removing a corpus-sized exchange of
+        # shingle strings (plan: 3 Exchange → 2). Identical votes for
+        # unique-id inputs (ids are unique per row in every caller), and
+        # the semantics now match the 'word' feature path, which was
+        # already per-row distinct.
+        arr = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+        words = arr.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_shingle_array_expr(shingle_n))).alias("w"),
+        )
     elif feature == "word":
         words = df.select(
             F.col(id_col),
@@ -380,42 +413,65 @@ def simhash(
     # ceil(bits/15) conv() calls (15 hex digits = 60 bits fits a long)
     # followed by JVM-side shiftright/AND — identical bit values, so
     # signatures, oracles, and downstream bands are unchanged.
+    # every fragment below depends only on ``bits`` and fixed internal
+    # column names — memoized (round 14): ~400 py4j round trips (~0.5 s of
+    # driver time) per construction otherwise
     hashed = words.select(F.col(id_col), F.md5(F.col("w")).alias("h"))
-    chunks = []  # (col, n_nibbles) covering nibbles [1, bits]
-    pos = 1
-    while pos <= bits:
-        n = min(15, bits - pos + 1)
-        chunks.append(
-            (F.conv(F.substring(F.col("h"), pos, n), 16, 10).cast("long"), n)
-        )
-        pos += n
+
+    def chunk_widths() -> list[int]:
+        widths, pos = [], 1
+        while pos <= bits:
+            widths.append(min(15, bits - pos + 1))
+            pos += widths[-1]
+        return widths
+
+    def build_chunks() -> list:
+        cols, pos = [], 1
+        for i, n in enumerate(chunk_widths()):
+            cols.append(
+                F.conv(F.substring(F.col("h"), pos, n), 16, 10)
+                .cast("long")
+                .alias(f"c{i}")
+            )
+            pos += n
+        return cols
+
     hashed = hashed.select(
-        F.col(id_col),
-        *[c.alias(f"c{i}") for i, (c, _) in enumerate(chunks)],
+        F.col(id_col), *memo_expr(("simhash_chunks", bits), build_chunks)
     )
 
     def _bit(k: int):
         # nibble k+1 lives in chunk i at nibble offset j (0-based from the
         # chunk's most-significant nibble); its lsb is bit 4*(n-1-j)
+        widths = chunk_widths()
         rem, i = k, 0
-        while rem >= chunks[i][1]:
-            rem -= chunks[i][1]
+        while rem >= widths[i]:
+            rem -= widths[i]
             i += 1
-        shift = 4 * (chunks[i][1] - 1 - rem)
+        shift = 4 * (widths[i] - 1 - rem)
         return F.shiftright(F.col(f"c{i}"), shift).bitwiseAND(F.lit(1))
 
     # the ±1 vote sign is recovered at pack time: sum(±1) > 0 iff
     # 2*sum(bit) > count, so the per-row aggregate input is the raw 0/1
     # bit (no branch) plus ONE shared count — same signatures exactly
-    votes = [F.sum(_bit(k)).alias(f"v{k}") for k in range(bits)]
-    agg = hashed.groupBy(id_col).agg(*votes, F.count(F.lit(1)).alias("_n"))
-    packed = None
-    for k in range(bits):
-        bit = F.when(
-            F.col(f"v{k}") * 2 > F.col("_n"), F.lit(1 << k)
-        ).otherwise(F.lit(0))
-        packed = bit if packed is None else packed + bit
-    return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))
+    votes = memo_expr(
+        ("simhash_votes", bits),
+        lambda: [F.sum(_bit(k)).alias(f"v{k}") for k in range(bits)]
+        + [F.count(F.lit(1)).alias("_n")],
+    )
+    agg = hashed.groupBy(id_col).agg(*votes)
+
+    def build_packed():
+        packed = None
+        for k in range(bits):
+            bit = F.when(
+                F.col(f"v{k}") * 2 > F.col("_n"), F.lit(1 << k)
+            ).otherwise(F.lit(0))
+            packed = bit if packed is None else packed + bit
+        return packed.cast("long")
+
+    packed = memo_expr(("simhash_packed", bits), build_packed)
+    return agg.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_band_keys(

@@ -1,0 +1,51 @@
+"""Process-lifetime memo for immutable Catalyst expression fragments.
+
+Building a Column expression from Python costs one py4j round trip per
+operator/literal (~1 ms each once the JVM is warm). Operators whose
+expressions embed large literal constants (LSH hyperplanes, IVF centroids,
+SimHash bit extractors: hundreds of ``F.lit`` calls) spend 0.3-1.0 s of
+DRIVER time per query construction rebuilding byte-identical expression
+trees — at any cluster size, since expression construction is driver-side
+work (guide §1.2 step 2: per-task work includes the code that builds the
+task). Memoizing the finished ``Column`` fragments removes that cost after
+the first construction in a process.
+
+Scope and safety:
+- Only EXPRESSIONS are cached — unresolved, immutable plan fragments
+  (the moral equivalent of a compiled regex). No DataFrames, no results,
+  no data: every action still recomputes from the parquet inputs.
+- Keys must capture every parameter the expression depends on (column
+  names, literal values, shape parameters). Callers build value-based
+  keys (tuples of primitives), so equal inputs share a fragment and
+  different inputs never collide.
+- Column fragments are session-independent (they resolve against whatever
+  plan they are attached to) and survive SparkSession restarts within a
+  process — the py4j gateway owns them, not the session.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Hashable, TypeVar
+
+T = TypeVar("T")
+
+_CACHE: dict[Hashable, object] = {}
+
+
+def memo_expr(key: Hashable, builder: Callable[[], T]) -> T:
+    """Return the memoized value for ``key``, building it on first use.
+
+    ``builder`` must be a pure function of ``key``'s contents: the same key
+    MUST always describe the same expression fragment.
+    """
+    try:
+        return _CACHE[key]  # type: ignore[return-value]
+    except KeyError:
+        value = builder()
+        _CACHE[key] = value
+        return value
+
+
+def clear() -> None:
+    """Drop every memoized fragment (test hook)."""
+    _CACHE.clear()

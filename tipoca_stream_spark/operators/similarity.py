@@ -19,6 +19,12 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tipoca_stream_spark.operators.exprcache import memo_expr
+
+
+def _planes_key(planes: list[list[float]]) -> tuple:
+    return tuple(tuple(p) for p in planes)
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Deterministic left-fold dot product of two array<float/double> cols."""
@@ -96,17 +102,23 @@ def lsh_band_assignments(
     ``band_size`` sign bits and emit one ``(id, band_no, band_val)`` row per
     band. Pairs agreeing on ANY band are near-dup candidates — the classic
     AND-within-band / OR-across-bands LSH amplification."""
-    n_bands = len(planes) // band_size
-    vec = F.col(vec_col)
-    band_vals = []
-    for b in range(n_bands):
-        acc = F.lit(0)
-        for j in range(band_size):
-            lit_plane = F.array(*[F.lit(x) for x in planes[b * band_size + j]])
-            acc = acc + F.when(_dot(vec, lit_plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        band_vals.append(acc.cast("int"))
+    def build() -> Column:
+        n_bands = len(planes) // band_size
+        vec = F.col(vec_col)
+        band_vals = []
+        for b in range(n_bands):
+            acc = F.lit(0)
+            for j in range(band_size):
+                lit_plane = F.array(*[F.lit(x) for x in planes[b * band_size + j]])
+                acc = acc + F.when(_dot(vec, lit_plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            band_vals.append(acc.cast("int"))
+        return F.array(*band_vals)
+
+    bands_arr = memo_expr(
+        ("lsh_band_vals", vec_col, band_size, _planes_key(planes)), build
+    )
     return embeddings.select(
-        F.col(id_col), F.posexplode(F.array(*band_vals)).alias("band_no", "band_val")
+        F.col(id_col), F.posexplode(bands_arr).alias("band_no", "band_val")
     )
 
 
@@ -162,8 +174,17 @@ def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p = 1 iff dot(vec, plane_p) > 0.
+
+    Pass ``vec`` as a column NAME to memoize the finished expression
+    (round 14): the fragment embeds len(planes)·dim literals and costs
+    ~0.6 s of py4j round trips to rebuild per query — see exprcache."""
+    if isinstance(vec, str):
+        return memo_expr(
+            ("lsh_bucket", vec, _planes_key(planes)),
+            lambda: lsh_bucket(F.col(vec), planes),
+        )
     acc = F.lit(0)
     for p, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(x) for x in plane])
@@ -177,7 +198,7 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    return embeddings.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    return embeddings.select(F.col(id_col), lsh_bucket(vec_col, planes).alias("bucket"))
 
 
 def lsh_topk(
@@ -190,7 +211,7 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine re-rank. Recall trades off with plane count."""
-    with_bucket = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    with_bucket = embeddings.withColumn("bucket", lsh_bucket(vec_col, planes))
     q = with_bucket.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_q"), F.col("bucket")
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tipoca_stream_spark.operators import similarity as sim
+from tipoca_stream_spark.operators.exprcache import memo_expr
 from tipoca_stream_spark.plans.registry import query
 from tipoca_stream_spark.plans.training import _COSINE_CTE as _COSINE_CTE_REF, _embs
 from tipoca_stream_spark.sources.tables import load_table
@@ -225,30 +226,44 @@ SELECT vec_id, ({_ARGMIN}) AS centroid_id FROM dists
 """
 
 
+def _centroid_d2_cols() -> list:
+    """Per-centroid squared-L2 distance columns over ``embedding`` —
+    memoized (round 14): N_CENTROIDS·64 literal leaves cost ~0.5 s of py4j
+    round trips to rebuild per construction."""
+    return memo_expr(
+        ("ivf_centroid_d2", "embedding", tuple(tuple(c) for c in CENTROIDS)),
+        lambda: [
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"d{i}")
+            for i, c in enumerate(CENTROIDS)
+        ],
+    )
+
+
 def ivf_assign(emb: DataFrame) -> DataFrame:
     """Assign each vector to its nearest (L2) centroid — the IVF coarse
     quantizer. One narrow pass; at scale this is the partitioning key that
     confines search to one cell."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(x) for x in c]),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"d{i}")
-        for i, c in enumerate(CENTROIDS)
-    ]
-    with_d = emb.select("vec_id", *dists)
-    best = F.lit(0)
-    best_d = F.col("d0")
-    for i in range(1, N_CENTROIDS):
-        cond = F.col(f"d{i}") < best_d
-        best = F.when(cond, F.lit(i)).otherwise(best)
-        best_d = F.when(cond, F.col(f"d{i}")).otherwise(best_d)
-    return with_d.select("vec_id", best.cast("int").alias("centroid_id"))
+    with_d = emb.select("vec_id", *_centroid_d2_cols())
+
+    def build_best():
+        best = F.lit(0)
+        best_d = F.col("d0")
+        for i in range(1, N_CENTROIDS):
+            cond = F.col(f"d{i}") < best_d
+            best = F.when(cond, F.lit(i)).otherwise(best)
+            best_d = F.when(cond, F.col(f"d{i}")).otherwise(best_d)
+        return best.cast("int")
+
+    best = memo_expr(("ivf_argmin", N_CENTROIDS), build_best)
+    return with_d.select("vec_id", best.alias("centroid_id"))
 
 
 @query("similarity_ivf_assign", IVF_ASSIGN_SQL, survey_ref="training: ANN IVF quantizer")
@@ -333,20 +348,8 @@ def similarity_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
     assign = ivf_assign(emb).persist()
     qvec = emb.filter(F.col("vec_id") == 0)
-    qd = [
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(x) for x in c]),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"d{i}")
-        for i, c in enumerate(CENTROIDS)
-    ]
     probes = (
-        qvec.select(*qd)
+        qvec.select(*_centroid_d2_cols())
         .select(F.posexplode(F.array(*[F.col(f"d{i}") for i in range(N_CENTROIDS)])).alias("cid", "d"))
         .orderBy("d", "cid")
         .limit(NPROBE)

@@ -17,23 +17,98 @@ from tipoca_stream_spark.plans.registry import query
 from tipoca_stream_spark.sources.tables import load_table
 
 
-def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _parse_bytes(v: str | int) -> int:
+    """Parse a Spark byte-size conf value ('128MB', '4m', '134217728b')."""
+    if isinstance(v, int):
+        return v
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30),
+                      ("mb", 1 << 20), ("kb", 1 << 10), ("p", 1 << 50),
+                      ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20),
+                      ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suffix):
+            mult = m
+            s = s[: -len(suffix)]
+            break
+    return int(float(s) * mult)
+
+
+def _scan_partition_estimate(spark: SparkSession, path: str) -> int | None:
+    """Estimate the scan partition count of a local parquet path without
+    building the physical plan (round 14: ``df.rdd.getNumPartitions()``
+    pays a full plan→RDD conversion — ~0.15 s of driver time — on every
+    fresh DataFrame, i.e. on every query construction). Mirrors
+    ``FilePartition.maxSplitBytes`` + its greedy packing; returns None for
+    paths this process can't stat (caller falls back to the exact probe)."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+        elif os.path.isdir(path):
+            sizes = sorted(
+                (
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(path)
+                    for f in fs
+                    if f.endswith(".parquet")
+                ),
+                reverse=True,
+            )
+        else:
+            return None
+    except OSError:
+        return None
+    if not sizes:
+        return None
+    conf = spark.conf
+    max_part = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    min_num = conf.get("spark.sql.files.minPartitionNum", None)
+    parallelism = int(min_num) if min_num else spark.sparkContext.defaultParallelism
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total // max(parallelism, 1)
+    max_split = min(max_part, max(open_cost, bytes_per_core))
+    splits: list[int] = []
+    for size in sizes:
+        while size > 0:
+            splits.append(min(size, max_split))
+            size -= max_split
+    splits.sort(reverse=True)
+    n_parts, current = 0, None
+    for s in splits:
+        if current is None or current + s > max_split:
+            n_parts += 1
+            current = 0
+        current += s + open_cost
+    return n_parts
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, src_path: str | None = None) -> DataFrame:
     """The testdata tables are single parquet files → a single input split,
     which serializes every explode/aggregate-heavy pipeline onto one core.
     Round-robin repartition to the session's parallelism when the scan is
     under-split (a no-op on real multi-file datasets at scale)."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = _scan_partition_estimate(spark, src_path) if src_path else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fan_out(spark, load_table(spark, sf_dir, "documents"))
+    return _fan_out(
+        spark, load_table(spark, sf_dir, "documents"), f"{sf_dir}/documents.parquet"
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _fan_out(spark, load_table(spark, sf_dir, "embeddings"))
+    return _fan_out(
+        spark, load_table(spark, sf_dir, "embeddings"), f"{sf_dir}/embeddings.parquet"
+    )
 
 # --- exact dedup ------------------------------------------------------------
 
