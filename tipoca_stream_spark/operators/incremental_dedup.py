@@ -91,8 +91,13 @@ class IncrementalDeduper(MaintainedIndexBase):
         return [f"s{k}" for k in range(self.n_hashes)]
 
     def _signatures(self, docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        sh = word_shingles(docs, text_col, id_col)
-        return minhash_signatures(sh, id_col, self.n_hashes)
+        # round 14: fused per-row signatures — byte-identical, no shingle
+        # explode / doc-keyed exchange (see minhash_signatures_from_text)
+        from tipoca_stream_spark.operators.corpus_dedup import (
+            minhash_signatures_from_text,
+        )
+
+        return minhash_signatures_from_text(docs, text_col, id_col, n_hashes=self.n_hashes)
 
     def _band_rows(self, sig: DataFrame, id_col: str) -> DataFrame:
         """Denormalized index rows: one (id, sig…, band_no, band_key) per

@@ -54,19 +54,27 @@ def merge_into_target(
     broadcast_batch_keys: bool = True,
     dedupe_strategy: str = "max_by",
     persist_registry: list[DataFrame] | None = None,
+    persist_dedupe: bool = True,
 ) -> DataFrame:
     """Merge one CDC batch (columns = target columns + ``kafkaoffset`` +
     ``debeziumop``) into ``target``; returns the new target DataFrame.
 
     Callers that execute the result (e.g. the streaming pipeline) should
     pass ``persist_registry`` and unpersist its entries after the action —
-    see ``CdcPipeline.merge_batch``."""
-    # M2 — persisted: both the anti-join key side and the upsert side read
-    # it, and without a materialization point each branch would re-execute
-    # the dedupe aggregation. A CDC batch is small by construction.
-    deduped = latest_wins(batch, keys, COL_KAFKA_OFFSET, dedupe_strategy).persist()
-    if persist_registry is not None:
-        persist_registry.append(deduped)
+    see ``CdcPipeline.merge_batch``. Callers whose ``target`` is statically
+    empty (bootstrap into a fresh table) should pass
+    ``persist_dedupe=False``: the optimizer prunes the anti-join branch, so
+    the dedupe has exactly one consumer and the materialization point only
+    costs a cache write + an extra job."""
+    # M2 — persisted by default: both the anti-join key side and the upsert
+    # side read it, and without a materialization point each branch would
+    # re-execute the dedupe aggregation. A CDC batch is small by
+    # construction.
+    deduped = latest_wins(batch, keys, COL_KAFKA_OFFSET, dedupe_strategy)
+    if persist_dedupe:
+        deduped = deduped.persist()
+        if persist_registry is not None:
+            persist_registry.append(deduped)
 
     batch_keys = deduped.select(*keys)  # already unique per key post-dedupe
     if broadcast_batch_keys:

@@ -50,10 +50,22 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 def cdc_merge_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full last-write-wins CDC merge of the events stream into an
     empty target — dedupe (M2), delete-common (M3), delete-op filter (M4),
-    insert (M5)."""
+    insert (M5).
+
+    Round 14: the empty bootstrap target is declared with ``limit(0)`` so
+    the optimizer SEES it is empty (a bare ``createDataFrame([], schema)``
+    is an opaque RDD scan): OptimizeLimitZero → PropagateEmptyRelation
+    prunes the M3 anti-join + M5 union branch at plan time, and with one
+    consumer left the M2 materialization point is skipped
+    (``persist_dedupe=False``) — plan went from 5 jobs (cache fill +
+    broadcast + union) to the bare dedupe aggregate; identical rows. Real
+    targets (steady-state merges, the streaming plane) keep the full
+    M1-M6 plan and the persist."""
     batch = _events_as_cdc(spark, sf_dir)
-    target = spark.createDataFrame([], "user_id long, event_type string, value double")
-    return merge_into_target(target, batch, ["user_id"])
+    target = spark.createDataFrame(
+        [], "user_id long, event_type string, value double"
+    ).limit(0)
+    return merge_into_target(target, batch, ["user_id"], persist_dedupe=False)
 
 
 @query(

@@ -159,10 +159,12 @@ WHERE a.doc_id < b.doc_id
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle → MinHash signature → banded LSH → candidate pairs, with the
     hot-bucket cap engaged (a degenerate boilerplate bucket must not emit
-    C(n,2) pairs from one task; see lsh_candidate_pairs)."""
+    C(n,2) pairs from one task; see lsh_candidate_pairs). Round 14: the
+    signature stage is the fused per-row form — no shingle explode, no
+    doc-keyed exchange (byte-identical signatures; see
+    minhash_signatures_from_text)."""
     docs = _docs(spark, sf_dir)
-    shingled = cd.word_shingles(docs, "text", "doc_id", n=3)
-    sigs = cd.minhash_signatures(shingled, "doc_id", n_hashes=N_MINHASH)
+    sigs = cd.minhash_signatures_from_text(docs, "text", "doc_id", n=3, n_hashes=N_MINHASH)
     bands = cd.lsh_band_keys(sigs, "doc_id", band_size=BAND_SIZE)
     return cd.lsh_candidate_pairs(bands, "doc_id", max_bucket_size=MAX_LSH_BUCKET)
 
