@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
 
 
-def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    edges_canonical: bool = False,
+    closing_broadcast_max_bytes: int = 64 << 20,
+) -> DataFrame:
     """Per-node triangle counts for an undirected simple graph given as an
     edge list (self-loops dropped, duplicate/reversed edges collapsed).
 
@@ -38,15 +44,24 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     The result is orientation-independent — an oracle may verify it with
     the naive id-ordered 3-way join; this implementation's degree ordering
     changes only the physical work distribution, not the answer.
+
+    ``edges_canonical=True`` (round 14) asserts the input is already a
+    simple canonical edge set (distinct rows, ``a < b``, no self-loops —
+    e.g. cooccurrence_pairs(distinct_only=True)) and skips the
+    least/greatest canonicalization + dedup exchange — one less
+    edge-cardinality shuffle, identical counts.
     """
-    e = (
-        edges.select(
-            F.least(F.col(a), F.col(b)).alias("lo"),
-            F.greatest(F.col(a), F.col(b)).alias("hi"),
+    if edges_canonical:
+        e = edges.select(F.col(a).alias("lo"), F.col(b).alias("hi"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(a), F.col(b)).alias("lo"),
+                F.greatest(F.col(a), F.col(b)).alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
     deg = (
         e.select(F.col("lo").alias("node"))
         .unionAll(e.select(F.col("hi").alias("node")))
@@ -75,6 +90,18 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # count). eager=True — the operators/pagerank.py discipline; the lazy
     # variant pays the toRdd planning cost without the reuse.
     oriented = oriented.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
+    # Round 14: choose the closing-edge join strategy DELIBERATELY from the
+    # measured edge count (the checkpoint is materialized, so the count is
+    # a cheap cached-scan job, and the planner has no stats for a
+    # LogicalRDD — it would never broadcast on its own). The wedge table is
+    # sum-of-C(outdeg,2) rows (41M at sf0.1, m^1.5 worst case) while the
+    # closing-edge table is only m rows: broadcasting the SMALL side when
+    # it fits in ``closing_broadcast_max_bytes`` removes the full
+    # wedge-cardinality exchange (measured 17.5 s → 5.9 s at sf0.1). Past
+    # the cap — any genuinely large graph — the sort-merge fallback keeps
+    # the original scale-safe shape.
+    n_edges = oriented.count()
+    broadcast_closing = n_edges * 32 <= closing_broadcast_max_bytes
     # Wedges from the lowest-ordered vertex of each triangle: two out-edges
     # (u→v1, u→v2) with (dv1, v1) < (dv2, v2); the closing edge v1→v2 is
     # then oriented exactly that way, so one equi-join confirms it.
@@ -91,6 +118,8 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     closing = oriented.select(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
+    if broadcast_closing:
+        closing = F.broadcast(closing)
     triangles = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
     return (
         triangles.select(

@@ -126,8 +126,13 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=1,
         max_group_size=256,
         observation="triangle_edge_hot_group_drops",
+        # round 14: the triangle pass only needs the edge SET — skip the
+        # pair-count shuffle here and the re-canonicalization dedup inside
+        # triangle_counts (2 edge-cardinality exchanges removed; counts
+        # identical, oracle unchanged)
+        distinct_only=True,
     )
-    counts = triangle_counts(edges, "a", "b")
+    counts = triangle_counts(edges, "a", "b", edges_canonical=True)
     return counts.orderBy(F.desc("n_triangles"), F.asc("node")).limit(20)
 
 

@@ -316,7 +316,12 @@ def window_rolling_median_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed-median oracle."""
     from tipoca_stream_spark.operators.rolling import rolling_median
 
-    ev = load_table(spark, sf_dir, "events")
+    # round 14: project to the 4 columns the fold needs BEFORE the Python
+    # boundary — applyInPandas ships every input column through Arrow and
+    # Spark cannot see which ones the function touches (guide §4.1)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
     out = rolling_median(
         ev, "user_id", ["ts", "event_id"], "value", w=101, method="order_statistic"
     )
