@@ -35,6 +35,8 @@ from tipoca_stream_spark.functions.masking import MaskConfig, apply_mask
 from tipoca_stream_spark.operators.cdc import (
     COL_DEBEZIUM_OP,
     COL_KAFKA_OFFSET,
+    OP_CREATE,
+    OP_DELETE,
     extract_row_image,
     skip_tombstones,
 )
@@ -204,6 +206,30 @@ class CdcPipeline:
             )
         return rows
 
+    def _counts_and_buckets(
+        self, batch_df: DataFrame
+    ) -> tuple[dict[str, int], list[int] | None]:
+        """A1 counters + the batch's delta-bucket id set in ONE aggregate
+        job (round 14) — previously two driver round trips per micro-batch
+        (``batch_event_counts`` then a ``distinct().collect()`` of bucket
+        ids). Same values: the counters mirror ``batch_event_counts``
+        exactly and the bucket set is the same pmod-hash distinct."""
+        n_buckets = self.config.hash_buckets or self.config.catalog_buckets
+        aggs = [
+            F.count(F.when(F.col(COL_DEBEZIUM_OP) == OP_CREATE, 1)).alias("create"),
+            F.count(F.when(F.col(COL_DEBEZIUM_OP) == "UPDATE", 1)).alias("update"),
+            F.count(F.when(F.col(COL_DEBEZIUM_OP) == OP_DELETE, 1)).alias("delete"),
+        ]
+        if n_buckets:
+            bucket_expr = F.pmod(
+                F.hash(*[F.col(k) for k in self.config.primary_keys]), F.lit(n_buckets)
+            )
+            aggs.append(F.sort_array(F.collect_set(bucket_expr)).alias("_buckets"))
+        row = batch_df.agg(*aggs).collect()[0]
+        counts = {"create": row["create"], "update": row["update"], "delete": row["delete"]}
+        buckets = [int(b) for b in row["_buckets"]] if n_buckets else None
+        return counts, buckets
+
     def merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body: M1-M6 + schema evolution + epoch guard."""
         if epoch_id in self._merged_epochs():
@@ -221,7 +247,11 @@ class CdcPipeline:
         # unpersist must target THIS frame: schema-evolution epochs rebind
         # batch_df to a derived plan, whose unpersist would be a no-op
         persisted_batch = batch_df
-        counts = batch_event_counts(batch_df)
+        # round 14: ONE driver round trip per micro-batch — the A1 counters
+        # and the delta-bucket id set come from the same aggregate job (the
+        # bucket ids were previously a second collect over the persisted
+        # batch; at steady state that was one of ~4 jobs per trigger)
+        counts, batch_buckets = self._counts_and_buckets(batch_df)
         self.metrics.append({"epoch": epoch_id, **counts})
         if sum(counts.values()) == 0:
             # nothing to merge — no version write, so nothing to record: a
@@ -253,20 +283,14 @@ class CdcPipeline:
                 if not evolved:
                     # bucket-delta path: read ONLY the bucket files the
                     # batch keys live in (same hash as the bucket spec)
-                    delta_buckets = sorted(
-                        r["b"]
-                        for r in batch_df.select(bucket_expr.alias("b")).distinct().collect()
-                    )
+                    delta_buckets = batch_buckets
                     current = self.target.read_buckets(delta_buckets)
             elif nb and "_bucket" in current.columns:
                 evolved = set(target_cols) - set(current.columns)
                 if not evolved:
                     # partition-delta path: read ONLY the buckets the batch
                     # keys live in; rows outside them cannot change
-                    delta_buckets = sorted(
-                        r["b"]
-                        for r in batch_df.select(bucket_expr.alias("b")).distinct().collect()
-                    )
+                    delta_buckets = batch_buckets
                     current = current.filter(F.col("_bucket").isin(delta_buckets))
                 current = current.drop("_bucket")
             # D5 schema evolution: new columns appear as nulls on old rows
