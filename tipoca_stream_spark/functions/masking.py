@@ -245,12 +245,34 @@ def apply_mask(
     lowered = df.toDF(*[c.lower() for c in df.columns])
     if not config.table_included(table):
         return lowered
-    plan = compile_mask_columns(
-        lowered.columns,
-        config.rules_for(table),
+    # round 14: the compiled plan is a pure function of (columns, rules,
+    # salt, algo, schema, passthrough) — memoize the finished Column list
+    # (dataclass repr is value-based); rebuilding the case/sha trees cost
+    # ~0.2 s of py4j round trips per query construction
+    from tipoca_stream_spark.operators.exprcache import memo_expr
+
+    rules = config.rules_for(table)
+    key = (
+        "mask_plan",
+        tuple(lowered.columns),
+        repr(rules),
         config.salt,
         config.algo,
-        schema_columns,
-        passthrough,
+        tuple(schema_columns or ()),
+        tuple(passthrough or ()),
     )
-    return lowered.select(*[col.alias(name) for name, col in plan])
+    plan = memo_expr(
+        key,
+        lambda: [
+            (name, col.alias(name))
+            for name, col in compile_mask_columns(
+                lowered.columns,
+                rules,
+                config.salt,
+                config.algo,
+                schema_columns,
+                passthrough,
+            )
+        ],
+    )
+    return lowered.select(*[aliased for _, aliased in plan])

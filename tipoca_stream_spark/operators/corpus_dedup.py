@@ -305,7 +305,14 @@ def ngram_jaccard_pairs(
         F.col(group_col).alias("grp"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     )
-    counts = words.groupBy(id_col).agg(F.count("*").alias("n_words"))
+    # round 14: per-doc distinct-word count as a per-row projection —
+    # previously a fourth consumer of the exploded inverted index paying
+    # its own explode + doc-keyed aggregation exchange; identical values
+    # (count of exploded distinct words == size of the distinct array)
+    counts = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(F.split(F.col(text_col), " "))).cast("long").alias("n_words"),
+    )
     # df-1 prune: a (word, group) seen in only one document can never form
     # a pair — dropping it shrinks both self-join inputs without changing
     # any pair's intersection count (the denominator comes from `counts`,
@@ -363,12 +370,22 @@ def containment_pairs(
     shingle) with the df-1 singleton prune; ``group_col`` bounds
     candidates the way an LSH band would at 100 TB. Shingles (not word
     sets) keep the signal order-sensitive on small-vocabulary corpora."""
-    sh = (
-        word_shingles(df, text_col, id_col, n=shingle_n, carry=[group_col])
-        .select(F.col(id_col), F.col(group_col).alias("grp"), "shingle")
-        .distinct()
+    # round 14: distinct shingle SET per row (ids unique per row in every
+    # caller) — drops the (id, grp, shingle)-keyed distinct exchange; the
+    # per-doc set size becomes a per-row projection instead of another
+    # explode + doc-keyed aggregation branch
+    arr = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.split(F.col(text_col), " ").alias("_w"),
     )
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    distinct_shingles = F.array_distinct(_shingle_array_expr(shingle_n))
+    sh = arr.select(
+        F.col(id_col), "grp", F.explode(distinct_shingles).alias("shingle")
+    )
+    counts = arr.select(
+        F.col(id_col), F.size(distinct_shingles).cast("long").alias("n_sh")
+    )
     paired = (
         sh.groupBy("grp", "shingle")
         .agg(F.count("*").alias("df"))
