@@ -52,13 +52,27 @@ def _is_utc_equivalent(tz: str) -> bool:
         return False
 
 
+# round 14: the testdata tables are immutable, so their PHYSICAL schemas
+# are static metadata — memoize them per (sf_dir, table) and hand the
+# reader an explicit schema, skipping the footer-inference pass that cost
+# ~60-100 ms of driver time per load_table call (queries call load_table
+# 1-6 times per construction). Schemas only — never data or results.
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from tipoca_stream_spark.streaming.exporter import active_collector
 
     collector = active_collector()
     if collector is not None:  # O8: usage metrics from the scan entry point
         collector.record_scan(name)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
