@@ -21,12 +21,12 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_once(side_dir: str, sf_dir: str) -> dict[str, float]:
+def run_once(side_dir: str, sf_dir: str, once_script: str = "bench_once.py") -> dict[str, float]:
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.abspath(side_dir)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     proc = subprocess.run(
-        [sys.executable, os.path.join(HERE, "bench_once.py")],
+        [sys.executable, os.path.join(HERE, once_script)],
         cwd=os.path.abspath(side_dir),
         env=env,
         capture_output=True,
@@ -50,6 +50,13 @@ def main() -> None:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument(
+        "--once-script",
+        default="bench_once.py",
+        help="alternative single-pass script in scripts/ printing a "
+        "BENCH_ONCE line (e.g. probe_graph_once_r14.py for the "
+        "iterative-graph family A/B)",
+    )
     args = ap.parse_args()
 
     runs: dict[str, list[dict[str, float]]] = {"a": [], "b": []}
@@ -64,7 +71,7 @@ def main() -> None:
         if i % 2:
             pair = pair[::-1]
         for tag, side in pair:
-            r = run_once(side, args.sf_dir)
+            r = run_once(side, args.sf_dir, args.once_script)
             runs[tag].append(r)
             print(
                 f"[ab] round {i + 1}/{args.rounds} side={tag} "

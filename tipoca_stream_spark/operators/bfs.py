@@ -11,7 +11,8 @@ Level-synchronous frontier expansion on the DataFrame API:
     frontier_i = neighbors(frontier_{i-1}) \\ visited   (dist i)
 
 Each round is one keyed join (frontier against the edge table, which is
-persisted and reused every round so its scan+exchange happens once) plus
+pinned pre-partitioned on the join key and reused every round so its
+scan+exchange happens once) plus
 one left-anti join against the visited set — both hash-partitioned
 shuffles on node id; nothing node-count-sized ever reaches the driver.
 Lineage is truncated per round with ``localCheckpoint`` (components.py
@@ -28,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL, pin_partitioned
 
 
 def bfs_distances(
@@ -45,7 +46,15 @@ def bfs_distances(
     ``seeds`` is a one-column node frame. Seeds not present in the edge
     table still appear with dist 0 — the caller decides their meaning.
     """
-    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # pre-partition on the per-hop join key before pinning: each hop's
+    # edges ⋈ frontier join then shuffles only the frontier — without this
+    # the edge table re-shuffles on every hop (guide §2.4). persist() was
+    # measured NOT to advertise the partitioning (the cached plan is
+    # AQE-wrapped, same failure as a plain checkpoint — checkpoint.py
+    # explains); pin_partitioned's AQE-off checkpoint build does.
+    edges = pin_partitioned(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), "src"
+    )
     visited = (
         seeds.select(F.col(node).alias("node"))
         .distinct()
@@ -68,5 +77,4 @@ def bfs_distances(
             break
         visited = visited.union(fresh).localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
         frontier = fresh.select("node")
-    edges.unpersist()
     return visited

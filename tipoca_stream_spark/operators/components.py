@@ -42,6 +42,15 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # Deliberately a PLAIN pin, not pin_partitioned (round 14, measured):
+    # this operator's callers (near-dup doc clustering) feed it edge sets
+    # that are tiny relative to their LSH upstream, and the fixpoint loop
+    # runs many rounds over them — a partitioned pin inflated the tiny
+    # table to the static partition count and every round paid those
+    # tasks (+1.3 s on dedup_components), while the AQE-off build also
+    # slowed the LSH upstream. The r13close shape measured best; the
+    # per-round sym re-shuffle it keeps is node-pair-sized for these
+    # callers, not corpus-sized.
     sym = sym.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)  # reused every round — pin it
 
     labels = (

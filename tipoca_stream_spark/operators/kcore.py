@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL, pin_partitioned
 
 
 def _degrees(edges: DataFrame) -> DataFrame:
@@ -42,7 +42,16 @@ def kcore(
     ``edges`` must be symmetric (both directions present) — degree is
     out-degree of the symmetrized table. Self-loops count like any edge;
     drop them upstream if the semantics require."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
+    # pre-partition on "src" before pinning (AQE-off checkpoint build so
+    # the partitioning is actually advertised — checkpoint.py explains):
+    # the degree aggregate and the src semi-join both key on it, so the
+    # first round reuses the pinned partitioning instead of re-shuffling
+    # the edge table (guide §2.4). Later rounds re-pin inside the loop
+    # without a repartition — adding one would cost the same edge-sized
+    # exchange it saves, so only the initial pin carries the partitioning.
+    e = pin_partitioned(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), "src"
+    )
     prev_n = e.count() if until_stable else -1
     i = 0
     while True:
@@ -53,6 +62,8 @@ def kcore(
         # an already-checkpointed e is cheaper than a per-round
         # materialization action, so the plain form stays
         keep = _degrees(e).filter(F.col("deg") >= k).select("src")
+        # src semi first (reuses the pin's hash(src) — no edge exchange),
+        # dst semi second (the one unavoidable edge exchange of the round)
         pruned = (
             e.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")

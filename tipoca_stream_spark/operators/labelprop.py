@@ -28,23 +28,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL, pin_partitioned
 
 
 def label_propagation(
-    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Fixed-round synchronous LPA over an undirected edge list (pass each
     edge once; both directions are generated here). Returns (node, label).
+
+    ``edges_canonical=True`` (round 14): the caller guarantees distinct
+    ``src < dst`` pairs, making the symmetrized union disjoint — the
+    de-dup exchange is skipped. Neighbor-label counts depend on edge
+    multiplicity, so the operator cannot drop the distinct for arbitrary
+    inputs (guide §2.4).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col(src) != F.col(dst)
     )
-    sym = (
-        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
-    )
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if not edges_canonical:
+        sym = sym.distinct()
+    # pre-partition on the per-round join key ("b" — labels attach to the
+    # neighbor side) before pinning, so the edge table is shuffled once
+    # here instead of once per round (guide §2.4); distinct()'s (a, b)
+    # partitioning is unusable by the round join. pin_partitioned builds
+    # the checkpoint AQE-off so the partitioning is actually advertised
+    # (checkpoint.py explains).
+    sym = pin_partitioned(sym, "b")
     nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
         eager=True, storageLevel=SPILL_LEVEL
     )

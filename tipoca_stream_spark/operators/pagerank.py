@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL, pin_partitioned
 
 
 def pagerank(
@@ -32,6 +32,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 3,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -41,15 +42,24 @@ def pagerank(
     (symmetrized graphs, the common case here, have no dangling nodes).
     Fixed ``iters`` keeps the result deterministic and SQL-expressible;
     convergence-threshold variants belong in a driver loop around this.
+
+    ``edges_distinct=True`` (round 14): the caller guarantees the edge
+    list is already duplicate-free, so the de-dup exchange is skipped —
+    out-degrees (and therefore every rank) depend on edge multiplicity,
+    which is why the operator cannot simply drop the distinct for
+    arbitrary inputs (guide §2.4).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Pre-partition the (large) edge table on the join key BEFORE pinning
-    # it: the checkpointed LogicalRDD retains its outputPartitioning, so
-    # every iteration's join reshuffles only the node-sized rank table —
-    # the edge table never moves again. At 10^10 edges this turns
-    # 3 edge-shuffles into zero.
-    weighted = e.join(deg, "src").repartition("src").localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
+    # it (pin_partitioned — the AQE-off checkpoint build that actually
+    # preserves outputPartitioning, see checkpoint.py): every iteration's
+    # join then reshuffles only the node-sized rank table — the edge table
+    # never moves again. At 10^10 edges this turns 3 edge-shuffles into
+    # zero. Plan evidence: plans/r14/pagerank_round_nobc_{before,after}.txt.
+    weighted = pin_partitioned(e.join(deg, "src"), "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

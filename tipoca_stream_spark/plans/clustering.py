@@ -64,6 +64,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(keeper.alias("id_a"), F.col("doc_id").alias("id_b"))
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    edges = jacc.union(exact).distinct()
+    # no .distinct() here: connected_components symmetrizes and dedupes
+    # its input itself, so a pre-distinct is a second full exchange of the
+    # edge set for nothing (guide §2.4 — "a distinct on data that is
+    # already unique"); duplicate edges cannot change a component
+    edges = jacc.union(exact)
     comps = connected_components(edges, src="id_a", dst="id_b")
     return comps.select(F.col("node").alias("doc_id"), "component")

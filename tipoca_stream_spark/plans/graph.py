@@ -74,7 +74,10 @@ def graph_pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2 + 1).alias("dst"),
     ).distinct()
     edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, damping=DAMPING, iters=ITERS)
+    # edges_distinct: pairs is distinct and the parity tagging makes the
+    # swapped union disjoint (even→odd vs odd→even), so the operator's
+    # internal de-dup exchange is provably redundant here (guide §2.4)
+    ranks = pagerank(edges, damping=DAMPING, iters=ITERS, edges_distinct=True)
     node_str = (
         F.when(
             F.col("node") % 2 == 0,
@@ -195,7 +198,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_group_size=256,
         observation="lpa_edge_hot_group_drops",
     )
-    return label_propagation(edges, "a", "b", iters=LPA_ITERS)
+    # edges_canonical: cooccurrence_pairs emits distinct a < b pairs, so
+    # the operator's post-symmetrize de-dup exchange is redundant (§2.4)
+    return label_propagation(edges, "a", "b", iters=LPA_ITERS, edges_canonical=True)
 
 
 BFS_HOPS = 4
@@ -326,9 +331,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_group_size=256,
         observation="kcore_edge_hot_group_drops",
     )
+    # no .distinct(): cooccurrence_pairs emits distinct a < b pairs, so
+    # the swapped union is disjoint by construction — the de-dup exchange
+    # was provably a no-op (guide §2.4); degrees (and the peel) see the
+    # identical edge multiset
     edges = pairs.select("a", "b").union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    )
     return kcore(edges, k=KCORE_K, src="a", dst="b", rounds=KCORE_ROUNDS)
 
 

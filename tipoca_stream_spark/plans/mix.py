@@ -124,7 +124,9 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = docs.select(keeper.alias("id_a"), F.col("doc_id").alias("id_b")).filter(
         F.col("id_a") != F.col("id_b")
     )
-    edges = jacc.union(exact).distinct()
+    # no .distinct(): connected_components dedupes after symmetrizing —
+    # see dedup_components (guide §2.4)
+    edges = jacc.union(exact)
     comps = connected_components(edges, src="id_a", dst="id_b").select(
         F.col("node").alias("doc_id"), "component"
     )
