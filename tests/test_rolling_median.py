@@ -58,10 +58,18 @@ def test_default_routing_picks_by_width(spark, sf_dir):
     import io
     import contextlib
 
-    # wide w must route to applyInPandas (FlatMapGroupsInPandas in plan)
+    # wide w must route to the pandas order-statistic serving path:
+    # streaming MapInPandas by default, FlatMapGroupsInPandas when an
+    # explicit chunk_rows opts into the chunked shape (round 14)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rolling_median(ev, "user_id", ["ts", "event_id"], "value", w=500).explain()
+    assert "MapInPandas" in buf.getvalue()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rolling_median(
+            ev, "user_id", ["ts", "event_id"], "value", w=500, chunk_rows=1 << 18
+        ).explain()
     assert "FlatMapGroupsInPandas" in buf.getvalue()
     # small w stays JVM-side (window aggregate, no Python)
     buf = io.StringIO()
@@ -122,6 +130,23 @@ def test_chunked_equals_unchunked_property(spark):
         }
         assert chunked == unchunked, f"chunk boundary divergence at w={w}"
         assert len(chunked) == 3200
+
+        # round 14: the default (chunk_rows=None) streaming mapInPandas
+        # shape must match too — forced through TINY Arrow batches so a
+        # key's history spans many batches and the warmup carry is
+        # exercised (the hot key's 3000 rows cross ~47 boundaries)
+        prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        try:
+            streamed = {
+                (r["user_id"], r["event_id"]): r["med"]
+                for r in rolling_median(
+                    df, "user_id", ["event_id"], "value", w=w, **kw
+                ).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+        assert streamed == unchunked, f"stream boundary divergence at w={w}"
 
 
 def test_hot_key_history_never_lands_in_one_pandas_group(spark):

@@ -9,14 +9,17 @@ exact serving paths, chosen by frame width (VERDICT r6 worklist #6):
   expressions inside whole-stage codegen, no Python — but O(w log w)
   PER ROW, so cost grows with the frame. Right answer for the smoothing
   windows it exists for (w ≈ 10-100).
-- **order-statistic** (wide ``w``): Arrow-batched ``applyInPandas`` over
-  (key, CHUNK) groups; pandas' rolling median maintains a skiplist —
+- **order-statistic** (wide ``w``): pandas' skiplist rolling median —
   O(log w) per step instead of a per-row sort, so a 1001-row frame
-  costs about the same as an 11-row one. Long key histories are
-  sharded into chunks of ``chunk_rows`` with w-1 rows of warmup
-  overlap from the previous chunk, so no single pandas task ever
-  materializes an unbounded key history AND a hot key's work spreads
-  across the cluster (chunked ≡ unchunked, property-pinned).
+  costs about the same as an 11-row one. Two shapes (round 14):
+  the DEFAULT is a partition-streaming ``mapInPandas`` fold (one hash
+  exchange + sort, every key in an Arrow batch handled by one
+  vectorized ``groupby(...).rolling`` call, warmup carry across batch
+  boundaries — ``_stream_path``); passing ``chunk_rows`` opts into the
+  chunked ``applyInPandas`` shape, where long key histories are
+  sharded into (key, CHUNK) groups with w-1 rows of warmup overlap so
+  a hot key's skiplist work spreads across the cluster
+  (streaming ≡ chunked ≡ unchunked, property-pinned).
 
 Both paths skip nulls exactly like SQL ``median`` (a frame with no
 non-null values yields null) and interpolate even counts as the mean of
@@ -116,6 +119,76 @@ def _order_statistic_path(
     return exploded.groupBy(part_col, "_chunk").applyInPandas(fold, schema)
 
 
+def _stream_path(
+    df: DataFrame, part_col: str, order_cols: list[str], value_col: str,
+    w: int, out_col: str,
+) -> DataFrame:
+    """Partition-streaming skiplist rolling median (round 14, guide §4):
+    one hash exchange on the key + a per-partition sort, then ONE
+    ``mapInPandas`` fold that computes every key's rolling median in the
+    same Arrow batch via vectorized ``groupby(...).rolling`` — instead of
+    one ``applyInPandas`` dispatch (own Arrow batch + pandas DataFrame +
+    Python call) PER KEY, which dominated wall time when keys are small
+    (measured: 1500 user groups of ~67 rows each cost ~3 s of pure
+    per-group overhead at bench; the vectorized fold does the same rows
+    in a handful of batch calls).
+
+    Exactness across Arrow batch boundaries: rolling median is causal
+    (row i's output depends only on rows ≤ i of its key), and the
+    partition stream arrives sorted by (key, order). So the fold only
+    needs a WARMUP CARRY — the last w-1 rows of the batch's final key —
+    prepended to the next batch; carried rows are recomputed there but
+    never re-emitted. A key's rows never span partitions (hash exchange
+    on the key), so the carry never needs to cross tasks.
+
+    Memory: the fold holds one Arrow batch
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``) plus ≤ w-1 carry
+    rows — tighter than the chunked path's R-row groups. The trade the
+    chunked path still wins: a single hot key's SKIPLIST work here runs
+    inside that key's one sorted partition instead of being re-sharded
+    cluster-wide (the key's O(n log n) sort is serialized in that task
+    either way — callers that need the spread pass ``chunk_rows``).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    data_cols = [f.name for f in df.schema.fields]
+
+    def fold(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if carry is not None and len(carry):
+                work = pd.concat([carry, pdf], ignore_index=True)
+                n_carry = len(carry)
+            else:
+                work = pdf.reset_index(drop=True)
+                n_carry = 0
+            # factorize keeps null keys as their own group (codes share
+            # the RangeIndex, so alignment back to rows is positional)
+            codes, _ = pd.factorize(work[part_col], use_na_sentinel=False)
+            vals = work[value_col].astype("float64")
+            med = (
+                vals.groupby(codes, sort=False)
+                .rolling(w, min_periods=1)
+                .median()
+                .reset_index(level=0, drop=True)
+            )
+            work[out_col] = med
+            out = work.iloc[n_carry:]
+            if len(out):
+                yield out
+            carry = work.loc[codes == codes[-1], data_cols].tail(w - 1)
+
+    clustered = df.repartition(part_col).sortWithinPartitions(part_col, *order_cols)
+    return clustered.mapInPandas(fold, schema)
+
+
 def rolling_median(
     df: DataFrame,
     part_col: str,
@@ -130,9 +203,11 @@ def rolling_median(
     ``part_col``, ordered by ``order_cols``. ``method`` ∈
     {"expression", "order_statistic"} pins a path; default picks by
     ``w`` (expression up to w={EXPRESSION_MAX_W}, skiplist beyond).
-    ``chunk_rows`` bounds how many rows of one key a single pandas task
-    holds on the order-statistic path (default {DEFAULT_CHUNK_ROWS};
-    clamped to ≥ w)."""
+    On the order-statistic path, ``chunk_rows=None`` (default) serves
+    the streaming ``mapInPandas`` shape (working set = one Arrow batch
+    + w-1 carry rows); an explicit ``chunk_rows`` serves the chunked
+    ``applyInPandas`` shape and bounds how many rows of one key a
+    single pandas task holds (clamped to ≥ w)."""
     if w < 1:
         raise ValueError("rolling_median needs w >= 1")
     if method is None:
@@ -140,6 +215,11 @@ def rolling_median(
     if method == "expression":
         return _expression_path(df, part_col, order_cols, value_col, w, out_col)
     if method == "order_statistic":
+        # default: the partition-streaming vectorized fold (round 14);
+        # an explicit chunk_rows opts into the chunked applyInPandas
+        # shape that re-shards one hot key's skiplist work cluster-wide
+        if chunk_rows is None:
+            return _stream_path(df, part_col, order_cols, value_col, w, out_col)
         return _order_statistic_path(
             df, part_col, order_cols, value_col, w, out_col, chunk_rows
         )
