@@ -2351,10 +2351,12 @@ def training_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate operators rather than re-deriving them; the oracle recomputes
     every gate in one CTE chain.
 
-    Scale shape: four left-semi joins on doc_id over gate outputs whose
-    own plans are documented at their queries; the stage counts are five
-    1-row aggregates unioned — nothing here adds a corpus-sized shuffle
-    beyond the gates themselves."""
+    Scale shape (round 14): four left flag-joins on doc_id over gate
+    outputs whose own plans are documented at their queries — each gate
+    planned exactly once — then ONE conditional aggregate produces all
+    five cumulative survivor counts, and the 5-row report is a literal
+    expansion of that single row; nothing here adds a corpus-sized
+    shuffle beyond the gates themselves."""
     from tipoca_stream_spark.plans.quality import text_nb_quality_filter
     from tipoca_stream_spark.plans.textvec import unigram_doc_logprob
 
@@ -2375,34 +2377,66 @@ def training_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lp") >= F.col("q33"))
         .select("doc_id")
     )
-    s2 = docs.select("doc_id").join(gop, "doc_id", "left_semi")
-    s3 = s2.join(kp, "doc_id", "left_semi")
-    s4 = s3.join(nb, "doc_id", "left_semi")
-    s5 = s4.join(ppl, "doc_id", "left_semi")
+    # round 14 (guide §2.4): the previous shape counted each cumulative
+    # stage as its own chain of left-semi joins — so the union's five
+    # branches re-planned the gopher gate 4x, the keeper gate 3x and the
+    # NB gate 2x (136 Exchange nodes, none statically reused). Every
+    # gate emits one row per doc_id at most, so a left join marks each
+    # gate as a nullable flag instead, each gate's pipeline appears in
+    # the plan exactly ONCE, and all five survivor counts come out of a
+    # single conditional aggregate over the flagged corpus. The 5-row
+    # report (with pct_of_total vs the same total) is then a literal
+    # expansion of that one row — values identical by construction.
+    flags = (
+        docs.select("doc_id")
+        .join(gop.withColumn("_gop", F.lit(True)), "doc_id", "left")
+        .join(kp.withColumn("_kp", F.lit(True)), "doc_id", "left")
+        .join(nb.withColumn("_nb", F.lit(True)), "doc_id", "left")
+        .join(ppl.withColumn("_ppl", F.lit(True)), "doc_id", "left")
+    )
+    s2 = F.col("_gop").isNotNull()
+    s3 = s2 & F.col("_kp").isNotNull()
+    s4 = s3 & F.col("_nb").isNotNull()
+    s5 = s4 & F.col("_ppl").isNotNull()
 
-    def cnt(df: DataFrame, no: int, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
-            F.lit(no).cast("int").alias("stage_no"),
-            F.lit(name).alias("stage"),
-            "n_docs",
+    def surv(cond, name: str):
+        # coalesce: SUM over an empty relation is NULL, the old per-stage
+        # COUNT was 0 — empty-corpus parity requires the explicit 0
+        return (
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(name)
         )
 
-    stages = (
-        cnt(docs, 1, "total")
-        .unionByName(cnt(s2, 2, "gopher_pass"))
-        .unionByName(cnt(s3, 3, "dedup_keeper"))
-        .unionByName(cnt(s4, 4, "nb_pass"))
-        .unionByName(cnt(s5, 5, "ppl_head_middle"))
+    row = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        surv(s2, "n2"),
+        surv(s3, "n3"),
+        surv(s4, "n4"),
+        surv(s5, "n5"),
     )
-    total = docs.agg(F.count(F.lit(1)).cast("long").alias("tot_n"))
-    return stages.crossJoin(F.broadcast(total)).select(
-        "stage_no",
-        "stage",
-        "n_docs",
-        F.round(
-            F.col("n_docs").cast("double") / F.nullif(F.col("tot_n"), F.lit(0)), 4
-        ).alias("pct_of_total"),
-    )
+
+    def stage(no: int, name: str, n: str):
+        return F.struct(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col(n).alias("n_docs"),
+            F.round(
+                F.col(n).cast("double") / F.nullif(F.col("n1"), F.lit(0)), 4
+            ).alias("pct_of_total"),
+        )
+
+    return row.select(
+        F.explode(
+            F.array(
+                stage(1, "total", "n1"),
+                stage(2, "gopher_pass", "n2"),
+                stage(3, "dedup_keeper", "n3"),
+                stage(4, "nb_pass", "n4"),
+                stage(5, "ppl_head_middle", "n5"),
+            )
+        ).alias("s")
+    ).select("s.*")
 
 
 # --- fill-in-middle (FIM) transform -------------------------------------------
@@ -3477,10 +3511,18 @@ def multimodal_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality IS an equivalence class), so every stage is one
     groupBy(min) + semi-join. Composes the three registered fingerprint
     operators; the oracle replays all three and the survivor chain.
-    Each fingerprint frame feeds multiple plan branches (its own stage
-    plus every later stage's survivor restriction and the stage
-    counts), so all three pin with the spillable localCheckpoint —
-    unpinned, the codec round-trips recompute once per branch."""
+    Round-14 shape (guide §2.4): the first cut materialized the three
+    fingerprint frames behind localCheckpoint pins and re-planned each
+    stage's survivor chain once per later stage plus once per stage
+    count (118 Exchange nodes). Survivor membership is per-row decidable
+    from cumulative flags — keep-smallest-per-group *among survivors* is
+    exactly ``media_id == min(CASE WHEN survivor THEN media_id END) OVER
+    (PARTITION BY fingerprint)`` — so one frame (img left-join aud/vid,
+    all 1:1 on media_id) takes three conditional window minima and ONE
+    conditional aggregate emits all four stage counts; the 4-row report
+    is a literal expansion. Each codec pipeline now feeds exactly one
+    consumer, so the pins (and their materialization) are gone. Matches
+    the window formulation the oracle has used since round 10b."""
     return funnel_over_docs(_docs(spark, sf_dir))
 
 
@@ -3488,51 +3530,82 @@ def funnel_over_docs(docs: DataFrame) -> DataFrame:
     """The funnel plan over an arbitrary documents frame — shared by the
     registered query and the scale probes so curvature measurements run
     the exact registered composition."""
+    from pyspark.sql import Window
+
     from tipoca_stream_spark.operators.audiofp import audio_fingerprints
-    from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
     from tipoca_stream_spark.operators.phash import phash_from_documents
     from tipoca_stream_spark.operators.videofp import video_fingerprints
 
-    def survivors(prev: DataFrame, fps: DataFrame, col: str) -> DataFrame:
-        cur = fps.join(prev, "media_id")  # restrict to current survivors
-        keep = cur.groupBy(F.col(col)).agg(
-            F.min("media_id").alias("media_id")
-        )
-        return cur.join(keep, ["media_id", col], "left_semi").select(
-            "media_id"
+    img = phash_from_documents(docs).select("media_id", "phash")
+    aud = audio_fingerprints(docs).select(
+        "media_id", F.col("fingerprint").alias("afp")
+    )
+    vid = video_fingerprints(docs).select(
+        "media_id", F.col("fingerprint").alias("vfp")
+    )
+    # base population is img's (phash drops empty-text docs); aud/vid are
+    # one row per doc_id, so the left joins keep img's cardinality and a
+    # null afp/vfp can only mean "not in that modality" (drops the doc
+    # from that stage onward, as the original inner joins did).
+    frame = img.join(aud, "media_id", "left").join(vid, "media_id", "left")
+    frame = frame.withColumn(
+        "f1",
+        F.col("media_id")
+        == F.min("media_id").over(Window.partitionBy("phash")),
+    )
+    frame = frame.withColumn(
+        "f2",
+        F.col("f1")
+        & F.col("afp").isNotNull()
+        & (
+            F.col("media_id")
+            == F.min(F.when(F.col("f1"), F.col("media_id"))).over(
+                Window.partitionBy("afp")
+            )
+        ),
+    )
+    frame = frame.withColumn(
+        "f3",
+        F.col("f2")
+        & F.col("vfp").isNotNull()
+        & (
+            F.col("media_id")
+            == F.min(F.when(F.col("f2"), F.col("media_id"))).over(
+                Window.partitionBy("vfp")
+            )
+        ),
+    )
+
+    def surv(flag: str, name: str):
+        # coalesce: SUM over an empty relation is NULL; the stage counts
+        # were COUNTs (0 on empty input)
+        return (
+            F.coalesce(F.sum(F.col(flag).cast("int")), F.lit(0))
+            .cast("long")
+            .alias(name)
         )
 
-    img = (
-        phash_from_documents(docs)
-        .select("media_id", "phash")
-        .localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
+    row = frame.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        surv("f1", "n1"),
+        surv("f2", "n2"),
+        surv("f3", "n3"),
     )
-    aud = (
-        audio_fingerprints(docs)
-        .select("media_id", "fingerprint")
-        .localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
-    )
-    vid = (
-        video_fingerprints(docs)
-        .select("media_id", "fingerprint")
-        .localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
-    )
-    base = img.select("media_id")
-    s1 = survivors(base, img, "phash")
-    s2 = survivors(s1, aud, "fingerprint")
-    s3 = survivors(s2, vid, "fingerprint")
-    stages = [
-        (0, "all", base),
-        (1, "after_image_dedup", s1),
-        (2, "after_audio_dedup", s2),
-        (3, "after_video_dedup", s3),
-    ]
-    out = None
-    for num, name, df in stages:
-        row = df.agg(
+
+    def stage(num: int, name: str, n: str):
+        return F.struct(
             F.lit(num).alias("stage"),
             F.lit(name).alias("name"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.col(n).alias("n_docs"),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+
+    return row.select(
+        F.explode(
+            F.array(
+                stage(0, "all", "n0"),
+                stage(1, "after_image_dedup", "n1"),
+                stage(2, "after_audio_dedup", "n2"),
+                stage(3, "after_video_dedup", "n3"),
+            )
+        ).alias("s")
+    ).select("s.*")
