@@ -483,3 +483,68 @@ def test_decode_png_native_unfilter_matches_pure():
                 ic._NATIVE, ic._NATIVE_TRIED = saved, saved_tried
             assert native is not None and pure is not None
             assert np.array_equal(native, pure), (color_type, w, h)
+
+
+# --- dedup funnel: flag/window form vs the survivor-chain reference ----------
+
+
+def test_funnel_flags_match_survivor_chain_reference(spark):
+    """funnel_over_docs (round 14: cumulative window flags + one
+    aggregate) must match a brute-force replay of the original survivor
+    chain — keep-smallest-media_id per fingerprint group among CURRENT
+    survivors, stage by stage — over the actually-computed fingerprints.
+    Corpus crafted with exact-duplicate groups (identical text => all
+    three fingerprints collide) and empty texts (excluded from the img
+    base population by phash's n>=1 filter)."""
+    from tipoca_stream_spark.operators.audiofp import audio_fingerprints
+    from tipoca_stream_spark.operators.phash import phash_from_documents
+    from tipoca_stream_spark.operators.videofp import video_fingerprints
+    from tipoca_stream_spark.plans.training import funnel_over_docs
+
+    texts = (
+        ["alpha beta gamma"] * 3
+        + ["delta epsilon zeta eta"] * 2
+        + [""]  # dropped from the base population
+        + [f"doc number {i} with words " + "w " * (i % 7) for i in range(12)]
+    )
+    docs = spark.createDataFrame(
+        [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    img = {
+        r["media_id"]: r["phash"]
+        for r in phash_from_documents(docs).select("media_id", "phash").collect()
+    }
+    aud = {
+        r["media_id"]: r["fingerprint"]
+        for r in audio_fingerprints(docs).select("media_id", "fingerprint").collect()
+    }
+    vid = {
+        r["media_id"]: r["fingerprint"]
+        for r in video_fingerprints(docs).select("media_id", "fingerprint").collect()
+    }
+
+    def survivors(prev, fps):
+        cur = {m: fps[m] for m in prev if m in fps}
+        keep_min = {}
+        for m, fp in cur.items():
+            if fp not in keep_min or m < keep_min[fp]:
+                keep_min[fp] = m
+        return {m for m, fp in cur.items() if keep_min[fp] == m}
+
+    base = set(img)
+    s1 = survivors(base, img)
+    s2 = survivors(s1, aud)
+    s3 = survivors(s2, vid)
+    expect = {
+        "all": len(base),
+        "after_image_dedup": len(s1),
+        "after_audio_dedup": len(s2),
+        "after_video_dedup": len(s3),
+    }
+
+    got = {r["name"]: r["n_docs"] for r in funnel_over_docs(docs).collect()}
+    assert got == expect
+    # the dup groups must actually collapse, or the fixture tests nothing
+    assert expect["after_image_dedup"] <= expect["all"] - 3
