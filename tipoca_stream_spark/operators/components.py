@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
+from tipoca_stream_spark.operators.checkpoint import (
+    SPILL_LEVEL,
+    pin_partitioned,
+    pin_partitions_for,
+)
 
 
 def connected_components(
@@ -42,16 +46,29 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    # Deliberately a PLAIN pin, not pin_partitioned (round 14, measured):
-    # this operator's callers (near-dup doc clustering) feed it edge sets
-    # that are tiny relative to their LSH upstream, and the fixpoint loop
-    # runs many rounds over them — a partitioned pin inflated the tiny
-    # table to the static partition count and every round paid those
-    # tasks (+1.3 s on dedup_components), while the AQE-off build also
-    # slowed the LSH upstream. The r13close shape measured best; the
-    # per-round sym re-shuffle it keeps is node-pair-sized for these
-    # callers, not corpus-sized.
-    sym = sym.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)  # reused every round — pin it
+    # Two-step pin (round 15; refines the round-14 finding). Round 14
+    # measured pin_partitioned(sym) WORSE here for two reasons: the
+    # AQE-off pin build de-optimized the LSH upstream, and the static
+    # 32-way pin inflated a tiny fixpoint edge set so every round paid 32
+    # tasks. Both causes are addressed structurally: (1) materialize sym
+    # with a PLAIN checkpoint first — the LSH upstream plans with AQE on,
+    # exactly as before — and (2) re-pin the checkpointed frame
+    # partitioned on the per-round join key "a" with a partition count
+    # sized from the MEASURED edge count (~64 MB chunks, floor 1), so a
+    # tiny edge set stays one partition while a 10^10-edge table still
+    # splits wide. The pin advertises hashpartitioning(a), removing the
+    # per-round sym exchange the r14 shape kept (guide §2.1/§2.4); the
+    # re-pin itself costs one edge-set-sized shuffle, paid once.
+    sym = sym.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
+    n_edges = sym.count()  # cached scan of the checkpoint — cheap
+    spark = sym.sparkSession
+    try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        session_parts = spark.sparkContext.defaultParallelism
+    sym = pin_partitioned(
+        sym, "a", num_partitions=pin_partitions_for(n_edges, session_parts)
+    )
 
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -80,7 +97,14 @@ def connected_components(
                 ).alias("label"),
                 "old_label",
             )
-            .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
+            # LAZY checkpoint (round 15, VERDICT r14 next #1): the
+            # changed-probe below is the round's materializing action —
+            # lineage still truncates at plan→RDD conversion, blocks
+            # persist as the probe computes them (fully on the converged
+            # final round; an early-exit prefix otherwise, the remainder
+            # computed by the next round's first job). One job per round
+            # instead of a full materialization job PLUS the probe.
+            .localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
         labels = new_labels.select("node", "label")

@@ -89,6 +89,12 @@ def label_propagation(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),
             )
-            .localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
+            # LAZY checkpoint (round 15, VERDICT r14 next #1): lineage
+            # still truncates at plan→RDD conversion, but the per-round
+            # materialization job is gone — the caller's one action
+            # computes all rounds, persisting each round's blocks as
+            # they are produced (the round's two consumers — the next
+            # neigh join and the carry join — read the persisted blocks)
+            .localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
         )
     return labels

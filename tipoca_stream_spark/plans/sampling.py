@@ -132,7 +132,7 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("split") == "train", 1)).cast("double").alias("n_t"),
         F.count(F.when(F.col("split") == "eval", 1)).cast("double").alias("n_e"),
     )
-    w = Window.partitionBy()
+    w = Window.partitionBy(F.lit(0))  # constant key: whole-frame sum over the bounded bin table, no WindowExec warning
     # try_divide: a split with zero rows overall has tot = 0; DuckDB's
     # double division by zero yields NULL and greatest() skips NULLs in
     # BOTH engines, so the proportion floors to PSI_EPS identically
@@ -262,7 +262,7 @@ def dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.sum("n").over(Window.partitionBy("event_type")).alias("row_tot"),
         F.sum("n").over(Window.partitionBy("split")).alias("col_tot"),
-        F.sum("n").over(Window.partitionBy()).alias("grand"),
+        F.sum("n").over(Window.partitionBy(F.lit(0))).alias("grand"),
     )
     x = m.withColumn("expected", F.col("row_tot") * F.col("col_tot") / F.col("grand"))
     term = (F.col("n") - F.col("expected")) ** 2 / F.col("expected")
@@ -272,7 +272,7 @@ def dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("expected", 6).alias("expected"),
         F.round(term, 6).alias("chisq_term"),
-        F.round(F.sum(term).over(Window.partitionBy()), 6).alias("chisq_total"),
+        F.round(F.sum(term).over(Window.partitionBy(F.lit(0))), 6).alias("chisq_total"),
     )
 
 
@@ -489,7 +489,11 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn(
         "sel_rank",
         F.row_number().over(
-            Window.orderBy(F.col("dsir_logweight").desc(), "doc_id")
+            # rank-after-limit: DSIR_SELECT_K-bounded input; the constant
+            # partition key declares the bounded task (no WindowExec warning)
+            Window.partitionBy(F.lit(0)).orderBy(
+                F.col("dsir_logweight").desc(), "doc_id"
+            )
         ),
     )
 

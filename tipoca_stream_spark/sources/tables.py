@@ -13,6 +13,8 @@ match DuckDB's reading of the same file.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -57,7 +59,22 @@ def _is_utc_equivalent(tz: str) -> bool:
 # reader an explicit schema, skipping the footer-inference pass that cost
 # ~60-100 ms of driver time per load_table call (queries call load_table
 # 1-6 times per construction). Schemas only — never data or results.
-_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+# Round 15 (ADVICE r14): the key also carries the file's (mtime, size)
+# fingerprint so a table REGENERATED at the same path mid-process (e.g. a
+# test harness rebuilding fixtures) re-infers instead of silently
+# null-filling columns missing from a stale schema. One os.stat per
+# load_table call — micro vs the ~60-100 ms inference it replaces.
+_SCHEMA_CACHE: dict[tuple[str, str, float, int], T.StructType] = {}
+
+
+def _table_fingerprint(path: str) -> tuple[float, int]:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime, st.st_size)
+    except OSError:
+        # directory-style parquet or remote path: stat the dir if possible,
+        # else fall back to a constant (immutability assumed, as before)
+        return (0.0, 0)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,13 +83,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     collector = active_collector()
     if collector is not None:  # O8: usage metrics from the scan entry point
         collector.record_scan(name)
-    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name) + _table_fingerprint(path)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         _SCHEMA_CACHE[key] = df.schema
     else:
-        df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):

@@ -37,6 +37,7 @@ from tipoca_stream_spark.operators.cdc import (
     COL_KAFKA_OFFSET,
     OP_CREATE,
     OP_DELETE,
+    OP_UPDATE,
     extract_row_image,
     skip_tombstones,
 )
@@ -217,7 +218,7 @@ class CdcPipeline:
         n_buckets = self.config.hash_buckets or self.config.catalog_buckets
         aggs = [
             F.count(F.when(F.col(COL_DEBEZIUM_OP) == OP_CREATE, 1)).alias("create"),
-            F.count(F.when(F.col(COL_DEBEZIUM_OP) == "UPDATE", 1)).alias("update"),
+            F.count(F.when(F.col(COL_DEBEZIUM_OP) == OP_UPDATE, 1)).alias("update"),
             F.count(F.when(F.col(COL_DEBEZIUM_OP) == OP_DELETE, 1)).alias("delete"),
         ]
         if n_buckets:
