@@ -62,6 +62,25 @@ def test_hub_graph_matches_brute_force(spark):
     assert _counts(spark, edges) == _brute(edges)
 
 
+def test_wedge_split_engaged_matches_default_path(spark):
+    # wedge_split_degree_cap=1 forces the hub-split wedge generator
+    # (every node with out-degree >= 2 gets chunked + replicated spokes);
+    # counts must be identical to the exchange-free default path on a
+    # graph with a hub, chords, and triangle-free appendages
+    edges = (
+        [(0, i) for i in range(1, 12)]
+        + [(1, 2), (2, 3), (3, 4), (5, 6), (7, 8), (1, 6), (4, 9), (10, 11)]
+        + [(20, 21), (21, 22)]
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    split = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, "a", "b", wedge_split_degree_cap=1).collect()
+    }
+    assert split == _brute(edges)
+    assert split == _counts(spark, edges)
+
+
 @settings(
     max_examples=8,
     deadline=None,

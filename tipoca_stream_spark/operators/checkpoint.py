@@ -76,11 +76,22 @@ def aqe_disabled(spark):
             spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
-def pin_partitions_for(rows: int, session_partitions: int) -> int:
+def pin_partitions_for(
+    rows: int, session_partitions: int, rows_per_partition: int | None = None
+) -> int:
     """Partition count for a pin over ``rows`` rows: ~64 MB chunks,
     capped at the session's shuffle parallelism (the cluster-scale knob),
-    floored at 1."""
-    by_size = -(-max(rows, 1) // _PIN_ROWS_PER_PARTITION)  # ceil
+    floored at 1.
+
+    ``rows`` must be the cardinality the pin's CONSUMERS process per
+    partition, not necessarily the pinned row count — a join that
+    pipelines C(n, 2) generated rows per partition must be sized by that
+    amplified cardinality (the first r15 triangles ABBA measured 1.8-2.1x
+    worse when the 41M-wedge join was sized by its 1.5M pinned edges and
+    collapsed to one task). ``rows_per_partition`` overrides the default
+    target for narrow or compute-amplified rows."""
+    per = rows_per_partition or _PIN_ROWS_PER_PARTITION
+    by_size = -(-max(rows, 1) // per)  # ceil
     return max(1, min(by_size, max(session_partitions, 1)))
 
 

@@ -29,11 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tipoca_stream_spark.operators.checkpoint import (
-    SPILL_LEVEL,
-    pin_partitioned,
-    pin_partitions_for,
-)
+from tipoca_stream_spark.operators.checkpoint import SPILL_LEVEL
 
 
 def connected_components(
@@ -46,29 +42,19 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    # Two-step pin (round 15; refines the round-14 finding). Round 14
-    # measured pin_partitioned(sym) WORSE here for two reasons: the
-    # AQE-off pin build de-optimized the LSH upstream, and the static
-    # 32-way pin inflated a tiny fixpoint edge set so every round paid 32
-    # tasks. Both causes are addressed structurally: (1) materialize sym
-    # with a PLAIN checkpoint first — the LSH upstream plans with AQE on,
-    # exactly as before — and (2) re-pin the checkpointed frame
-    # partitioned on the per-round join key "a" with a partition count
-    # sized from the MEASURED edge count (~64 MB chunks, floor 1), so a
-    # tiny edge set stays one partition while a 10^10-edge table still
-    # splits wide. The pin advertises hashpartitioning(a), removing the
-    # per-round sym exchange the r14 shape kept (guide §2.1/§2.4); the
-    # re-pin itself costs one edge-set-sized shuffle, paid once.
+    # Deliberately a PLAIN pin, not pin_partitioned (round 14, re-measured
+    # round 15): this operator's callers (near-dup doc clustering) feed it
+    # edge sets that are tiny relative to their LSH upstream, and the
+    # fixpoint loop runs many rounds over them. Round 14 measured the
+    # static 32-way partitioned pin WORSE (+1.3 s — 32 tasks per round
+    # over tiny data); round 15 measured the row-count-sized variant (one
+    # partition here) WORSE TOO (ABBA 1.16x — every round's join
+    # single-threaded). The per-round sym re-shuffle this shape keeps is
+    # node-pair-sized for these callers, not corpus-sized, and AQE sizes
+    # each round's post-shuffle side to the actual tiny volume — the
+    # partition-count sweet spot is load-dependent and AQE already finds
+    # it; a pinned count cannot.
     sym = sym.localCheckpoint(eager=True, storageLevel=SPILL_LEVEL)
-    n_edges = sym.count()  # cached scan of the checkpoint — cheap
-    spark = sym.sparkSession
-    try:
-        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        session_parts = spark.sparkContext.defaultParallelism
-    sym = pin_partitioned(
-        sym, "a", num_partitions=pin_partitions_for(n_edges, session_parts)
-    )
 
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -100,13 +86,18 @@ def connected_components(
             # LAZY checkpoint (round 15, VERDICT r14 next #1): the
             # changed-probe below is the round's materializing action —
             # lineage still truncates at plan→RDD conversion, blocks
-            # persist as the probe computes them (fully on the converged
-            # final round; an early-exit prefix otherwise, the remainder
-            # computed by the next round's first job). One job per round
+            # persist as the probe computes them. One job per round
             # instead of a full materialization job PLUS the probe.
             .localCheckpoint(eager=False, storageLevel=SPILL_LEVEL)
         )
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        # Full-scan count, NOT limit(1): with a lazy pin the probe is also
+        # the materializer, and a limit probe executes incrementally
+        # (1 partition, then 4, 16... mini-jobs per round) while leaving
+        # unscanned partitions unpersisted for the next round to recompute
+        # — measured 1.14-1.27x WORSE (r15 ABBA) than this single
+        # aggregate job that scans every partition once, persists every
+        # block, and answers the convergence question exactly.
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
             break

@@ -54,6 +54,7 @@ def triangle_counts(
     b: str = "b",
     edges_canonical: bool = False,
     closing_broadcast_max_bytes: int = 64 << 20,
+    wedge_split_degree_cap: int = 4096,
 ) -> DataFrame:
     """Per-node triangle counts for an undirected simple graph given as an
     edge list (self-loops dropped, duplicate/reversed edges collapsed).
@@ -68,6 +69,19 @@ def triangle_counts(
     e.g. cooccurrence_pairs(distinct_only=True)) and skips the
     least/greatest canonicalization + dedup exchange — one less
     edge-cardinality shuffle, identical counts.
+
+    ``wedge_split_degree_cap`` (round 15, §2 skew): degree ordering bounds
+    out-degree at O(sqrt(m)), but that still puts C(outdeg, 2) wedge rows
+    of ONE hot source node in ONE task — at 10^10 edges a sqrt(m)-degree
+    hub is 10^5 out-edges = 5*10^9 wedges on the last reducer. When the
+    MEASURED max out-degree exceeds the cap, each hot node's wedge
+    generation is split into ceil(outdeg/cap) hash chunks spread across
+    tasks (one spoke chunked, the other replicated per chunk — every
+    ordered pair still meets exactly once, so counts are identical). The
+    split re-keys the wedge join on (u, chunk), which costs the two
+    wedge-side exchanges the pin otherwise avoids — that is the right
+    trade only under a hub, so a graph whose max out-degree fits the cap
+    (any bench-scale input here) keeps the exchange-free pinned shape.
     """
     if edges_canonical:
         e = edges.select(F.col(a).alias("lo"), F.col(b).alias("hi"))
@@ -120,38 +134,95 @@ def triangle_counts(
     # the original scale-safe shape. Row width comes from the schema
     # (round 15): string/binary node ids estimate wider than longs
     # instead of the flat 32 B/row guess.
-    n_edges = oriented.count()
+    # One job measures every knob off the checkpointed frame: n_edges
+    # (= sum of out-degrees) sizes the closing-side broadcast; n_wedges
+    # (= sum of C(outdeg, 2) — the EXACT output cardinality of the wedge
+    # self-join) sizes the pin; max out-degree decides whether the hub
+    # split below must engage.
+    deg_row = (
+        oriented.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .agg(
+            F.sum("outdeg").alias("m"),
+            F.max("outdeg").alias("dmax"),
+            F.sum(F.expr("outdeg * (outdeg - 1) / 2")).alias("wedges"),
+        )
+        .collect()[0]
+    )
+    n_edges = deg_row["m"] or 0
+    max_outdeg = deg_row["dmax"] or 0
+    n_wedges = int(deg_row["wedges"] or 0)
     broadcast_closing = (
         n_edges * _row_width_bytes(oriented.schema) <= closing_broadcast_max_bytes
     )
     # Round 15 (VERDICT r14 next #1): re-pin the materialized table
-    # partitioned on the wedge key "u", sized from the measured count.
-    # Both wedge spokes project from this pin, so the wedge self-join
-    # consumes hashpartitioning(u) on BOTH sides — the two wedge-side
-    # exchanges (each m rows) disappear; the re-pin itself is one m-row
-    # shuffle, paid once, over the already-checkpointed frame (upstream
-    # planned with AQE on, the components.py two-step discipline).
+    # partitioned on the wedge key "u". Both wedge spokes project from
+    # this pin, so the wedge self-join consumes hashpartitioning(u) on
+    # BOTH sides — the two wedge-side exchanges (each m rows) disappear;
+    # the re-pin itself is one m-row shuffle, paid once, over the
+    # already-checkpointed frame (upstream planned with AQE on, the
+    # components.py two-step discipline). Partition count is sized from
+    # the WEDGE cardinality, not the pinned row count: the join pipelines
+    # C(outdeg, 2) generated rows per partition, so sizing by the m
+    # pinned rows collapses a 41M-wedge join onto one task (measured
+    # 1.8-2.1x WORSE in the first r15 ABBA — the amplified side is what
+    # must stay parallel, guide §2.2).
     spark = oriented.sparkSession
     try:
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         session_parts = spark.sparkContext.defaultParallelism
     oriented = pin_partitioned(
-        oriented, "u", num_partitions=pin_partitions_for(n_edges, session_parts)
+        oriented,
+        "u",
+        num_partitions=pin_partitions_for(
+            n_wedges, session_parts, rows_per_partition=1_000_000
+        ),
     )
     # Wedges from the lowest-ordered vertex of each triangle: two out-edges
     # (u→v1, u→v2) with (dv1, v1) < (dv2, v2); the closing edge v1→v2 is
     # then oriented exactly that way, so one equi-join confirms it.
-    e1 = oriented.select(
-        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    spoke_order = (F.col("dv1") < F.col("dv2")) | (
+        (F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))
     )
-    e2 = oriented.select(
-        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
-    )
-    wedges = e1.join(e2, "u").filter(
-        (F.col("dv1") < F.col("dv2"))
-        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
-    )
+    if max_outdeg > wedge_split_degree_cap:
+        # Hub split (§2 skew): chunk one spoke by hash(v) into
+        # ceil(outdeg/cap) buckets per source and replicate the other
+        # spoke into every bucket; joining on (u, chunk) meets each
+        # ordered spoke pair exactly once (the chunked side contributes
+        # v1 from exactly one bucket, the replicated side contributes v2
+        # in that bucket), so the wedge multiset is unchanged while a hot
+        # node's C(outdeg, 2) pairs spread over ~outdeg/cap tasks. The
+        # explicit repartition re-keys both sides on (u, chunk) — without
+        # it the pin's hashpartitioning(u) would co-locate every chunk of
+        # the hot node in one task again.
+        chunks = oriented.groupBy("u").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(wedge_split_degree_cap))
+            .cast("int")
+            .alias("_k")
+        )
+        ek = oriented.join(chunks, "u")
+        e1 = ek.select(
+            "u",
+            F.col("v").alias("v1"),
+            F.col("dv").alias("dv1"),
+            F.pmod(F.hash("v"), F.col("_k")).alias("_c"),
+        ).repartition("u", "_c")
+        e2 = ek.select(
+            "u",
+            F.col("v").alias("v2"),
+            F.col("dv").alias("dv2"),
+            F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("_c"),
+        ).repartition("u", "_c")
+        wedges = e1.join(e2, ["u", "_c"]).filter(spoke_order).drop("_c")
+    else:
+        e1 = oriented.select(
+            F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+        )
+        e2 = oriented.select(
+            F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+        )
+        wedges = e1.join(e2, "u").filter(spoke_order)
     closing = oriented.select(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
