@@ -17,7 +17,7 @@ expressed so Catalyst decorrelates them into joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tipoca_stream_spark.plans.registry import query
@@ -482,20 +482,26 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2.10 correlated avg → join (TPC-H Q17)",
 )
 def tpch_q17_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 (small-quantity-order revenue) for one brand. The
-    correlated per-part avg(l_quantity) is materialized as its own
-    aggregate and joined back — the decorrelation Catalyst would do, made
-    explicit. avg computed as exact-decimal sum ÷ count in double (same
-    two operands in both engines → identical IEEE result). The per-part
-    aggregate shuffles (partkey, two longs) only."""
+    """TPC-H Q17 (small-quantity-order revenue) for one brand. Round 15
+    (guide §2.4/§2.3): the correlated per-part avg was materialized as a
+    FULL-lineitem aggregate and joined back — but the join keeps only the
+    brand's partkeys, so aggregating anything else was wasted work, and
+    the join-back re-scanned lineitem. Now ONE brand-filtered scan with
+    the avg as a window over l_partkey: same rows reach the avg for every
+    surviving partkey (the brand filter selects whole partkeys, never
+    rows within one), and the avg is the same exact-decimal sum ÷ count
+    in double (identical IEEE result in both engines). 2 scans + a
+    full-corpus aggregate exchange → 1 scan + one brand-rows exchange;
+    measured 0.59x (probe_tpch_rewrites_r15, rows identical)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    li_b = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
     )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.sum(_dec("l_quantity")).over(w).cast("double") / F.count(F.lit(1)).over(w)
     return (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(avg_q, li.l_partkey == F.col("a_partkey"))
+        li_b.withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg((F.sum(_dec("l_extendedprice")) / F.lit(7.0)).cast("double").alias("avg_yearly"))
     )
@@ -598,20 +604,27 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 (potential part promotion), adapted: suppliers who shipped
     >20% of a PROMO part's total quantity (no partsupp/availqty — share of
-    shipped volume plays the "excess stock" role). Two keyed aggregates on
-    the same shuffle key (partkey), a partkey equi-join between two
-    already-reduced sides, then a semi join into supplier — every join
-    input is post-aggregation cardinality."""
+    shipped volume plays the "excess stock" role). Round 15 (guide
+    §2.4/§2.3): the PROMO semi-filter moves BELOW both aggregates (it
+    selects whole partkeys, so per-key sums over the filtered rows are
+    identical), and the per-part total is a window sum over the
+    (suppkey, partkey) aggregate instead of a second full scan + second
+    aggregate + equi-join — sums of exact decimals are associative, so
+    part_qty = Σ supp_qty is the same value. 2 scans + 2 detail-level
+    exchanges + join → 1 scan + 1 detail exchange + 1 reduced-table
+    exchange; measured 0.89x (probe_tpch_rewrites_r15, rows identical)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     supp = load_table(spark, sf_dir, "supplier")
-    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
-    pt = li.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
-        F.sum(_dec("l_quantity")).alias("part_qty")
+    li_p = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi"
     )
+    sp = li_p.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
     qualified = (
-        sp.join(pt, sp.l_partkey == pt.pt_partkey)
-        .join(F.broadcast(part.select("p_partkey")), sp.l_partkey == F.col("p_partkey"), "left_semi")
+        sp.withColumn("part_qty", F.sum("supp_qty").over(w))
         .filter(F.col("supp_qty").cast("double") > F.lit(0.2) * F.col("part_qty").cast("double"))
         .select(F.col("l_suppkey").alias("s_suppkey"))
         .distinct()
@@ -840,36 +853,66 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting), adapted: no
     l_receiptdate/l_commitdate, so "kept the order waiting" = was the
     strictly-latest shipper (by l_shipdate) on a multi-supplier order with
-    status 'F'. Declared in SQL so Catalyst decorrelates the EXISTS into a
-    left-semi and the NOT EXISTS into a left-anti join, both keyed on
-    l_orderkey — the same pattern as Q4 and the reference's DeleteCommon
-    anti-join (redshift.go:701-753). At 100 TB all three lineitem
-    instances shuffle once on orderkey; no cross product appears (pinned
-    in test_plan_shapes)."""
+    status 'F'. Round 15 (guide §1.1 first-principles / §2.4): the
+    declared-SQL EXISTS/NOT-EXISTS decorrelated into a semi + anti join —
+    three lineitem instances, each scanned and (at scale) shuffled on
+    orderkey. Every predicate is a per-order property, so ONE scan with
+    per-order window aggregates computes the same row set:
+
+    - EXISTS(other supplier on the order)  ⇔  n_supp ≥ 2, where n_supp =
+      |collect_set(l_suppkey) over (order)|.
+    - NOT EXISTS(other supplier shipped strictly later than l1)  ⇔
+      l1.l_shipdate ≥ max_other, the max shipdate over OTHER suppliers'
+      rows: with ms = max(shipdate) over (order, supplier), m1 = max over
+      (order), n_top = |suppliers attaining m1|, max_other = m1 when l1's
+      supplier is not the unique top (ms < m1 or n_top ≥ 2), else
+      m2s = max(ms where ms < m1) — the other suppliers' maxima exactly,
+      since the unique top's rows are the only ones at m1. m2s is NULL
+      only for single-supplier orders, which n_supp ≥ 2 already drops.
+
+    3 lineitem scans / orderkey shuffles → 1 (the windows stack on one
+    exchange: hashpartitioning(orderkey) satisfies both window specs).
+    Measured 0.77x with identical rows (probe_tpch_rewrites_r15); oracle
+    SQL unchanged and exact."""
     supp = load_table(spark, sf_dir, "supplier")
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    # {df} binding (invocation-unique views) instead of fixed-name
-    # createOrReplaceTempView — concurrent callers can't race.
-    return spark.sql(
-        """
-        SELECT s_name, count(*) AS numwait
-        FROM {supplier} s
-        JOIN {lineitem} l1 ON l1.l_suppkey = s.s_suppkey
-        JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
-        WHERE o.o_orderstatus = 'F'
-          AND EXISTS (SELECT 1 FROM {lineitem} l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM {lineitem} l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_shipdate > l1.l_shipdate)
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name
-        LIMIT 100
-        """,
-        supplier=supp,
-        lineitem=li,
-        orders=orders,
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    lif = li.join(orders_f, li.l_orderkey == F.col("o_orderkey")).drop("o_orderkey")
+    w_o = Window.partitionBy("l_orderkey")
+    w_os = Window.partitionBy("l_orderkey", "l_suppkey")
+    df = (
+        lif.withColumn("ms", F.max("l_shipdate").over(w_os))
+        .withColumn("m1", F.max("l_shipdate").over(w_o))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w_o)))
+        .withColumn(
+            "n_top",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("l_shipdate") == F.col("m1"), F.col("l_suppkey"))
+                ).over(w_o)
+            ),
+        )
+        .withColumn(
+            "m2s",
+            F.max(F.when(F.col("ms") < F.col("m1"), F.col("ms"))).over(w_o),
+        )
+    )
+    max_other = F.when(
+        (F.col("ms") < F.col("m1")) | (F.col("n_top") >= 2), F.col("m1")
+    ).otherwise(F.col("m2s"))
+    waiting = df.filter(
+        (F.col("n_supp") >= 2) & (F.col("l_shipdate") >= max_other)
+    ).select("l_suppkey")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
     )
