@@ -63,7 +63,7 @@ from pyspark.sql import functions as F
 
 from tipoca_stream_spark.operators.index_base import MaintainedIndexBase
 from tipoca_stream_spark.operators.semantic_dedup import assign_by_cosine
-from tipoca_stream_spark.operators.similarity import cosine
+from tipoca_stream_spark.operators.similarity import _norm, cosine_prenormed
 from tipoca_stream_spark.sources.target import BucketedTargetTable
 
 
@@ -265,15 +265,24 @@ class IncrementalSemanticDeduper(MaintainedIndexBase):
             F.pmod(F.hash(F.col(self.id_col)), F.lit(s)).alias("_salt"),
             F.col(self.id_col).alias("_b_id"),
             F.col(self.vec_col).alias("_b_vec"),
+            _norm(F.col(self.vec_col)).alias("_b_n"),
         ).repartition(p, F.col("cluster_id"), F.col("_salt"))
         idx = idx_slice.select(
             F.col("cluster_id"),
             F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_salt"),
             F.col(self.id_col).alias("_c_id"),
             F.col(self.vec_col).alias("_c_vec"),
+            _norm(F.col(self.vec_col)).alias("_c_n"),
         )
+        # norms hoisted out of the pair join (round 15, cosine_prenormed):
+        # same doubles, same order — bit-identical scores
         near = b.join(idx, ["cluster_id", "_salt"]).filter(
-            F.round(cosine(F.col("_b_vec"), F.col("_c_vec")), 6)
+            F.round(
+                cosine_prenormed(
+                    F.col("_b_vec"), F.col("_c_vec"), F.col("_b_n"), F.col("_c_n")
+                ),
+                6,
+            )
             >= F.lit(self.threshold)
         )
         return near.groupBy(F.col("_b_id").alias(self.id_col), "cluster_id").agg(

@@ -42,7 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tipoca_stream_spark.operators.similarity import cosine
+from tipoca_stream_spark.operators.similarity import (
+    _norm,
+    cosine,
+    cosine_prenormed,
+)
 
 
 def assign_by_cosine(
@@ -59,10 +63,21 @@ def assign_by_cosine(
     rounded to 6 dp before the argmax and ties break toward the SMALLER
     seed id, so assignments are engine-reproducible (the DuckDB oracle
     recomputes them exactly)."""
-    scored = emb.crossJoin(F.broadcast(seeds)).select(
-        F.col(id_col),
-        F.col(seed_id_col),
-        F.round(cosine(F.col(vec_col), F.col(seed_vec_col)), 6).alias("_cs"),
+    # norms hoisted out of the crossJoin (round 15, cosine_prenormed): the
+    # row norm was re-folded once per seed and each seed's norm once per row
+    scored = (
+        emb.withColumn("_vn", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(seeds.withColumn("_sn", _norm(F.col(seed_vec_col)))))
+        .select(
+            F.col(id_col),
+            F.col(seed_id_col),
+            F.round(
+                cosine_prenormed(
+                    F.col(vec_col), F.col(seed_vec_col), F.col("_vn"), F.col("_sn")
+                ),
+                6,
+            ).alias("_cs"),
+        )
     )
     # lexicographic max over (similarity, -seed_id): highest cosine wins,
     # smaller seed id on rounded ties
@@ -84,6 +99,7 @@ def assign_by_cosine_two_level(
     seed_id_col: str = "seed_id",
     seed_vec_col: str = "seed_vec",
     n_super: int | None = None,
+    n_seeds: int | None = None,
 ) -> DataFrame:
     """(id, cluster_id): TWO-LEVEL nearest-seed assignment — route to the
     nearest of ceil(√k) SUPER-seeds (the smallest-id prefix of the seed
@@ -118,7 +134,11 @@ def assign_by_cosine_two_level(
     as with flat clusters."""
     import math
 
-    k = seeds.count()
+    # n_seeds: caller-supplied exact seed count (round 15) — sizing the
+    # super level needed a count() JOB per construction when the caller
+    # already knows |seeds| (dense-id prefix filters). Wrong hints only
+    # mis-size the super level (performance), never change assignments.
+    k = n_seeds if n_seeds is not None else seeds.count()
     s = n_super or (math.isqrt(max(k - 1, 0)) + 1)  # ceil(sqrt(k)), k >= 1
     supers = (
         seeds.orderBy(seed_id_col)
@@ -138,9 +158,13 @@ def assign_by_cosine_two_level(
     # 10.6 s) with 1-file seeds while the same shapes with 32-file seeds
     # measured 4.0 s vs 12.6 s. Both routing references (the assignment
     # and the broadcast build of the routed groups) share this input.
+    # unconditional: the old `if seeds.rdd.getNumPartitions() < p` guard
+    # paid a full plan→RDD conversion (~0.15 s of physical planning) per
+    # construction to MAYBE skip an exchange of k tiny rows (round 15,
+    # guide §1.2); the always-on repartition of a k-row frame costs
+    # milliseconds and keeps the k×√k routing crossJoin wide
     p = seeds.sparkSession.sparkContext.defaultParallelism
-    if seeds.rdd.getNumPartitions() < p:
-        seeds = seeds.repartition(p)
+    seeds = seeds.repartition(p)
     # one-time seed routing: k × √k cosines. A super-seed's routed id is
     # OVERRIDDEN with its own id (see docstring: rounded ties could
     # otherwise route it to a smaller-id near-twin super, emptying its
@@ -169,17 +193,29 @@ def assign_by_cosine_two_level(
     ).withColumnRenamed("cluster_id", "super_id")
     # level 2: argmax within the routed group (n × ~k/√k cosines; the
     # group join is keyed on super_id and the seed side is broadcastable)
+    # norms hoisted out of the group join (round 15, cosine_prenormed): a
+    # query row meets ~k/√k routed seeds, a seed meets every routed query
     cand = (
         emb.select(id_col, vec_col)
+        .withColumn("_vn", _norm(F.col(vec_col)))
         .join(q_super, id_col)
         .join(
-            F.broadcast(routed.select("super_id", seed_id_col, seed_vec_col)),
+            F.broadcast(
+                routed.select("super_id", seed_id_col, seed_vec_col).withColumn(
+                    "_sn", _norm(F.col(seed_vec_col))
+                )
+            ),
             "super_id",
         )
     )
     pick = F.max(
         F.struct(
-            F.round(cosine(F.col(vec_col), F.col(seed_vec_col)), 6).alias("_cs"),
+            F.round(
+                cosine_prenormed(
+                    F.col(vec_col), F.col(seed_vec_col), F.col("_vn"), F.col("_sn")
+                ),
+                6,
+            ).alias("_cs"),
             (-F.col(seed_id_col)).alias("_neg"),
             F.col(seed_id_col).alias("_sid"),
         )
@@ -207,6 +243,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     salt: int | None = None,
     assign: DataFrame | None = None,
+    n_seeds: int | None = None,
 ) -> DataFrame:
     """Dropped rows ``(id, cluster_id, dup_of)``: every vector with a
     smaller-id neighbor at cosine ≥ threshold inside its cluster, with
@@ -221,7 +258,11 @@ def semantic_dedup(
     once, and a cluster's pair work spreads across ``salt`` tasks
     instead of one. ``salt=None`` picks ceil(cores / k); pass 1 to
     disable (k ∝ n deployments need no replication)."""
-    n_clusters = seeds.count()
+    # n_seeds: caller-supplied exact count (round 15) — it only feeds the
+    # salt-factor parallelism decision, but computing it was a Spark job
+    # per construction; a wrong hint changes the salt (plan shape), never
+    # the result set (each pair still meets exactly once)
+    n_clusters = n_seeds if n_seeds is not None else seeds.count()
     s = salt if salt is not None else salt_factor(emb, n_clusters)
     p = emb.sparkSession.sparkContext.defaultParallelism
     # assign= lets a caller swap the quantizer (e.g. the two-level
@@ -249,29 +290,42 @@ def semantic_dedup(
     # user-specified numPartitions). The a-side salt (one deterministic
     # salt per row) is computed BEFORE the exchange so the a-side probe
     # needs no further shuffle; the b-side re-keys on its exploded salt.
+    # the norm is hoisted into the exchanged frame (round 15,
+    # cosine_prenormed): each vector participates in ~n/k pairs, and the
+    # interpreted norm fold was re-run per pair on BOTH sides; one double
+    # per row rides the exchange instead
     shared = sided.select(
         F.col("cluster_id"),
         F.pmod(F.hash(F.col(id_col)), F.lit(s)).alias("_salt"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_n"),
     ).repartition(p, F.col("cluster_id"), F.col("_salt"))
     a = shared.select(
         "cluster_id",
         "_salt",
         F.col("_id").alias("_a_id"),
         F.col("_vec").alias("_a_vec"),
+        F.col("_n").alias("_a_n"),
     )
     b = shared.select(
         F.col("cluster_id"),
         F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("_salt"),
         F.col("_id").alias("_b_id"),
         F.col("_vec").alias("_b_vec"),
+        F.col("_n").alias("_b_n"),
     )
     # cluster-confined candidate pairs: the join key IS the cluster — the
     # quantizer is the prune (n²/k pairs), pinned in the plan test
     pairs = a.join(b, ["cluster_id", "_salt"]).filter(F.col("_a_id") < F.col("_b_id"))
     near = pairs.filter(
-        F.round(cosine(F.col("_a_vec"), F.col("_b_vec")), 6) >= F.lit(threshold)
+        F.round(
+            cosine_prenormed(
+                F.col("_a_vec"), F.col("_b_vec"), F.col("_a_n"), F.col("_b_n")
+            ),
+            6,
+        )
+        >= F.lit(threshold)
     )
     return near.groupBy(
         F.col("_b_id").alias(id_col), F.col("cluster_id")

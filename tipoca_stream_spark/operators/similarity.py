@@ -49,6 +49,23 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with the norms supplied as columns (round 15, guide
+    §1.2 per-task work): the HOF kernels are CodegenFallback — interpreted,
+    re-evaluated at every call site — so a vector that participates in many
+    pairs (pair joins) or against many seeds (crossJoin assigns) was paying
+    its own norm fold once PER PAIR. Hoisting ``_norm`` to a projection
+    before the join evaluates it once per vector; the final expression is
+    the same ``dot / (na * nb)`` over the same doubles in the same order —
+    bit-identical scores."""
+    return _dot(a, b) / (na * nb)
+
+
+def with_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Project a vector column's norm once, before a join replicates it."""
+    return df.withColumn(out_col, _norm(F.col(vec_col)))
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -59,13 +76,20 @@ def cosine_topk(
     """Exact top-k by cosine against the embedding of ``query_id``.
     The 1-row query side is broadcast; ranking is a global top-k
     (TakeOrderedAndProject — per-partition heaps, no full sort)."""
-    q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_q"))
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_q"), _norm(F.col(vec_col)).alias("_qn")
+    )
     scored = (
         embeddings.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("sim"),
+            F.round(
+                cosine_prenormed(
+                    F.col(vec_col), F.col("_q"), _norm(F.col(vec_col)), F.col("_qn")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
@@ -81,12 +105,24 @@ def cosine_neardup_pairs_exact(
     stage. Deliberately NOT the registered query path: use
     ``cosine_neardup_pairs`` (banded-LSH candidates + exact verify) for
     anything larger than a bucket."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_prenormed(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")), 6
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -157,12 +193,27 @@ def cosine_neardup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms hoisted to one projection per vector (cosine_prenormed): each
+    # candidate id appears in many pairs, and the interpreted norm fold was
+    # re-run per pair
+    ea = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cands.join(ea, "id_a")
         .join(eb, "id_b")
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_prenormed(F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")), 6
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -213,11 +264,19 @@ def lsh_topk(
     exact cosine re-rank. Recall trades off with plane count."""
     with_bucket = embeddings.withColumn("bucket", lsh_bucket(vec_col, planes))
     q = with_bucket.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_q"), F.col("bucket")
+        F.col(vec_col).alias("_q"), F.col("bucket"), _norm(F.col(vec_col)).alias("_qn")
     )
     cands = with_bucket.join(F.broadcast(q), "bucket").filter(F.col(id_col) != query_id)
     return (
-        cands.select(F.col(id_col), F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("sim"))
+        cands.select(
+            F.col(id_col),
+            F.round(
+                cosine_prenormed(
+                    F.col(vec_col), F.col("_q"), _norm(F.col(vec_col)), F.col("_qn")
+                ),
+                6,
+            ).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -242,15 +301,20 @@ def cosine_batch_topk(
     from pyspark.sql import Window
 
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("_q")
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_q"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
+        embeddings.withColumn("_vn", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("qid"))
         .select(
             "qid",
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("_q")), 6).alias("sim"),
+            F.round(
+                cosine_prenormed(F.col(vec_col), F.col("_q"), F.col("_vn"), F.col("_qn")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))

@@ -296,7 +296,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         emb.filter(F.col("vec_id") == 0)
         .join(assign, "vec_id")
-        .select(F.col("embedding").alias("_q"), F.col("centroid_id").alias("_qc"))
+        .select(
+            F.col("embedding").alias("_q"),
+            F.col("centroid_id").alias("_qc"),
+            sim._norm(F.col("embedding")).alias("_qn"),
+        )
     )
     cands = (
         emb.join(assign, "vec_id")
@@ -304,7 +308,16 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != 0)
     )
     return (
-        cands.select("vec_id", F.round(sim.cosine(F.col("embedding"), F.col("_q")), 6).alias("sim"))
+        cands.select(
+            "vec_id",
+            F.round(
+                sim.cosine_prenormed(
+                    F.col("embedding"), F.col("_q"),
+                    sim._norm(F.col("embedding")), F.col("_qn"),
+                ),
+                6,
+            ).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
     )
@@ -355,7 +368,9 @@ def similarity_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(NPROBE)
         .select("cid")
     )
-    q = qvec.select(F.col("embedding").alias("_q"))
+    q = qvec.select(
+        F.col("embedding").alias("_q"), sim._norm(F.col("embedding")).alias("_qn")
+    )
     cands = (
         emb.join(assign, "vec_id")
         .join(F.broadcast(probes), F.col("centroid_id") == F.col("cid"))
@@ -363,7 +378,16 @@ def similarity_ivf_topk_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
     )
     return (
-        cands.select("vec_id", F.round(sim.cosine(F.col("embedding"), F.col("_q")), 6).alias("sim"))
+        cands.select(
+            "vec_id",
+            F.round(
+                sim.cosine_prenormed(
+                    F.col("embedding"), F.col("_q"),
+                    sim._norm(F.col("embedding")), F.col("_qn"),
+                ),
+                6,
+            ).alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
     )
@@ -950,7 +974,9 @@ def similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"d{i}") for i in range(N_CENTROIDS)])
         ).alias("cid", "d")
     )
-    q = qvec.select(F.col("embedding").alias("_q"))
+    q = qvec.select(
+        F.col("embedding").alias("_q"), sim._norm(F.col("embedding")).alias("_qn")
+    )
     out = None
     for p in NPROBE_CURVE:
         # round before ordering (ADVICE r8): the cross-engine discipline
@@ -970,7 +996,13 @@ def similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf10 = (
             cands.select(
                 "vec_id",
-                F.round(sim.cosine(F.col("embedding"), F.col("_q")), 6).alias("s"),
+                F.round(
+                    sim.cosine_prenormed(
+                        F.col("embedding"), F.col("_q"),
+                        sim._norm(F.col("embedding")), F.col("_qn"),
+                    ),
+                    6,
+                ).alias("s"),
             )
             .orderBy(F.col("s").desc(), "vec_id")
             .limit(10)

@@ -703,23 +703,31 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ending in TakeOrderedAndProject (distributed partial top-K, no global
     sort); the final overlap joins two 10-row sets."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    # both query norms (full + truncated) hoisted into the 1-row broadcast
+    # (round 15, cosine_prenormed) — they were re-folded per corpus row
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_q"),
+        sim._norm(F.col("embedding")).alias("_qn_full"),
+        sim._norm(F.slice(F.col("embedding"), 1, MATRYOSHKA_DIM)).alias("_qn_trunc"),
+    )
     base = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != 0)
 
-    def top10(vec, qvec):
+    def top10(vec, qvec, qn):
         return (
             base.select(
-                "vec_id", F.round(sim.cosine(vec, qvec), 6).alias("s")
+                "vec_id",
+                F.round(sim.cosine_prenormed(vec, qvec, sim._norm(vec), qn), 6).alias("s"),
             )
             .orderBy(F.col("s").desc(), "vec_id")
             .limit(10)
             .select("vec_id")
         )
 
-    full10 = top10(F.col("embedding"), F.col("_q"))
+    full10 = top10(F.col("embedding"), F.col("_q"), F.col("_qn_full"))
     trunc10 = top10(
         F.slice(F.col("embedding"), 1, MATRYOSHKA_DIM),
         F.slice(F.col("_q"), 1, MATRYOSHKA_DIM),
+        F.col("_qn_trunc"),
     )
     return full10.join(trunc10, "vec_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_overlap"),
@@ -860,7 +868,9 @@ def embed_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount of XOR), TakeOrderedAndProject top-K, then a 10-row
     overlap join with the exact side."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_q"), sim._norm(F.col("embedding")).alias("_qn")
+    )
     base = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != 0)
     hd = F.aggregate(
         F.zip_with(
@@ -879,7 +889,14 @@ def embed_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact10 = (
         base.select(
-            "vec_id", F.round(sim.cosine(F.col("embedding"), F.col("_q")), 6).alias("s")
+            "vec_id",
+            F.round(
+                sim.cosine_prenormed(
+                    F.col("embedding"), F.col("_q"),
+                    sim._norm(F.col("embedding")), F.col("_qn"),
+                ),
+                6,
+            ).alias("s"),
         )
         .orderBy(F.col("s").desc(), "vec_id")
         .limit(10)

@@ -431,8 +431,38 @@ SEMDEDUP_K_SQL = (
 SEMDEDUP_COPY_OFFSET = 1_000_000
 
 
-def _semdedup_k(emb) -> int:
-    return max(SEMDEDUP_MIN_SEEDS, emb.count() // SEMDEDUP_DENSITY)
+def _table_num_rows(sf_dir: str, table: str) -> int | None:
+    """Exact row count of an immutable testdata table, read from the
+    parquet FOOTER — pure metadata, no Spark job, re-read on every call
+    (nothing cached, nothing persisted). The footer's num_rows is
+    authoritative for a well-formed file; returns None for non-local /
+    unreadable paths so callers fall back to a real count."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def _semdedup_k(emb, sf_dir: str | None = None) -> int:
+    # k = f(corpus size) is part of the query's definition; the count
+    # itself was a full-table Spark job per CONSTRUCTION (~0.4 s, guide
+    # §1.2 driver latency). The footer read computes the same number from
+    # the same input file with no job; emb.count() remains the fallback.
+    n = _table_num_rows(sf_dir, "embeddings") if sf_dir else None
+    if n is None:
+        n = emb.count()
+    return max(SEMDEDUP_MIN_SEEDS, n // SEMDEDUP_DENSITY)
 
 SEMDEDUP_ORACLE = f"""
 WITH corpus AS (
@@ -503,10 +533,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).unionByName(copies)
-    seeds = emb.filter(F.col("vec_id") < _semdedup_k(emb)).select(
+    k = _semdedup_k(emb, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
     )
-    return semantic_dedup(corpus, seeds, SEMDEDUP_THRESHOLD)
+    # vec_ids are dense 0..n-1 with k <= n, so |seeds| = k exactly — the
+    # hint saves the operator's own seeds.count() job per construction
+    return semantic_dedup(corpus, seeds, SEMDEDUP_THRESHOLD, n_seeds=k)
 
 
 SEMDEDUP_INC_ORACLE = f"""
@@ -579,7 +612,7 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     seeds = emb.filter(
-        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * _semdedup_k(emb))
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * _semdedup_k(emb, sf_dir))
     ).select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec"))
     batch = (
         emb.filter(F.col("vec_id") % 2 == 1)
@@ -719,13 +752,16 @@ def dedup_semantic_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).unionByName(copies)
-    k = emb.count() // 2
+    n = _table_num_rows(sf_dir, "embeddings")
+    k = (n if n is not None else emb.count()) // 2
     seeds = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
     )
-    assign = assign_by_cosine_two_level(corpus, seeds)
+    # dense 0..n-1 ids with k <= n ⇒ |seeds| = k; the hints save two
+    # seeds.count() jobs per construction (assignment + pair machinery)
+    assign = assign_by_cosine_two_level(corpus, seeds, n_seeds=k)
     return semantic_dedup(
-        corpus, seeds, SEMDEDUP_THRESHOLD, assign=assign
+        corpus, seeds, SEMDEDUP_THRESHOLD, assign=assign, n_seeds=k
     )
 
 
