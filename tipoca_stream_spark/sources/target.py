@@ -1078,10 +1078,42 @@ class BucketedTargetTable(ParquetTargetTable):
         previous file linked in verbatim, so every previous sidecar row
         carries."""
         self.last_commit_stats = {}
-        if self.bloom_col:
-            self._write_bloom_sidecar(v, prev, changed_buckets, append_files)
-        if self.text_col:
-            self._write_text_sidecar(df, v, prev, changed_buckets)
+        if not (self.bloom_col or self.text_col):
+            return
+        from contextlib import nullcontext
+
+        from tipoca_stream_spark.operators.checkpoint import aqe_disabled
+
+        # Delta/append commits rebuild batch-sized sidecar slices — the
+        # same regime as the delta saveAsTable above, where AQE's
+        # per-exchange stage jobs are pure driver latency with nothing to
+        # adapt; full rewrites keep AQE (table-sized inputs want runtime
+        # coalescing). Measured on the bench's indexed-target delta row:
+        # 2.0 → 1.5 s per commit.
+        is_delta = changed_buckets is not None or append_files is not None
+        scope = aqe_disabled(self.spark) if is_delta else nullcontext()
+        with scope:
+            if self.bloom_col and self.text_col:
+                # the two sidecars are independent (different inputs,
+                # different output dirs) and each is a couple of SMALL
+                # Spark jobs whose fixed per-job latency dominates — run
+                # them from two driver threads so the second's jobs
+                # back-fill the first's idle tail (guide §2.6)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fb = pool.submit(
+                        self._write_bloom_sidecar, v, prev, changed_buckets, append_files
+                    )
+                    ft = pool.submit(
+                        self._write_text_sidecar, df, v, prev, changed_buckets
+                    )
+                    fb.result()
+                    ft.result()
+            elif self.bloom_col:
+                self._write_bloom_sidecar(v, prev, changed_buckets, append_files)
+            elif self.text_col:
+                self._write_text_sidecar(df, v, prev, changed_buckets)
 
     def _bloom_dir(self, vdir: str) -> str:
         return os.path.join(vdir, "_bloom")
