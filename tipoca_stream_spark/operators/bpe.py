@@ -268,9 +268,10 @@ def token_vocabulary(seg: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     )
     from pyspark.sql import Window
 
-    # the constant partition key declares the spec-bounded single task
-    # (|vocab| <= |alphabet| + num_merges + 1, see docstring) and avoids
-    # the single-partition WindowExec warning (round 15, VERDICT r14 #7)
+    # the single window task is spec-bounded (|vocab| <= |alphabet| +
+    # num_merges + 1, see docstring) — safe at any corpus size. (Spark 4's
+    # EliminateWindowPartitions folds the constant key away, so the
+    # single-partition WindowExec WARN still prints; it is spurious here.)
     w = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("token"))
     return freqs.select(
         (F.row_number().over(w) - 1).cast("int").alias("token_id"),

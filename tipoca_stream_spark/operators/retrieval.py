@@ -43,8 +43,9 @@ def hybrid_rrf_topk(
     1/(rrf_k + rank) to the fused score."""
     # both rank windows run over top-k_each-bounded legs (each leg ends
     # in a limit), so the single window task is k-row-bounded by
-    # construction; the constant partition key declares that (and avoids
-    # the single-partition WindowExec warning — round 15, VERDICT r14 #7)
+    # construction. (Spark 4's EliminateWindowPartitions folds the
+    # constant partition key away, so the single-partition WindowExec
+    # WARN still prints — spurious for these k-row inputs.)
     lex = bm25_topk(docs, "text", id_col, query_terms, k=k_each)
     wl = Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), id_col)
     lex = lex.select(

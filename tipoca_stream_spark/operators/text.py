@@ -447,10 +447,11 @@ def vocab_coverage(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
     (terms are unique), so the limit keeps exactly the rows the old
     rank<=k filter kept, and the cumulative sum over ranks 1..k only
     reads those rows — identical output. At 100 TB the vocabulary never
-    funnels through one window task anymore; only k rows do. The window
-    partitions on a constant so the k-row task is declared (no
-    single-partition WindowExec warning); coverage divides by the
-    all-terms total, computed before the limit.
+    funnels through one window task anymore; only k rows do. (Spark 4's
+    EliminateWindowPartitions folds the constant partition key away, so
+    the single-partition WindowExec WARN still prints — spurious for the
+    k-row input; rank-after-limit is the real fix.) Coverage divides by
+    the all-terms total, computed before the limit.
     """
     from pyspark.sql import Window
 

@@ -132,7 +132,12 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("split") == "train", 1)).cast("double").alias("n_t"),
         F.count(F.when(F.col("split") == "eval", 1)).cast("double").alias("n_e"),
     )
-    w = Window.partitionBy(F.lit(0))  # constant key: whole-frame sum over the bounded bin table, no WindowExec warning
+    # whole-frame sum over the ≤PSI_BINS-row bin table: the single window
+    # task is bounded by construction. (The constant partition key is
+    # folded away by Spark 4's EliminateWindowPartitions rule, so the
+    # single-partition WindowExec WARN still prints — it is spurious here;
+    # the bounded input is the real fix. Corrected round 15.)
+    w = Window.partitionBy(F.lit(0))
     # try_divide: a split with zero rows overall has tot = 0; DuckDB's
     # double division by zero yields NULL and greatest() skips NULLs in
     # BOTH engines, so the proportion floors to PSI_EPS identically
@@ -489,8 +494,10 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn(
         "sel_rank",
         F.row_number().over(
-            # rank-after-limit: DSIR_SELECT_K-bounded input; the constant
-            # partition key declares the bounded task (no WindowExec warning)
+            # rank-after-limit: DSIR_SELECT_K-bounded input, so the single
+            # window task is safe by construction. (EliminateWindowPartitions
+            # folds the constant key away — the WindowExec WARN still
+            # prints and is spurious for this k-row input.)
             Window.partitionBy(F.lit(0)).orderBy(
                 F.col("dsir_logweight").desc(), "doc_id"
             )

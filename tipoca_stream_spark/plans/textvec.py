@@ -432,8 +432,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank window sees only 1000 rows instead of the whole
     vocabulary; (c desc, term asc) is a total order (terms unique), so
     the limit keeps exactly the rows the old rank<=1000 filter kept.
-    The constant partition key declares the bounded single task (no
-    WindowExec warning)."""
+    (Spark 4's EliminateWindowPartitions folds the constant partition
+    key away, so the single-partition WindowExec WARN still prints —
+    spurious for the 1000-row input; rank-after-limit is the real
+    fix.)"""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")

@@ -326,9 +326,16 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical with the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(F.sum(_revenue_expr()).alias("part_value_d"))
-    total = li.agg(
-        F.sum(_revenue_expr()).cast("double").alias("t"),
-        F.count_distinct(F.col("l_partkey")).alias("np"),
+    # Round 15 (guide §2.4): the scalar total/part-count pass re-scanned
+    # lineitem and re-computed every revenue product; both derive from the
+    # per-part aggregate instead — Σ part_value_d (exact decimals,
+    # associative: includes a null-partkey group exactly as the row-level
+    # sum did) and count(l_partkey) (non-null groups = distinct parts).
+    # The branches share the per-part Exchange via ReuseExchange, so
+    # lineitem is scanned and aggregated ONCE. Values bit-identical.
+    total = per_part.agg(
+        F.sum("part_value_d").cast("double").alias("t"),
+        F.count(F.col("l_partkey")).alias("np"),
     )
     return (
         per_part.join(F.broadcast(total))
