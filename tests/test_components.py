@@ -41,3 +41,36 @@ def test_long_chain_converges_in_log_rounds(spark):
     got = _labels(spark, edges, max_iter=12)
     assert set(got.values()) == {0}
     assert len(got) == 201
+
+
+def test_frontier_matches_full_propagation(spark):
+    """Round 15 pin: the frontier-shrunk propagation (only last round's
+    changed labels feed the neighbor-min join) must produce the SAME
+    final labels as a full replay of min-label propagation + pointer
+    jumping over all labels every round — on a graph mixing a long
+    chain (many rounds, shrinking frontier), cliques (1-round close),
+    an isolated pair, and duplicate/self edges."""
+    edges = (
+        [(i, i + 1) for i in range(60)]                # chain, ids 0..60
+        + [(100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)]
+        + [(200, 201), (201, 201), (200, 201)]
+    )
+    got = _labels(spark, edges, max_iter=25)
+
+    # reference: full (non-frontier) propagation replayed in Python
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    label = {v: v for v in adj}
+    for _ in range(25):
+        new = {}
+        for v in adj:
+            cands = [label[v], label[label[v]]] + [label[u] for u in adj[v]]
+            new[v] = min(cands)
+        if new == label:
+            break
+        label = new
+    assert got == label

@@ -59,9 +59,22 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    # FRONTIER shrinking (round 15, VERDICT r14 next #1): only a node whose
+    # label CHANGED last round can improve a neighbor this round — an
+    # unchanged neighbor's label was already min-ed into every adjacent
+    # node the round it last changed (labels only decrease, and every
+    # round processes every frontier edge). Joining the edge table against
+    # the changed set instead of ALL labels makes each round's propagation
+    # join and aggregate shrink with the frontier; per-round label tables
+    # are IDENTICAL to the full form (same min over a superset whose extra
+    # elements are already-applied values), so convergence takes the same
+    # rounds and returns the same labels (pinned by
+    # tests/test_components.py::test_frontier_matches_full_propagation).
+    # Round 1's frontier is every node (nothing propagated yet).
+    frontier = labels
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "a"), "a")
+            sym.join(frontier.withColumnRenamed("node", "a"), "a")
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -101,8 +114,12 @@ def connected_components(
         # ABBA min-of-6 vs the r14 eager+limit form = 0.94x, in-process
         # interleaved min-of-4 lazy_count 5.34 s vs eager_limit 5.72 s vs
         # eager_count 6.42 s — the lazy+full-count shape stands.
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        changed_rows = new_labels.filter(F.col("label") != F.col("old_label"))
+        changed = changed_rows.count()
         labels = new_labels.select("node", "label")
+        # next round's frontier: the nodes that just changed, with their
+        # new labels — read from the same persisted pin the probe filled
+        frontier = changed_rows.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
